@@ -1,0 +1,229 @@
+"""TPU-native spline interpolation of gridded fields at arbitrary parcel positions.
+
+Re-implements the numerical contract of ``scipy.ndimage.map_coordinates`` as used
+by the reference's hot inner kernel ``xr_map_coordinates``
+(/root/reference/LCS/tools.py:11-48):
+
+* index scaling ``size * (p - min) / (max - min)`` — the reference's N/(N-1)
+  stretch, SURVEY.md quirk Q4 (/root/reference/LCS/tools.py:21-22);
+* spline order ``interp_order`` with ``mode='wrap'`` for rows away from the poles
+  (/root/reference/LCS/tools.py:24-30);
+* order-1 ``mode='constant'`` (cval=0) for the ``order`` rows nearest each pole
+  (/root/reference/LCS/tools.py:31-39).
+
+scipy semantics were reverse-engineered empirically and are reproduced exactly:
+
+* **coordinate fold** for ``wrap``: periodic with period ``n-1``; negative
+  coordinates use ``x + (n-1) * (floor(-x/(n-1)) + 1)``, coordinates above
+  ``n-1`` use ``x - (n-1) * floor(x/(n-1))``; in-range coordinates (including
+  exactly ``n-1``) are untouched;
+* **cubic prefilter** for ``mode='wrap'``: the solve of a plain tridiagonal
+  system with boundary rows ``(4*c0 + 2*c1)/6 = x0`` (verified to machine
+  precision against ``scipy.ndimage.spline_filter1d``).  TPU-first design: the
+  inverse is precomputed once per grid size on the host and applied as a dense
+  matmul on the MXU instead of scipy's sequential IIR recursion;
+* **evaluation taps** (4 per axis for order 3) are mirror-folded about the edge
+  samples: ``idx < 0 -> -idx``, ``idx > n-1 -> 2*(n-1) - idx``.
+
+All evaluation functions are shape-polymorphic in the query arrays and safe to
+``jit``/``vmap``/``shard_map``.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "spline_filter_matrix",
+    "prefilter",
+    "eval_spline_wrap",
+    "eval_linear_constant",
+    "interp_at_parcels",
+]
+
+
+# ---------------------------------------------------------------------------
+# Cubic B-spline prefilter as a dense matrix (host-side, cached)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=64)
+def spline_filter_matrix(n: int, order: int = 3) -> np.ndarray:
+    """Dense inverse of scipy's order-3 ``mode='wrap'`` prefilter system.
+
+    ``c = M @ x`` reproduces ``scipy.ndimage.spline_filter1d(x, order=3,
+    mode='wrap')`` to machine precision.  The forward system is tridiagonal:
+    interior rows ``(c[i-1] + 4 c[i] + c[i+1]) / 6 = x[i]``, boundary rows
+    ``(4 c[0] + 2 c[1]) / 6 = x[0]`` and symmetrically at the other end.
+    """
+    if order == 1:
+        return np.eye(n)
+    if order != 3:
+        raise NotImplementedError(f"spline order {order} not supported (1 or 3)")
+    if n < 2:
+        return np.eye(n)
+    T = np.zeros((n, n), dtype=np.float64)
+    idx = np.arange(1, n - 1)
+    T[idx, idx - 1] = 1.0 / 6.0
+    T[idx, idx] = 4.0 / 6.0
+    T[idx, idx + 1] = 1.0 / 6.0
+    T[0, 0] = 4.0 / 6.0
+    T[0, 1] = 2.0 / 6.0
+    T[-1, -1] = 4.0 / 6.0
+    T[-1, -2] = 2.0 / 6.0
+    return np.linalg.inv(T)
+
+
+def prefilter(field: jax.Array, order: int = 3) -> jax.Array:
+    """Separable 2-D cubic-spline prefilter over the trailing (lat, lon) axes.
+
+    Equivalent to scipy's per-axis ``spline_filter1d(mode='wrap')`` but
+    expressed as two dense matmuls so it runs on the MXU.  Leading axes (e.g.
+    time) are batched.
+    """
+    if order == 1:
+        return field
+    ny, nx = field.shape[-2], field.shape[-1]
+    my = jnp.asarray(spline_filter_matrix(ny, order), dtype=field.dtype)
+    mx = jnp.asarray(spline_filter_matrix(nx, order), dtype=field.dtype)
+    prec = jax.lax.Precision.HIGHEST
+    c = jnp.einsum("ij,...jk->...ik", my, field, precision=prec)
+    c = jnp.einsum("...ij,kj->...ik", c, mx, precision=prec)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# Coordinate folding and tap mirroring (scipy C semantics)
+# ---------------------------------------------------------------------------
+
+def _fold_coord_wrap(x: jax.Array, n: int) -> jax.Array:
+    """scipy map_coordinate() for mode='wrap': period ``n-1`` fold."""
+    sz = float(n - 1)
+    neg = x + sz * (jnp.floor(-x / sz) + 1.0)
+    pos = x - sz * jnp.floor(x / sz)
+    return jnp.where(x < 0, neg, jnp.where(x > sz, pos, x))
+
+
+def _mirror_tap(idx: jax.Array, n: int) -> jax.Array:
+    """Mirror out-of-range integer tap indices about the edge samples."""
+    idx = jnp.where(idx < 0, -idx, idx)
+    idx = jnp.where(idx > n - 1, 2 * (n - 1) - idx, idx)
+    return idx
+
+
+def _cubic_weights(t: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Cubic B-spline weights for taps at offsets (-1, 0, 1, 2) from floor(x)."""
+    one_t = 1.0 - t
+    w0 = one_t * one_t * one_t / 6.0
+    w1 = 2.0 / 3.0 - t * t + 0.5 * t * t * t
+    w2 = 2.0 / 3.0 - one_t * one_t + 0.5 * one_t * one_t * one_t
+    w3 = t * t * t / 6.0
+    return w0, w1, w2, w3
+
+
+# ---------------------------------------------------------------------------
+# Evaluation kernels
+# ---------------------------------------------------------------------------
+
+def eval_spline_wrap(coeffs: jax.Array, ys: jax.Array, xs: jax.Array,
+                     order: int = 3) -> jax.Array:
+    """Evaluate a (prefiltered, for order 3) field at fractional grid indices
+    ``(ys, xs)`` with scipy ``mode='wrap'`` semantics on both axes.
+
+    ``coeffs``: (ny, nx).  ``ys``/``xs``: any broadcast-equal shape.
+    """
+    ny, nx = coeffs.shape
+    yf = _fold_coord_wrap(ys, ny)
+    xf = _fold_coord_wrap(xs, nx)
+
+    if order == 1:
+        y0 = jnp.floor(yf)
+        x0 = jnp.floor(xf)
+        ty = yf - y0
+        tx = xf - x0
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
+        yi = jnp.stack([_mirror_tap(y0i, ny), _mirror_tap(y0i + 1, ny)], axis=-1)
+        xi = jnp.stack([_mirror_tap(x0i, nx), _mirror_tap(x0i + 1, nx)], axis=-1)
+        wy = jnp.stack([1.0 - ty, ty], axis=-1)
+        wx = jnp.stack([1.0 - tx, tx], axis=-1)
+        ntaps = 2
+    elif order == 3:
+        y0 = jnp.floor(yf)
+        x0 = jnp.floor(xf)
+        ty = yf - y0
+        tx = xf - x0
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
+        yi = jnp.stack([_mirror_tap(y0i + k, ny) for k in (-1, 0, 1, 2)], axis=-1)
+        xi = jnp.stack([_mirror_tap(x0i + k, nx) for k in (-1, 0, 1, 2)], axis=-1)
+        wy = jnp.stack(_cubic_weights(ty), axis=-1)
+        wx = jnp.stack(_cubic_weights(tx), axis=-1)
+        ntaps = 4
+    else:
+        raise NotImplementedError(f"spline order {order} not supported (1 or 3)")
+
+    # Gather the ntaps x ntaps neighbourhood per query point in one flat gather.
+    flat = coeffs.reshape(-1)
+    lin = (yi[..., :, None] * nx + xi[..., None, :]).reshape(*ys.shape, ntaps * ntaps)
+    vals = jnp.take(flat, lin, axis=0)
+    w = (wy[..., :, None] * wx[..., None, :]).reshape(*ys.shape, ntaps * ntaps)
+    return jnp.sum(vals * w.astype(vals.dtype), axis=-1)
+
+
+def eval_linear_constant(field: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
+    """Order-1 interpolation with scipy ``mode='constant'`` (cval=0): any query
+    with either coordinate outside ``[0, n-1]`` returns 0
+    (/root/reference/LCS/tools.py:35-39 pole handling)."""
+    ny, nx = field.shape
+    in_range = (ys >= 0) & (ys <= ny - 1) & (xs >= 0) & (xs <= nx - 1)
+    y0 = jnp.clip(jnp.floor(ys), 0, ny - 2)
+    x0 = jnp.clip(jnp.floor(xs), 0, nx - 2)
+    ty = (ys - y0).astype(field.dtype)
+    tx = (xs - x0).astype(field.dtype)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    flat = field.reshape(-1)
+    v00 = jnp.take(flat, y0i * nx + x0i, axis=0)
+    v01 = jnp.take(flat, y0i * nx + x0i + 1, axis=0)
+    v10 = jnp.take(flat, (y0i + 1) * nx + x0i, axis=0)
+    v11 = jnp.take(flat, (y0i + 1) * nx + x0i + 1, axis=0)
+    out = (v00 * (1 - ty) * (1 - tx) + v01 * (1 - ty) * tx
+           + v10 * ty * (1 - tx) + v11 * ty * tx)
+    return jnp.where(in_range, out, jnp.zeros((), dtype=field.dtype))
+
+
+# ---------------------------------------------------------------------------
+# The reference's xr_map_coordinates contract
+# ---------------------------------------------------------------------------
+
+def scale_positions(px: jax.Array, py: jax.Array, *, x_min, x_max, y_min, y_max,
+                    nx: int, ny: int) -> tuple[jax.Array, jax.Array]:
+    """Quirk-Q4 index scaling: ``size * (p - min) / (max - min)``
+    (/root/reference/LCS/tools.py:21-22)."""
+    xi = nx * (px - x_min) / (x_max - x_min)
+    yi = ny * (py - y_min) / (y_max - y_min)
+    return xi, yi
+
+
+def interp_at_parcels(field: jax.Array, coeffs: jax.Array,
+                      px: jax.Array, py: jax.Array, *,
+                      x_min, x_max, y_min, y_max, order: int = 3) -> jax.Array:
+    """Full ``xr_map_coordinates(isglobal=True)`` semantics
+    (/root/reference/LCS/tools.py:11-48).
+
+    ``field``: raw (ny, nx) values; ``coeffs``: prefiltered coefficients (equal
+    to ``field`` when order == 1).  ``px``/``py`` must be (ny, nx): row ``i``
+    holds the parcels whose home row is grid row ``i`` — the reference keys the
+    pole special-case on the home row, not the current position.
+    """
+    ny, nx = field.shape
+    xi, yi = scale_positions(px, py, x_min=x_min, x_max=x_max,
+                             y_min=y_min, y_max=y_max, nx=nx, ny=ny)
+    interior = eval_spline_wrap(coeffs, yi, xi, order=order)
+    poles = eval_linear_constant(field, yi, xi)
+    row = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+    is_pole_row = (row < order) | (row >= ny - order)
+    return jnp.where(is_pole_row, poles, interior)

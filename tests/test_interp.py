@@ -1,0 +1,93 @@
+"""Parity tests: ops.interp vs scipy.ndimage.map_coordinates, including the
+reference's exact usage pattern (/root/reference/LCS/tools.py:11-48)."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from scipy.ndimage import map_coordinates, spline_filter1d
+
+from lagrangiancoherence_tpu.ops import interp as I
+
+
+RNG = np.random.default_rng(42)
+
+
+def test_spline_filter_matrix_matches_scipy():
+    for n in (4, 9, 32, 181):
+        M = I.spline_filter_matrix(n, order=3)
+        ref = spline_filter1d(np.eye(n), order=3, mode="wrap", axis=0)
+        np.testing.assert_allclose(M, ref, atol=1e-12)
+
+
+def test_prefilter_2d_matches_scipy():
+    x = RNG.normal(size=(19, 37))
+    c = np.asarray(I.prefilter(jnp.asarray(x), order=3))
+    ref = spline_filter1d(x, order=3, mode="wrap", axis=0)
+    ref = spline_filter1d(ref, order=3, mode="wrap", axis=1)
+    np.testing.assert_allclose(c, ref, atol=1e-10)
+
+
+@pytest.mark.parametrize("order", [1, 3])
+def test_eval_wrap_matches_scipy(order):
+    ny, nx = 23, 41
+    f = RNG.normal(size=(ny, nx))
+    # queries spanning in-range, negative, beyond-range, exact edges
+    ys = np.concatenate([RNG.uniform(-5, ny + 5, 500),
+                         [0.0, ny - 1.0, float(ny), -1.0, -(ny - 1.0)]])
+    xs = np.concatenate([RNG.uniform(-5, nx + 5, 500),
+                         [0.0, nx - 1.0, float(nx), -1.0, -(nx - 1.0)]])
+    ref = map_coordinates(f, np.array([ys, xs]), order=order, mode="wrap")
+    c = I.prefilter(jnp.asarray(f), order=order)
+    got = np.asarray(I.eval_spline_wrap(c, jnp.asarray(ys), jnp.asarray(xs),
+                                        order=order))
+    np.testing.assert_allclose(got, ref, atol=1e-9)
+
+
+def test_eval_linear_constant_matches_scipy():
+    ny, nx = 17, 29
+    f = RNG.normal(size=(ny, nx))
+    ys = np.concatenate([RNG.uniform(-3, ny + 3, 400), [0.0, ny - 1.0, -0.0001]])
+    xs = np.concatenate([RNG.uniform(-3, nx + 3, 400), [nx - 1.0, 0.0, nx - 0.999]])
+    ref = map_coordinates(f, np.array([ys, xs]), order=1, mode="constant")
+    got = np.asarray(I.eval_linear_constant(jnp.asarray(f), jnp.asarray(ys),
+                                            jnp.asarray(xs)))
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+def _xr_map_coordinates_oracle(values, lats, lons, px, py, order):
+    """Faithful numpy re-implementation of the reference's xr_map_coordinates
+    (/root/reference/LCS/tools.py:11-48) for the isglobal=True path."""
+    ny, nx = values.shape
+    new_x = nx * (px - lons.min()) / (lons.max() - lons.min())
+    new_y = ny * (py - lats.min()) / (lats.max() - lats.min())
+    out = np.empty_like(values, dtype=float)
+    interior = np.arange(order, ny - order)
+    out[interior, :] = map_coordinates(
+        values, np.array([new_y[interior, :].ravel(), new_x[interior, :].ravel()]),
+        order=order, mode="wrap").reshape(len(interior), nx)
+    pole_idxs = np.hstack([np.arange(0, order), np.arange(ny - order, ny)])
+    out[pole_idxs, :] = map_coordinates(
+        values, np.array([new_y[pole_idxs, :].ravel(), new_x[pole_idxs, :].ravel()]),
+        order=1, mode="constant").reshape(len(pole_idxs), nx)
+    return out
+
+
+@pytest.mark.parametrize("order", [1, 3])
+def test_interp_at_parcels_matches_reference_contract(order):
+    ny, nx = 31, 45
+    lats = np.linspace(-88, 88, ny)
+    lons = np.linspace(-180, 176, nx)
+    f = RNG.normal(size=(ny, nx))
+    # parcel positions: grid plus random displacement, clamped like trajectory.py
+    px0, py0 = np.meshgrid(lons, lats)
+    px = px0 + RNG.uniform(-10, 10, size=(ny, nx))
+    py = np.clip(py0 + RNG.uniform(-10, 10, size=(ny, nx)), lats.min(), lats.max())
+    px = np.where(px <= -180, px % 180, px)
+    px = np.where(px >= 180, -180 + (px % 180), px)
+
+    ref = _xr_map_coordinates_oracle(f, lats, lons, px, py, order)
+    c = I.prefilter(jnp.asarray(f), order=order)
+    got = np.asarray(I.interp_at_parcels(
+        jnp.asarray(f), c, jnp.asarray(px), jnp.asarray(py),
+        x_min=lons.min(), x_max=lons.max(), y_min=lats.min(), y_max=lats.max(),
+        order=order))
+    np.testing.assert_allclose(got, ref, atol=1e-9)
