@@ -1,0 +1,106 @@
+"""Triangular spherical-harmonic truncation, TPU-first.
+
+Functional replacement for the reference's use of
+``windspharm.xarray.VectorWind.truncate(..., truncation=20)``
+(/root/reference/LCS/LCS.py:115-118), which low-pass filters the wind
+components to total wavenumber <= T before global FTLE runs.
+
+windspharm delegates to spharm's Fortran grid<->spectral transforms.  The
+TPU-native design instead expresses the whole round-trip as dense linear
+algebra the MXU eats:
+
+* longitude -> zonal wavenumbers via ``jnp.fft.rfft`` (XLA-native FFT);
+* per zonal wavenumber ``m <= T``, the latitude profile is least-squares
+  projected onto the normalised associated Legendre basis
+  ``P_n^m(sin(lat))`` for ``n = m..T`` and immediately re-synthesised.  The
+  combined project+synthesise operator ``S_m = P_m @ pinv(P_m)`` is a small
+  ``(ny, ny)`` matrix precomputed on the host once per (grid, T) and applied
+  as one batched matmul over all retained ``m``;
+* wavenumbers ``m > T`` are zeroed; inverse rfft returns to grid space.
+
+Least-squares projection is the right analysis operator for the reference's
+*regular* (non-Gaussian) 0.5-degree grid, where no exact quadrature exists —
+the same choice spharm's regular-grid mode makes internally.
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["legendre_basis", "truncation_operators", "truncate"]
+
+
+def _normalized_legendre(nmax: int, m: int, x: np.ndarray) -> np.ndarray:
+    """Orthonormal associated Legendre functions ``\\bar P_n^m(x)`` for
+    ``n = m..nmax`` evaluated at ``x = sin(lat)``, via the standard stable
+    three-term recursion (fully normalised, geodesy convention)."""
+    x = np.asarray(x, dtype=np.float64)
+    npts = x.shape[0]
+    out = np.zeros((nmax - m + 1, npts))
+    # P_m^m seed: \bar P_m^m = sqrt((2m+1)/(4pi) * (2m-1)!!/(2m)!!) (1-x^2)^{m/2}
+    # Build the double-factorial ratio in log space for stability.
+    log_ratio = 0.0
+    for k in range(1, m + 1):
+        log_ratio += np.log((2 * k - 1) / (2 * k))
+    pmm = np.sqrt((2 * m + 1) / (4 * np.pi) * np.exp(log_ratio)) \
+        * (1.0 - x * x) ** (m / 2.0)
+    if m % 2 == 1:
+        pmm = -pmm  # Condon-Shortley phase
+    out[0] = pmm
+    if nmax == m:
+        return out
+    # P_{m+1}^m
+    out[1] = x * np.sqrt(2 * m + 3.0) * pmm
+    for n in range(m + 2, nmax + 1):
+        a = np.sqrt((4.0 * n * n - 1.0) / (n * n - m * m))
+        b = np.sqrt(((n - 1.0) ** 2 - m * m) / (4.0 * (n - 1.0) ** 2 - 1.0))
+        out[n - m] = a * (x * out[n - m - 1] - b * out[n - m - 2])
+    return out
+
+
+@lru_cache(maxsize=16)
+def legendre_basis(lats_key: bytes, truncation: int) -> np.ndarray:
+    """Stacked smoothing operators ``S[m] = P_m (P_m^T W P_m)^{-1} P_m^T W``,
+    shape ``(truncation+1, ny, ny)``; cached per (latitude vector, T).
+
+    The projection is least squares under the ``cos(lat)`` measure — the
+    discrete analogue of the sphere's ``\\int .. dx`` inner product, which
+    keeps high-degree Legendre modes (n > T) orthogonal to the retained
+    basis on a regular (non-Gaussian) latitude grid."""
+    lats = np.frombuffer(lats_key, dtype=np.float64)
+    x = np.sin(np.deg2rad(lats))
+    w = np.cos(np.deg2rad(lats))
+    ny = lats.shape[0]
+    S = np.zeros((truncation + 1, ny, ny))
+    for m in range(truncation + 1):
+        P = _normalized_legendre(truncation, m, x).T  # (ny, n_modes)
+        PtW = P.T * w[None, :]
+        S[m] = P @ np.linalg.solve(PtW @ P, PtW)
+    return S
+
+
+def truncation_operators(lats: np.ndarray, truncation: int) -> np.ndarray:
+    lats = np.ascontiguousarray(np.asarray(lats, dtype=np.float64))
+    return legendre_basis(lats.tobytes(), truncation)
+
+
+@partial(jax.jit, static_argnames=("truncation",))
+def _truncate_jit(field: jax.Array, S: jax.Array, truncation: int) -> jax.Array:
+    nx = field.shape[-1]
+    spec = jnp.fft.rfft(field, axis=-1)  # (..., ny, nx//2+1)
+    keep = spec[..., : truncation + 1]   # zonal wavenumbers m <= T
+    # batched matmul over m: out[..., y, m] = S[m] @ keep[..., :, m]
+    smoothed = jnp.einsum("myz,...zm->...ym", S.astype(keep.dtype), keep)
+    out_spec = jnp.zeros_like(spec)
+    out_spec = out_spec.at[..., : truncation + 1].set(smoothed)
+    return jnp.fft.irfft(out_spec, n=nx, axis=-1).astype(field.dtype)
+
+
+def truncate(field: jax.Array, lats: np.ndarray, truncation: int = 20) -> jax.Array:
+    """Triangular truncation of ``field`` (..., ny, nx) to total wavenumber
+    <= ``truncation`` on a regular lat/lon grid."""
+    S = jnp.asarray(truncation_operators(lats, truncation))
+    return _truncate_jit(jnp.asarray(field), S, truncation)

@@ -13,4 +13,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize force-registers a TPU platform plugin and
+# overrides JAX_PLATFORMS; pin the config explicitly so tests really run on
+# the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,138 @@
+"""API facade tests: reference call-signature contract, return shapes,
+timestamping, subdomain crop, resample — SURVEY.md §2 `LCS` class rows."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from lagrangiancoherence_tpu.api import LCS, latlonsel, parcel_propagation
+from lagrangiancoherence_tpu.field import Field
+from lagrangiancoherence_tpu.testing import flows
+from lagrangiancoherence_tpu.testing.oracle import oracle_ftle
+
+
+def make_uv(cfg=None, nt=5):
+    cfg = dict(cfg or flows.SADDLE_CONFIG)
+    cfg["nt"] = nt
+    u, v, lats, lons, times = flows.ideal_saddle(**cfg)
+    dims = ("time", "latitude", "longitude")
+    coords = dict(time=times, latitude=lats, longitude=lons)
+    return (Field(u, dims, coords, name="u"),
+            Field(v, dims, coords, name="v"), lats, lons, times)
+
+
+class TestReturnShapes:
+    """The 4 return arities of LCS.__call__ (/root/reference/LCS/LCS.py:161-168)."""
+
+    def test_default_returns_single_field(self):
+        U, V, lats, lons, _ = make_uv()
+        out = LCS(timestep=6 * 3600)(u=U, v=V, verbose=False)
+        assert out.dims == ("time", "latitude", "longitude")
+        assert out.shape == (1, lats.size, lons.size)
+
+    def test_return_dpts(self):
+        U, V, *_ = make_uv()
+        out = LCS(timestep=6 * 3600, return_dpts=True)(u=U, v=V, verbose=False)
+        assert len(out) == 3
+        ftle, xd, yd = out
+        assert xd.dims == ("latitude", "longitude")
+
+    def test_return_traj(self):
+        U, V, _, _, times = make_uv()
+        out = LCS(timestep=6 * 3600)(u=U, v=V, verbose=False, return_traj=True)
+        ftle, xt, yt = out
+        assert xt.shape[0] == times.size
+        assert xt.dims[0] == "time"
+
+    def test_return_dpts_and_traj(self):
+        U, V, *_ = make_uv()
+        out = LCS(timestep=6 * 3600, return_dpts=True)(
+            u=U, v=V, verbose=False, return_traj=True)
+        assert len(out) == 5
+
+
+class TestTimestamping:
+    """Forward runs stamp the last time; backward runs the first
+    (/root/reference/LCS/LCS.py:158)."""
+
+    def test_forward_stamps_last(self):
+        U, V, _, _, times = make_uv()
+        out = LCS(timestep=6 * 3600)(u=U, v=V, verbose=False)
+        assert np.datetime64(out.coords["time"][0]) == times[-1]
+
+    def test_backward_stamps_first(self):
+        U, V, _, _, times = make_uv()
+        out = LCS(timestep=-6 * 3600)(u=U, v=V, verbose=False)
+        assert np.datetime64(out.coords["time"][0]) == times[0]
+
+
+class TestAgainstOracle:
+    def test_end_to_end_matches_scipy_oracle(self):
+        cfg = dict(flows.SADDLE_CONFIG, nt=5)
+        u, v, lats, lons, times = flows.ideal_saddle(**cfg)
+        dims = ("time", "latitude", "longitude")
+        coords = dict(time=times, latitude=lats, longitude=lons)
+        U, V = Field(u, dims, coords), Field(v, dims, coords)
+        got = LCS(timestep=-6 * 3600, SETTLS_order=2)(
+            u=U, v=V, verbose=False).data[0]
+        want = oracle_ftle(u, v, lats, lons, -6 * 3600.0, settls_order=2,
+                           cyclic_x=False)
+        assert np.nanmax(np.abs(got - want)) <= 1e-5 * max(1, np.nanmax(np.abs(want)))
+
+
+class TestSubdomain:
+    def test_strict_crop(self):
+        U, V, lats, lons, _ = make_uv()
+        sub = {"latitude": slice(-50, -30), "longitude": slice(-60, -20)}
+        out = LCS(timestep=6 * 3600, subdomain=sub)(u=U, v=V, verbose=False)
+        assert out.coords["latitude"].min() > -50
+        assert out.coords["latitude"].max() < -30
+        assert out.coords["longitude"].min() > -60
+
+    def test_latlonsel_list_and_slice(self):
+        U, *_ = make_uv()
+        a = latlonsel(U, latitude=slice(-50, -30), longitude=slice(-60, -20))
+        b = latlonsel(U, latitude=[-50, -30], longitude=[-60, -20])
+        np.testing.assert_array_equal(a.data, b.data)
+
+
+class TestResample:
+    def test_resample_halves_timestep(self):
+        U, V, lats, lons, times = make_uv(nt=4)
+        out = LCS(timestep=-6 * 3600, return_dpts=True)(
+            u=U, v=V, verbose=False, resample="3h")
+        ftle, xd, yd = out
+        # steady flow: resampled integration spans the same window; shape holds
+        assert ftle.shape == (1, lats.size, lons.size)
+
+    def test_resampled_steady_flow_matches_unresampled(self):
+        # For a steady (time-constant) field, linear time-resampling changes
+        # nothing: FTLE at 3h steps over the same window must match 6h.
+        U, V, lats, lons, times = make_uv(nt=4)
+        a = LCS(timestep=-6 * 3600)(u=U, v=V, verbose=False).data
+        cfg = dict(flows.SADDLE_CONFIG, nt=7)
+        u7, v7, _, _, t7 = flows.ideal_saddle(**cfg)
+        t7 = pd.date_range("2000-01-01", periods=7, freq="3h").values
+        dims = ("time", "latitude", "longitude")
+        coords = dict(time=t7, latitude=lats, longitude=lons)
+        b = LCS(timestep=-3 * 3600)(
+            u=Field(u7, dims, coords), v=Field(v7, dims, coords),
+            verbose=False).data
+        c = LCS(timestep=-6 * 3600)(u=U, v=V, verbose=False,
+                                    resample="3h").data
+        np.testing.assert_allclose(c, b, rtol=1e-10, atol=1e-10)
+        assert not np.allclose(a, b)  # resample genuinely changed the path
+
+
+class TestParcelPropagationFacade:
+    def test_signature_and_backward_labels(self):
+        U, V, _, _, times = make_uv()
+        x, y = parcel_propagation(U, V, timestep=-6 * 3600, propdim="time",
+                                  verbose=False, return_traj=True,
+                                  SETTLS_order=1, cyclic_xboundary=True)
+        # Q2: labels are reversed for backward integration
+        assert x.coords["time"][0] == times[-1]
+        assert x.coords["time"][-1] == times[0]
+
+    def test_plain_numpy_rejected_without_dims(self):
+        with pytest.raises(TypeError):
+            parcel_propagation(np.zeros((3, 4, 5)), np.zeros((3, 4, 5)))
