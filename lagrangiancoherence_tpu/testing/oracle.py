@@ -160,3 +160,88 @@ def oracle_ftle(u, v, lats, lons, timestep, settls_order=0, interp_order=3,
                                        settls_order, interp_order, cyclic_x)
     tensor = oracle_flowmap_gradient(px, py, lats, lons, sigma=gauss_sigma)
     return oracle_ftle_norm(tensor)
+
+
+def _sym_eig_2x2_ascending(a, b, c):
+    """Deterministic closed-form eigendecomposition of [[a,b],[b,c]]:
+    eigenvalues ascending, v1 direction ((a-c)/2 + disc, b), v0 = perp(v1).
+    The oracle shares this convention with the JAX path because LAPACK's 2x2
+    ``dgeev`` ordering/signs are build-dependent (see models/ridges.py)."""
+    half_tr = 0.5 * (a + c)
+    half_diff = 0.5 * (a - c)
+    disc = np.sqrt(half_diff ** 2 + b ** 2)
+    lam0, lam1 = half_tr - disc, half_tr + disc
+    vx, vy = half_diff + disc, b
+    n = np.hypot(vx, vy)
+    if n > 0:
+        v1 = np.array([vx / n, vy / n])
+    else:
+        v1 = np.array([1.0, 0.0])
+    v0 = np.array([-v1[1], v1[0]])
+    return lam0, lam1, v0, v1
+
+
+def oracle_find_ridges(field, lats, lons, sigma=0.5,
+                       tolerance_threshold=0.0005e-3, isglobal=True):
+    """Python-loop re-statement of find_ridges_spherical_hessian
+    (/root/reference/LCS/tools.py:52-155) incl. quirk Q7 (row indexing,
+    eigmin := largest-|lambda| eigenvalue), with the deterministic eig
+    convention above."""
+    if sigma is not None:
+        field = scipy_gaussian(field, sigma=sigma)
+    d = oracle_derivative_spherical
+    ddadx = d(field, lats, lons, 1, isglobal)
+    ddady = d(field, lats, lons, 0, isglobal)
+    d2dadx2 = d(ddadx, lats, lons, 1, isglobal)
+    d2dady2 = d(ddady, lats, lons, 0, isglobal)
+    d2dadxdy = d(ddadx, lats, lons, 0, isglobal)
+    ny, nx = field.shape
+    ridges = np.zeros((ny, nx))
+    eigmin = np.zeros((ny, nx))
+    dt_prod = np.zeros((ny, nx))
+    eigvectors = np.zeros((ny, nx, 2))
+    clean = lambda x: np.where(np.isfinite(x), x, 0.0)
+    for i in range(ny):
+        for j in range(nx):
+            a = clean(d2dadx2[i, j]); b = clean(d2dadxdy[i, j])
+            c = clean(d2dady2[i, j])
+            lam0, lam1, v0, v1 = _sym_eig_2x2_ascending(a, b, c)
+            row = np.array([v0[0], v1[0]])           # quirk Q7 row indexing
+            em = lam0 if abs(lam0) >= abs(lam1) else lam1
+            dt = row[0] * ddadx[i, j] + row[1] * ddady[i, j]
+            eigmin[i, j] = em
+            dt_prod[i, j] = dt
+            if abs(dt) <= tolerance_threshold and np.sign(em) == -1:
+                ridges[i, j] = 1.0
+            eigvectors[i, j] = row if em < 0 else 0.0
+    return ridges, eigmin, dt_prod, eigvectors
+
+
+def oracle_find_area(ftle, eigvectors, ridges, lats, lons,
+                     saturation_ratio=0.5):
+    """While-loop walk of find_area (/root/reference/LCS/area_of_influence.py:50-79):
+    walk from (pt - |ev| r) in |ev|*res steps, marking nearest cells until
+    the walked distance exceeds 2r."""
+    res = lats[1] - lats[0]
+    sigma = np.exp(ftle) * ridges
+    normal_radius = sigma * saturation_ratio
+    bounds = np.zeros_like(ftle)
+    ny, nx = ftle.shape
+    for i in range(ny):
+        for j in range(nx):
+            if np.isnan(sigma[i, j]) or np.isnan(eigvectors[i, j]).any():
+                continue
+            ev_y, ev_x = eigvectors[i, j, 0], eigvectors[i, j, 1]
+            r = normal_radius[i, j]
+            x_lower = lons[j] - abs(ev_x) * r
+            y_lower = lats[i] - abs(ev_y) * r
+            xx, yy, D = x_lower, y_lower, 0.0
+            if abs(ev_x) < 1e-300 and abs(ev_y) < 1e-300 and r > 0:
+                continue  # the reference would loop forever here
+            while D <= 2 * r:
+                xx += abs(ev_x) * res
+                yy += abs(ev_y) * res
+                bounds[np.argmin(np.abs(lats - yy)),
+                       np.argmin(np.abs(lons - xx))] = 1
+                D = np.hypot(xx - x_lower, yy - y_lower)
+    return bounds
