@@ -1,0 +1,72 @@
+"""Flagship benchmark: global 0.25-degree FTLE field throughput.
+
+Config (BASELINE.json "metric"): 1440x721 parcel grid, 8-day backward
+integration at 6-hourly winds (33 time levels), SETTLS_order=4,
+traj_interp_order=3 — i.e. (33-1) * (2 + 4*4) = 576 full-grid spline
+interpolations per field, the exact workload the reference runs through
+scipy ``map_coordinates`` one call at a time
+(/root/reference/LCS/trajectory.py:80-124).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``value`` is fields/sec on the available accelerator (steady-state, after
+compile).  The reference publishes no numbers (BASELINE.md), so
+``vs_baseline`` compares against the north-star target of 1 s/field:
+vs_baseline = value / (1 field/sec).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lagrangiancoherence_tpu.grid import Grid, global_quarter_degree_grid
+    from lagrangiancoherence_tpu.models.pipeline import ftle_pipeline
+
+    grid = global_quarter_degree_grid()
+    ny, nx = grid.shape
+    nt = 33  # 8 days @ 6 h
+    rng = np.random.RandomState(0)
+
+    # smooth synthetic winds (jet + vortices), f32 — the serving dtype
+    LON, LAT = np.meshgrid(np.deg2rad(grid.lons), np.deg2rad(grid.lats))
+    base_u = 20.0 * np.cos(LAT) + 8.0 * np.cos(3 * LON) * np.sin(2 * LAT)
+    base_v = 8.0 * np.sin(3 * LON) * np.cos(2 * LAT)
+    t = np.arange(nt)[:, None, None]
+    u = (base_u[None] * (1.0 + 0.1 * np.sin(2 * np.pi * t / nt))).astype(np.float32)
+    v = (base_v[None] * (1.0 + 0.1 * np.cos(2 * np.pi * t / nt))).astype(np.float32)
+
+    u_j = jnp.asarray(u)
+    v_j = jnp.asarray(v)
+
+    def run():
+        return ftle_pipeline(u_j, v_j, -6.0 * 3600.0, grid,
+                             settls_order=4, interp_order=3)
+
+    # compile + warmup
+    out = run().block_until_ready()
+    assert np.isfinite(np.asarray(out[2:-2])).all(), "non-finite FTLE"
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run()
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+
+    fields_per_sec = 1.0 / dt
+    print(json.dumps({
+        "metric": "global 0.25deg FTLE fields/sec (1440x721, 8-day, SETTLS-4)",
+        "value": round(fields_per_sec, 3),
+        "unit": "fields/sec",
+        "vs_baseline": round(fields_per_sec / 1.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

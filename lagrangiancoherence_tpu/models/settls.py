@@ -33,7 +33,7 @@ import numpy as np
 from ..grid import EARTH_RADIUS, Grid
 from ..ops.interp import interp_at_parcels, prefilter
 
-__all__ = ["parcel_propagation_core"]
+__all__ = ["parcel_propagation_core", "settls_scan"]
 
 
 def _clamp_wrap(px, py, *, y_min, y_max, x_min, x_max, cyclic_x):
@@ -49,46 +49,19 @@ def _clamp_wrap(px, py, *, y_min, y_max, x_min, x_max, cyclic_x):
     return px, py
 
 
-@partial(jax.jit, static_argnames=("grid", "settls_order", "interp_order",
-                                   "return_traj"))
-def parcel_propagation_core(u: jax.Array, v: jax.Array, timestep,
-                            grid: Grid, *, settls_order: int = 0,
-                            interp_order: int = 3,
-                            return_traj: bool = False):
-    """Integrate parcel positions through ``T-1`` SETTLS steps.
+def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
+                settls_order: int, interp_order: int, return_traj: bool,
+                row_offset=0, home_rows=None):
+    """The SETTLS time loop as one ``lax.scan`` over a position *block*.
 
-    Parameters
-    ----------
-    u, v : (T, ny, nx) zonal/meridional wind [m/s], lat/lon ascending, time
-        in storage order (Q2: forward positional indexing regardless of the
-        sign of ``timestep``).
-    timestep : seconds (scalar; negative for backward integration).
-    grid : static Grid.
-    return_traj : if True, returns (T, ny, nx) stacked positions including
-        the initial mesh; else the final (ny, nx) positions.
-
-    Returns
-    -------
-    (positions_x, positions_y)
+    ``u``/``v``: full (T, ny, nx) winds; ``cu``/``cv``: their prefiltered
+    coefficients.  ``px0``/``py0``: (rows, nx) initial positions whose home
+    rows start at global row ``row_offset`` (traced OK — shards pass their
+    offset).  ``conv_x``: (rows, 1) per-home-latitude m/s→deg/s factor.
+    Shared by the single-chip jit and the shard_map per-device block.
     """
     dtype = u.dtype
-    ny, nx = grid.shape
-    assert u.shape[-2:] == (ny, nx), (u.shape, grid.shape)
-
-    # Prefilter every time slice once (order-3 only); raw fields are still
-    # needed for the pole rows' order-1/constant path.
-    cu = prefilter(u, order=interp_order)
-    cv = prefilter(v, order=interp_order)
-
-    dt = jnp.asarray(timestep, dtype=dtype)
     conv_y = jnp.asarray(180.0 / (EARTH_RADIUS * np.pi), dtype=dtype)
-    lat_grid = jnp.asarray(grid.lats, dtype=dtype)
-    conv_x = (conv_y / jnp.abs(jnp.cos(lat_grid * (np.pi / 180.0))))[:, None]
-
-    px0_np, py0_np = grid.mesh_xy
-    px0 = jnp.asarray(px0_np, dtype=dtype)
-    py0 = jnp.asarray(py0_np, dtype=dtype)
-
     bounds = dict(y_min=grid.y_min, y_max=grid.y_max,
                   x_min=grid.x_min, x_max=grid.x_max, cyclic_x=grid.cyclic_x)
 
@@ -96,7 +69,8 @@ def parcel_propagation_core(u: jax.Array, v: jax.Array, timestep,
         return interp_at_parcels(field_t, coeff_t, px, py,
                                  x_min=grid.x_min, x_max=grid.x_max,
                                  y_min=grid.y_min, y_max=grid.y_max,
-                                 order=interp_order)
+                                 order=interp_order, row_offset=row_offset,
+                                 home_rows=home_rows)
 
     def step(carry, t):
         px, py = carry
@@ -140,3 +114,48 @@ def parcel_propagation_core(u: jax.Array, v: jax.Array, timestep,
         traj_y = jnp.concatenate([py0[None], traj_y], axis=0)
         return traj_x, traj_y
     return px, py
+
+
+@partial(jax.jit, static_argnames=("grid", "settls_order", "interp_order",
+                                   "return_traj"))
+def parcel_propagation_core(u: jax.Array, v: jax.Array, timestep,
+                            grid: Grid, *, settls_order: int = 0,
+                            interp_order: int = 3,
+                            return_traj: bool = False):
+    """Integrate parcel positions through ``T-1`` SETTLS steps.
+
+    Parameters
+    ----------
+    u, v : (T, ny, nx) zonal/meridional wind [m/s], lat/lon ascending, time
+        in storage order (Q2: forward positional indexing regardless of the
+        sign of ``timestep``).
+    timestep : seconds (scalar; negative for backward integration).
+    grid : static Grid.
+    return_traj : if True, returns (T, ny, nx) stacked positions including
+        the initial mesh; else the final (ny, nx) positions.
+
+    Returns
+    -------
+    (positions_x, positions_y)
+    """
+    dtype = u.dtype
+    ny, nx = grid.shape
+    assert u.shape[-2:] == (ny, nx), (u.shape, grid.shape)
+
+    # Prefilter every time slice once (order-3 only); raw fields are still
+    # needed for the pole rows' order-1/constant path.
+    cu = prefilter(u, order=interp_order)
+    cv = prefilter(v, order=interp_order)
+
+    dt = jnp.asarray(timestep, dtype=dtype)
+    conv_y = jnp.asarray(180.0 / (EARTH_RADIUS * np.pi), dtype=dtype)
+    lat_grid = jnp.asarray(grid.lats, dtype=dtype)
+    conv_x = (conv_y / jnp.abs(jnp.cos(lat_grid * (np.pi / 180.0))))[:, None]
+
+    px0_np, py0_np = grid.mesh_xy
+    px0 = jnp.asarray(px0_np, dtype=dtype)
+    py0 = jnp.asarray(py0_np, dtype=dtype)
+
+    return settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid,
+                       settls_order=settls_order, interp_order=interp_order,
+                       return_traj=return_traj)

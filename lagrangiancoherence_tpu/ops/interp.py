@@ -210,20 +210,28 @@ def scale_positions(px: jax.Array, py: jax.Array, *, x_min, x_max, y_min, y_max,
 
 def interp_at_parcels(field: jax.Array, coeffs: jax.Array,
                       px: jax.Array, py: jax.Array, *,
-                      x_min, x_max, y_min, y_max, order: int = 3) -> jax.Array:
+                      x_min, x_max, y_min, y_max, order: int = 3,
+                      row_offset=0, home_rows=None) -> jax.Array:
     """Full ``xr_map_coordinates(isglobal=True)`` semantics
     (/root/reference/LCS/tools.py:11-48).
 
     ``field``: raw (ny, nx) values; ``coeffs``: prefiltered coefficients (equal
-    to ``field`` when order == 1).  ``px``/``py`` must be (ny, nx): row ``i``
-    holds the parcels whose home row is grid row ``i`` — the reference keys the
-    pole special-case on the home row, not the current position.
+    to ``field`` when order == 1).  ``px``/``py`` hold parcels whose *home*
+    rows are grid rows ``row_offset .. row_offset + px.shape[0]`` — the
+    reference keys the pole special-case on the home row, not the current
+    position.  ``row_offset`` (traced OK) supports lat-sharded position
+    blocks: each shard passes its global starting row.  ``home_rows``
+    ((rows, 1) int array) overrides the iota+offset mapping entirely — used
+    by the sharded pipeline's mirror-padded shards.
     """
     ny, nx = field.shape
     xi, yi = scale_positions(px, py, x_min=x_min, x_max=x_max,
                              y_min=y_min, y_max=y_max, nx=nx, ny=ny)
     interior = eval_spline_wrap(coeffs, yi, xi, order=order)
     poles = eval_linear_constant(field, yi, xi)
-    row = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+    if home_rows is None:
+        row = jax.lax.broadcasted_iota(jnp.int32, px.shape, 0) + row_offset
+    else:
+        row = jnp.broadcast_to(home_rows, px.shape)
     is_pole_row = (row < order) | (row >= ny - order)
     return jnp.where(is_pole_row, poles, interior)

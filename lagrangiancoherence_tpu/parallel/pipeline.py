@@ -1,0 +1,170 @@
+"""Multi-chip FTLE pipeline: spatial DP over the parcel grid via shard_map.
+
+Scale-out design (SURVEY.md §2 'Parallelism strategies'):
+
+* wind fields (T, ny, nx) are **replicated** — each chip holds the full
+  domain its parcels can reach, so the SETTLS scan needs **zero
+  communication**;
+* parcel positions are **sharded by latitude rows** over the mesh axis
+  ``"y"``; every interpolation is a local gather;
+* the only cross-chip exchange in the whole pipeline is the width-2 halo of
+  the departure-point blocks at the flow-map-gradient stage (4th-order lat
+  stencil) — two ``ppermute`` neighbour hops over ICI (parallel/halo.py);
+* the closed-form norm is pointwise-local.
+
+Grids whose row count does not divide the device count are padded with
+replica rows at the south-most end of the last shard; the pad integrates
+harmlessly (positions clamp) and is sliced off after the gather.  The
+stencil's one-sided edge branch keys on *real* global row indices, so padded
+rows never contaminate real outputs.
+
+``ftle_batch`` handles the animation workload: a batch of independent wind
+fields sharded over a ``"t"`` mesh axis — trivial DP, no communication.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.4.35 exposes shard_map at top level
+    from jax import shard_map  # type: ignore[attr-defined]
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from ..grid import Grid
+from ..models.ftle import ftle_norm
+from ..models.pipeline import ftle_pipeline
+from ..models.settls import settls_scan
+from ..ops.interp import prefilter
+from .halo import (derivative_spherical_blocked, exchange_rows,
+                   gaussian_filter_blocked)
+
+__all__ = ["ftle_sharded", "ftle_batch"]
+
+EARTH_DEG = np.pi / 180.0
+
+
+def ftle_sharded(u, v, timestep, grid: Grid, mesh, *, settls_order: int = 0,
+                 interp_order: int = 3, sigma=None, compat: bool = True):
+    """(T, ny, nx) winds → (ny, nx) FTLE norm, sharded over ``mesh`` axis
+    ``"y"``.  Numerically identical to ``models.pipeline.ftle_pipeline``.
+    """
+    ny, nx = grid.shape
+    nyd = mesh.shape["y"]
+    rows = -(-ny // nyd)          # rows per shard (ceil)
+    ny_pad = rows * nyd
+    dtype = jnp.asarray(u).dtype
+
+    # Host-side prep.  Row padding uses SYMMETRIC-reflected rows (global row
+    # k >= ny maps to 2*ny-1-k, edge row repeated — scipy 'reflect'): a
+    # padded parcel starts exactly where its reflected row starts and is
+    # integrated with that row's home-row metadata, so its trajectory is
+    # bit-identical — which makes the Gaussian stage's reflect-padding at
+    # the south edge exact.
+    pad = ny_pad - ny
+    home_idx = np.arange(ny_pad)
+    home_idx = np.where(home_idx < ny, home_idx, 2 * ny - 1 - home_idx)
+    px0_np, py0_np = grid.mesh_xy
+    px0_np = px0_np[home_idx]
+    py0_np = py0_np[home_idx]
+    lats_pad = grid.lats[home_idx]
+    conv_y = 180.0 / (6371000.0 * np.pi)
+    conv_x_np = (conv_y / np.abs(np.cos(lats_pad * EARTH_DEG)))[:, None]
+
+    dt = jnp.asarray(timestep, dtype=dtype)
+    dlat = float(grid.lats[1] - grid.lats[0])
+    dlon = float(grid.lons[1] - grid.lons[0])
+    assert rows >= 2, (
+        f"{rows} rows/shard < stencil halo width 2; use fewer devices")
+
+    def block_fn(u_f, v_f, cu_f, cv_f, px0_b, py0_b, convx_b, lats_b,
+                 home_b):
+        row_start = jax.lax.axis_index("y") * rows
+        px, py = settls_scan(u_f, v_f, cu_f, cv_f, px0_b, py0_b, dt,
+                             convx_b, grid, settls_order=settls_order,
+                             interp_order=interp_order, return_traj=False,
+                             home_rows=home_b)
+        if sigma is not None:
+            if pad == 0:
+                # fully local: width-radius halo exchange, zero gather
+                px = gaussian_filter_blocked(px, sigma)
+                py = gaussian_filter_blocked(py, sigma)
+            else:
+                # pad rows break the reflect-at-block-edge identity; the
+                # smooth runs once per pipeline, so an all_gather of the two
+                # (ny, nx) departure fields (a few MB over ICI) + replicated
+                # full-field smoothing is the simple exact fallback
+                def smooth_full(f):
+                    full = jax.lax.all_gather(f, "y", axis=0, tiled=True)[:ny]
+                    from ..ops.filters import gaussian_filter
+                    sm = gaussian_filter(full, sigma)
+                    sm = jnp.pad(sm, ((0, ny_pad - ny), (0, 0)))
+                    return jax.lax.dynamic_slice_in_dim(sm, row_start, rows,
+                                                        axis=0)
+                px = smooth_full(px)
+                py = smooth_full(py)
+        # sphere map (/root/reference/LCS/LCS.py:193-199)
+        lon = px * EARTH_DEG
+        colat = (py - 90.0) * EARTH_DEG
+        X = 6371000.0 * jnp.sin(colat) * jnp.cos(lon)
+        Y = 6371000.0 * jnp.sin(colat) * jnp.sin(lon)
+        Z = 6371000.0 * jnp.cos(colat)
+
+        def ds(f, dim):
+            if dim == 0:
+                fp = exchange_rows(f, 2)
+                return derivative_spherical_blocked(
+                    fp, 2, row_start, lats_b, dlat, dlon, ny, dim=0,
+                    out_dtype=f.dtype)
+            return derivative_spherical_blocked(
+                f, 0, row_start, lats_b, dlat, dlon, ny, dim=1,
+                out_dtype=f.dtype)
+
+        zero = jnp.zeros_like(X)
+        tensor = jnp.stack([ds(X, 1), ds(X, 0), ds(Y, 1), ds(Y, 0),
+                            ds(Z, 1), ds(Z, 0), zero, zero, zero])
+        return ftle_norm(tensor, compat=compat)
+
+    @partial(jax.jit, static_argnums=())
+    def run(u_j, v_j, px0, py0, convx, lats_j, home_j):
+        cu = prefilter(u_j, order=interp_order)
+        cv = prefilter(v_j, order=interp_order)
+        fn = shard_map(block_fn, mesh=mesh,
+                       in_specs=(P(), P(), P(), P(),
+                                 P("y", None), P("y", None),
+                                 P("y", None), P("y"), P("y", None)),
+                       out_specs=P("y", None))
+        return fn(u_j, v_j, cu, cv, px0, py0, convx, lats_j, home_j)
+
+    rep = NamedSharding(mesh, P())
+    shard_y = NamedSharding(mesh, P("y", None))
+    u_j = jax.device_put(jnp.asarray(u, dtype=dtype), rep)
+    v_j = jax.device_put(jnp.asarray(v, dtype=dtype), rep)
+    px0 = jax.device_put(jnp.asarray(px0_np, dtype=dtype), shard_y)
+    py0 = jax.device_put(jnp.asarray(py0_np, dtype=dtype), shard_y)
+    convx = jax.device_put(jnp.asarray(conv_x_np, dtype=dtype), shard_y)
+    lats_j = jax.device_put(jnp.asarray(lats_pad, dtype=dtype),
+                            NamedSharding(mesh, P("y")))
+    home_j = jax.device_put(jnp.asarray(home_idx[:, None], dtype=jnp.int32),
+                            shard_y)
+    out = run(u_j, v_j, px0, py0, convx, lats_j, home_j)
+    return out[:ny]
+
+
+def ftle_batch(u_batch, v_batch, timestep, grid: Grid, mesh, *,
+               settls_order: int = 0, interp_order: int = 3, sigma=None,
+               compat: bool = True):
+    """Batched FTLE over independent wind fields (B, T, ny, nx), sharded over
+    the ``"t"`` mesh axis — the animation workload's trivial data
+    parallelism (SURVEY.md §5 'long integration windows')."""
+    fn = jax.vmap(lambda uu, vv: ftle_pipeline(
+        uu, vv, timestep, grid, settls_order=settls_order,
+        interp_order=interp_order, sigma=sigma, compat=compat))
+    sharded = NamedSharding(mesh, P("t", None, None, None))
+    u_j = jax.device_put(jnp.asarray(u_batch), sharded)
+    v_j = jax.device_put(jnp.asarray(v_batch), sharded)
+    return jax.jit(fn)(u_j, v_j)
