@@ -206,6 +206,57 @@ class Field:
     def std(self):
         return float(np.nanstd(self.data))
 
+    def coarsen(self, boundary: str = "trim", **factors) -> "Field":
+        """Block-mean coarsening (xarray ``coarsen(...).mean()`` semantics
+        with ``boundary='trim'``), e.g. ``f.coarsen(latitude=2, longitude=2)``
+        — the research driver's resolution reduction
+        (/root/reference/LCS/area_of_influence.py:174-178)."""
+        if boundary != "trim":
+            raise NotImplementedError("only boundary='trim'")
+        data = self.data
+        coords = dict(self.coords)
+        for dim, k in factors.items():
+            if k == 1:
+                continue
+            ax = self.dims.index(dim)
+            n = (data.shape[ax] // k) * k
+            sl = [slice(None)] * data.ndim
+            sl[ax] = slice(0, n)
+            data = data[tuple(sl)]
+            shape = list(data.shape)
+            shape[ax:ax + 1] = [n // k, k]
+            data = data.reshape(shape).mean(axis=ax + 1)
+            if dim in coords:
+                c = coords[dim][:n]
+                coords[dim] = c.reshape(n // k, k).mean(axis=1)
+        return Field(data=data, dims=self.dims, coords=coords,
+                     name=self.name, attrs=dict(self.attrs))
+
+    def differentiate(self, dim: str) -> "Field":
+        """Derivative with respect to the coordinate of ``dim`` (xarray
+        ``differentiate`` = second-order central differences via
+        ``np.gradient``)."""
+        ax = self.axis(dim)
+        out = np.gradient(self.data, self.coords[dim], axis=ax)
+        return self.copy(data=out)
+
+    def interp_to(self, latitude: np.ndarray, longitude: np.ndarray) -> "Field":
+        """Bilinear regrid of the trailing (latitude, longitude) axes onto new
+        coordinate vectors (nearest outside the hull), xarray
+        ``interp(method='linear')`` with reindex-nearest fallback."""
+        from .ops.regrid import regrid_linear_nearest
+        if self.dims[-2:] != ("latitude", "longitude"):
+            raise ValueError("trailing dims must be (latitude, longitude)")
+        data = np.asarray(regrid_linear_nearest(
+            self.data, self.coords["latitude"], self.coords["longitude"],
+            np.asarray(latitude), np.asarray(longitude)))
+        coords = {k: v for k, v in self.coords.items()
+                  if k not in ("latitude", "longitude")}
+        coords["latitude"] = np.asarray(latitude)
+        coords["longitude"] = np.asarray(longitude)
+        return Field(data=data, dims=self.dims, coords=coords,
+                     name=self.name, attrs=dict(self.attrs))
+
     # ------------------------------------------------------------------
     # Conversions
     # ------------------------------------------------------------------
