@@ -30,7 +30,18 @@ from .ops.regrid import regrid_linear_nearest
 from .ops.sht import truncate as sht_truncate
 from .utils.logging import configure_verbosity, logger, timed_stage
 
-__all__ = ["LCS", "parcel_propagation", "flowmap_gradient", "latlonsel"]
+__all__ = ["LCS", "parcel_propagation", "flowmap_gradient", "latlonsel",
+           "create_arrays_list"]
+
+
+def create_arrays_list(field, groupdim: str = "points"):
+    """Group a stacked Field along ``groupdim`` into a list of per-label
+    value arrays — parity shim for the reference's (unused) helper
+    (/root/reference/LCS/LCS.py:228-233)."""
+    field = as_field(field)
+    ax = field.axis(groupdim)
+    return [np.take(field.data, i, axis=ax)
+            for i in range(field.shape[ax])]
 
 COMMON_GRID_LATS = np.linspace(-89.75, 89.75, 180 * 2)
 COMMON_GRID_LONS = np.linspace(-180, 179.5, 360 * 2 + 1)
