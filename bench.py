@@ -31,40 +31,52 @@ def main():
     grid = global_quarter_degree_grid()
     ny, nx = grid.shape
     nt = 33  # 8 days @ 6 h
-    rng = np.random.RandomState(0)
 
-    # smooth synthetic winds (jet + vortices), f32 — the serving dtype
+    # Synthetic winds calibrated to atmospheric magnitudes: a 25 m/s
+    # midlatitude jet with planetary-wave perturbations whose 8-day FTLE
+    # (log sigma / 2) peaks around 2-3 — the regime of the reference's
+    # ERA5 workloads (log-FTLE plots in /root/reference/README.md figures).
     LON, LAT = np.meshgrid(np.deg2rad(grid.lons), np.deg2rad(grid.lats))
-    base_u = 20.0 * np.cos(LAT) + 8.0 * np.cos(3 * LON) * np.sin(2 * LAT)
-    base_v = 8.0 * np.sin(3 * LON) * np.cos(2 * LAT)
+    base_u = 25.0 * np.cos(LAT) + 3.0 * np.cos(3 * LON) * np.sin(2 * LAT)
+    base_v = 3.0 * np.sin(3 * LON) * np.cos(2 * LAT)
     t = np.arange(nt)[:, None, None]
-    u = (base_u[None] * (1.0 + 0.1 * np.sin(2 * np.pi * t / nt))).astype(np.float32)
-    v = (base_v[None] * (1.0 + 0.1 * np.cos(2 * np.pi * t / nt))).astype(np.float32)
+    u = (base_u[None] * (1.0 + 0.05 * np.sin(2 * np.pi * t / nt))).astype(np.float32)
+    v = (base_v[None] * (1.0 + 0.05 * np.cos(2 * np.pi * t / nt))).astype(np.float32)
 
     u_j = jnp.asarray(u)
     v_j = jnp.asarray(v)
 
+    kernel = "pallas" if any(d.platform != "cpu" for d in jax.devices()) \
+        else "xla"
+
     def run():
         return ftle_pipeline(u_j, v_j, -6.0 * 3600.0, grid,
-                             settls_order=4, interp_order=3)
+                             settls_order=4, interp_order=3,
+                             kernel=kernel, return_overflow=True)
 
-    # compile + warmup
-    out = run().block_until_ready()
-    assert np.isfinite(np.asarray(out[2:-2])).all(), "non-finite FTLE"
+    # compile + warmup (materialise to force real execution — device
+    # timings without a transfer are async lies under the tunnel)
+    out, overflow = run()
+    oh = np.asarray(out)
+    assert np.isfinite(oh[2:-2]).all(), "non-finite FTLE"
 
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = run()
-    out.block_until_ready()
+        out, overflow = run()
+    oh = np.asarray(out)
     dt = (time.perf_counter() - t0) / reps
 
     fields_per_sec = 1.0 / dt
+    # vs_baseline: speedup over the reference implementation's measured cost
+    # for the identical workload — 131.9 s/field (scipy map_coordinates
+    # path, single-core CPU; see testing/oracle.py, measured on this host).
+    REFERENCE_FIELDS_PER_SEC = 1.0 / 131.9
     print(json.dumps({
         "metric": "global 0.25deg FTLE fields/sec (1440x721, 8-day, SETTLS-4)",
         "value": round(fields_per_sec, 3),
         "unit": "fields/sec",
-        "vs_baseline": round(fields_per_sec / 1.0, 3),
+        "vs_baseline": round(fields_per_sec / REFERENCE_FIELDS_PER_SEC, 1),
     }))
 
 

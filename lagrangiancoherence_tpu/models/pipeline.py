@@ -20,19 +20,34 @@ __all__ = ["ftle_pipeline"]
 
 
 @partial(jax.jit, static_argnames=("grid", "settls_order", "interp_order",
-                                   "sigma", "compat"))
+                                   "sigma", "compat", "kernel", "pallas_wy",
+                                   "pallas_wx", "pallas_polar_band",
+                                   "pallas_retry_tiles", "return_overflow"))
 def ftle_pipeline(u: jax.Array, v: jax.Array, timestep, grid: Grid, *,
                   settls_order: int = 0, interp_order: int = 3,
-                  sigma=None, compat: bool = True) -> jax.Array:
+                  sigma=None, compat: bool = True, kernel: str = "xla",
+                  pallas_wy: int = 48, pallas_wx: int = 256,
+                  pallas_polar_band: int = 2, pallas_retry_tiles: int = 48,
+                  return_overflow: bool = False):
     """(T, ny, nx) winds → (ny, nx) FTLE norm, fully fused.
 
     Semantics identical to ``LCS.__call__``'s core path (quirks Q1-Q6
     included); see models/settls.py and models/ftle.py for the stage
-    contracts.
+    contracts.  ``kernel="pallas"`` selects the TPU fast path
+    (ops/pallas_interp.py); with ``return_overflow=True`` the window
+    overflow flag is returned alongside the field.
     """
-    px, py = parcel_propagation_core(u, v, timestep, grid,
-                                     settls_order=settls_order,
-                                     interp_order=interp_order,
-                                     return_traj=False)
+    out = parcel_propagation_core(u, v, timestep, grid,
+                                  settls_order=settls_order,
+                                  interp_order=interp_order,
+                                  return_traj=False, kernel=kernel,
+                                  pallas_wy=pallas_wy, pallas_wx=pallas_wx,
+                                  pallas_polar_band=pallas_polar_band,
+                                  pallas_retry_tiles=pallas_retry_tiles,
+                                  return_overflow=True)
+    px, py, overflow = out
     tensor = flowmap_gradient(px, py, grid, sigma=sigma)
-    return ftle_norm(tensor, compat=compat)
+    norm = ftle_norm(tensor, compat=compat)
+    if return_overflow:
+        return norm, overflow
+    return norm

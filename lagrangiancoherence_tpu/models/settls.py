@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..grid import EARTH_RADIUS, Grid
-from ..ops.interp import interp_at_parcels, prefilter
+from ..ops.interp import interp_at_parcels_multi, prefilter
 
 __all__ = ["parcel_propagation_core", "settls_scan"]
 
@@ -51,7 +51,9 @@ def _clamp_wrap(px, py, *, y_min, y_max, x_min, x_max, cyclic_x):
 
 def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 settls_order: int, interp_order: int, return_traj: bool,
-                row_offset=0, home_rows=None):
+                row_offset=0, home_rows=None, kernel: str = "xla",
+                pallas_wy: int = 48, pallas_wx: int = 256,
+                pallas_polar_band: int = 2, pallas_retry_tiles: int = 48):
     """The SETTLS time loop as one ``lax.scan`` over a position *block*.
 
     ``u``/``v``: full (T, ny, nx) winds; ``cu``/``cv``: their prefiltered
@@ -59,69 +61,120 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
     rows start at global row ``row_offset`` (traced OK — shards pass their
     offset).  ``conv_x``: (rows, 1) per-home-latitude m/s→deg/s factor.
     Shared by the single-chip jit and the shard_map per-device block.
+
+    Hot-path structure: all fields needed at one set of positions evaluate
+    through a single multi-field gather — one gather group for the Euler
+    guess (u_t, v_t) and one per SETTLS iteration (u, v at both time
+    levels), sharing the fold/mirror/weight index math across fields.
+
+    ``kernel`` selects the gather implementation: ``"xla"`` (plain
+    ``jnp.take`` gathers — exact, fast on CPU, slow on TPU) or ``"pallas"``
+    (ops/pallas_interp.py windowed one-hot-matmul kernel; TPU fast path;
+    requires ``home_rows is None`` and full-grid positions).
+
+    Returns ``(positions..., overflow)`` where ``overflow`` is an int32
+    scalar — nonzero when the pallas windows clamped any tap (always 0 for
+    the XLA kernel).
     """
     dtype = u.dtype
     conv_y = jnp.asarray(180.0 / (EARTH_RADIUS * np.pi), dtype=dtype)
     bounds = dict(y_min=grid.y_min, y_max=grid.y_max,
                   x_min=grid.x_min, x_max=grid.x_max, cyclic_x=grid.cyclic_x)
 
-    def interp(field_t, coeff_t, px, py):
-        return interp_at_parcels(field_t, coeff_t, px, py,
-                                 x_min=grid.x_min, x_max=grid.x_max,
-                                 y_min=grid.y_min, y_max=grid.y_max,
-                                 order=interp_order, row_offset=row_offset,
-                                 home_rows=home_rows)
+    W = jnp.stack([u, v], axis=1)      # (T, 2, ny, nx)
+    CW = jnp.stack([cu, cv], axis=1)
+
+    if kernel == "pallas":
+        if home_rows is not None:
+            raise ValueError("pallas kernel supports full-grid runs only")
+        from ..ops.pallas_interp import (pad_coeffs_for_pallas,
+                                         pallas_interp_multi)
+        WT = W                                  # (T, 2, ny, nx) raw
+        CWP = pad_coeffs_for_pallas(CW)         # (T, 2, nyp, nxp)
+        ny, nx = grid.shape
+
+        def interp_multi(raw_t, cw_pad, px, py):
+            return pallas_interp_multi(
+                raw_t, cw_pad, px, py, ny=ny, nx=nx,
+                y_min=grid.y_min, y_max=grid.y_max,
+                x_min=grid.x_min, x_max=grid.x_max,
+                order=interp_order, wy=pallas_wy, wx=pallas_wx,
+                polar_band=pallas_polar_band,
+                retry_tiles=pallas_retry_tiles)
+
+        def slices(t):
+            return (jax.lax.dynamic_index_in_dim(WT, t, 0, keepdims=False),
+                    jax.lax.dynamic_index_in_dim(CWP, t, 0, keepdims=False))
+    else:
+        def interp_multi(fields_coeffs_0, fields_coeffs_1, px, py):
+            out = interp_at_parcels_multi(
+                fields_coeffs_0, fields_coeffs_1, px, py,
+                x_min=grid.x_min, x_max=grid.x_max,
+                y_min=grid.y_min, y_max=grid.y_max,
+                order=interp_order, row_offset=row_offset,
+                home_rows=home_rows)
+            return out, jnp.zeros((), jnp.int32)
+
+        def slices(t):
+            return (jax.lax.dynamic_index_in_dim(W, t, 0, keepdims=False),
+                    jax.lax.dynamic_index_in_dim(CW, t, 0, keepdims=False))
 
     def step(carry, t):
-        px, py = carry
-        u_t = jax.lax.dynamic_index_in_dim(u, t, axis=0, keepdims=False)
-        v_t = jax.lax.dynamic_index_in_dim(v, t, axis=0, keepdims=False)
-        cu_t = jax.lax.dynamic_index_in_dim(cu, t, axis=0, keepdims=False)
-        cv_t = jax.lax.dynamic_index_in_dim(cv, t, axis=0, keepdims=False)
-        u_n = jax.lax.dynamic_index_in_dim(u, t + 1, axis=0, keepdims=False)
-        v_n = jax.lax.dynamic_index_in_dim(v, t + 1, axis=0, keepdims=False)
-        cu_n = jax.lax.dynamic_index_in_dim(cu, t + 1, axis=0, keepdims=False)
-        cv_n = jax.lax.dynamic_index_in_dim(cv, t + 1, axis=0, keepdims=False)
+        px, py, flag = carry
+        A_t, B_t = slices(t)
+        A_n, B_n = slices(t + 1)
 
         # Euler first guess from winds at the current positions
         # (/root/reference/LCS/trajectory.py:82-87)
-        va = interp(v_t, cv_t, px, py)
-        ua = interp(u_t, cu_t, px, py)
+        arr, fl = interp_multi(A_t, B_t, px, py)
+        flag = flag | fl
+        ua, va = arr[0], arr[1]
         py = py + dt * conv_y * va
         px = px + dt * conv_x * ua
         px, py = _clamp_wrap(px, py, **bounds)
 
         # SETTLS fixed-point iterations, cumulative form (Q3)
         # (/root/reference/LCS/trajectory.py:100-124)
+        if settls_order:
+            A_tn = jnp.concatenate([A_t, A_n], axis=0)
+            B_tn = jnp.concatenate([B_t, B_n], axis=0)
         for _ in range(settls_order):
-            v_t_d = interp(v_t, cv_t, px, py)
-            v_n_d = interp(v_n, cv_n, px, py)
-            u_t_d = interp(u_t, cu_t, px, py)
-            u_n_d = interp(u_n, cu_n, px, py)
+            dep, fl = interp_multi(A_tn, B_tn, px, py)
+            flag = flag | fl
+            u_t_d, v_t_d, u_n_d, v_n_d = dep[0], dep[1], dep[2], dep[3]
             py = py + 0.5 * dt * conv_y * (va + 2.0 * v_t_d - v_n_d)
             px = px + 0.5 * dt * conv_x * (ua + 2.0 * u_t_d - u_n_d)
             px, py = _clamp_wrap(px, py, **bounds)
 
         out = (px, py) if return_traj else None
-        return (px, py), out
+        return (px, py, flag), out
 
     nsteps = u.shape[0] - 1
-    (px, py), traj = jax.lax.scan(step, (px0, py0), jnp.arange(nsteps))
+    flag0 = jnp.zeros((), jnp.int32)
+    (px, py, flag), traj = jax.lax.scan(step, (px0, py0, flag0),
+                                        jnp.arange(nsteps))
 
     if return_traj:
         traj_x, traj_y = traj
         traj_x = jnp.concatenate([px0[None], traj_x], axis=0)
         traj_y = jnp.concatenate([py0[None], traj_y], axis=0)
-        return traj_x, traj_y
-    return px, py
+        return traj_x, traj_y, flag
+    return px, py, flag
 
 
 @partial(jax.jit, static_argnames=("grid", "settls_order", "interp_order",
-                                   "return_traj"))
+                                   "return_traj", "kernel", "pallas_wy",
+                                   "pallas_wx", "pallas_polar_band",
+                                   "pallas_retry_tiles", "return_overflow"))
 def parcel_propagation_core(u: jax.Array, v: jax.Array, timestep,
                             grid: Grid, *, settls_order: int = 0,
                             interp_order: int = 3,
-                            return_traj: bool = False):
+                            return_traj: bool = False,
+                            kernel: str = "xla", pallas_wy: int = 48,
+                            pallas_wx: int = 256,
+                            pallas_polar_band: int = 2,
+                            pallas_retry_tiles: int = 48,
+                            return_overflow: bool = False):
     """Integrate parcel positions through ``T-1`` SETTLS steps.
 
     Parameters
@@ -156,6 +209,13 @@ def parcel_propagation_core(u: jax.Array, v: jax.Array, timestep,
     px0 = jnp.asarray(px0_np, dtype=dtype)
     py0 = jnp.asarray(py0_np, dtype=dtype)
 
-    return settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid,
-                       settls_order=settls_order, interp_order=interp_order,
-                       return_traj=return_traj)
+    out = settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid,
+                      settls_order=settls_order, interp_order=interp_order,
+                      return_traj=return_traj, kernel=kernel,
+                      pallas_wy=pallas_wy, pallas_wx=pallas_wx,
+                      pallas_polar_band=pallas_polar_band,
+                      pallas_retry_tiles=pallas_retry_tiles)
+    *pos, overflow = out
+    if return_overflow:
+        return tuple(pos) + (overflow,)
+    return tuple(pos)

@@ -84,10 +84,10 @@ def ftle_sharded(u, v, timestep, grid: Grid, mesh, *, settls_order: int = 0,
     def block_fn(u_f, v_f, cu_f, cv_f, px0_b, py0_b, convx_b, lats_b,
                  home_b):
         row_start = jax.lax.axis_index("y") * rows
-        px, py = settls_scan(u_f, v_f, cu_f, cv_f, px0_b, py0_b, dt,
-                             convx_b, grid, settls_order=settls_order,
-                             interp_order=interp_order, return_traj=False,
-                             home_rows=home_b)
+        px, py, _ = settls_scan(u_f, v_f, cu_f, cv_f, px0_b, py0_b, dt,
+                                convx_b, grid, settls_order=settls_order,
+                                interp_order=interp_order, return_traj=False,
+                                home_rows=home_b)
         if sigma is not None:
             if pad == 0:
                 # fully local: width-radius halo exchange, zero gather

@@ -18,3 +18,9 @@ import jax  # noqa: E402
 # the virtual 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the SETTLS scan bodies are large graphs and
+# XLA:CPU compiles them slowly; caching makes re-runs fast.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

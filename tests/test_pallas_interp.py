@@ -1,0 +1,71 @@
+"""Pallas interpolation kernel parity (interpret mode on CPU, f64) against
+the XLA gather path — must agree to machine precision, including quirk-Q4
+fold semantics, wrap-straddling tiles, pole clamps, mirror-edge taps, the
+polar full-x band, and the overflow-retry pass."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lagrangiancoherence_tpu.ops.interp import (interp_at_parcels_multi,
+                                                prefilter)
+from lagrangiancoherence_tpu.ops.pallas_interp import (pad_coeffs_for_pallas,
+                                                       pallas_interp_multi)
+
+
+def run_case(ny, nx, order, F, band, retry, wy=48, wx=256, seed=0,
+             displacement="smooth"):
+    rng = np.random.RandomState(seed)
+    lats = np.linspace(-90, 90, ny)
+    lons = np.linspace(-180, 180 - 360 / nx, nx)
+    fields = rng.randn(F, ny, nx)
+    coeffs = np.asarray(prefilter(jnp.asarray(fields), order=order))
+    px0, py0 = np.meshgrid(lons, lats)
+    if displacement == "smooth":
+        px = px0 + 15 * np.sin(py0 / 30) + 3
+        py = np.clip(py0 + 10 * np.cos(px0 / 40), -90, 90)
+    else:  # violent shear: exercises the retry pass
+        px = px0 + 120 * np.sin(py0 / 10) * np.cos(px0 / 15)
+        py = np.clip(py0 + 60 * np.sin(px0 / 20), -90, 90)
+    px = np.where(px > 180, -180 + (px % 180), px)
+    px = np.where(px < -180, px % 180, px)
+    ref = np.asarray(interp_at_parcels_multi(
+        jnp.asarray(fields), jnp.asarray(coeffs), jnp.asarray(px),
+        jnp.asarray(py), x_min=lons.min(), x_max=lons.max(),
+        y_min=lats.min(), y_max=lats.max(), order=order))
+    cw_pad = pad_coeffs_for_pallas(jnp.asarray(coeffs))
+    out, flag = pallas_interp_multi(
+        jnp.asarray(fields), cw_pad, jnp.asarray(px), jnp.asarray(py),
+        ny=ny, nx=nx, y_min=lats.min(), y_max=lats.max(),
+        x_min=lons.min(), x_max=lons.max(), order=order, wy=wy, wx=wx,
+        polar_band=band, retry_tiles=retry, interpret=True)
+    return np.asarray(out), int(flag), ref
+
+
+class TestPallasParity:
+    @pytest.mark.parametrize("order,F", [(3, 4), (3, 2), (1, 2)])
+    def test_smooth_displacement_exact(self, order, F):
+        out, flag, ref = run_case(73, 144, order, F, band=2, retry=8)
+        assert flag == 0
+        np.testing.assert_allclose(out, ref, atol=1e-11)
+
+    def test_wrap_straddling_and_poles(self):
+        out, flag, ref = run_case(89, 180, 3, 4, band=3, retry=8)
+        assert flag == 0
+        np.testing.assert_allclose(out, ref, atol=1e-11)
+
+    def test_violent_shear_triggers_retry_but_stays_exact(self):
+        out, flag, ref = run_case(73, 144, 3, 2, band=2, retry=20,
+                                  displacement="shear", wy=32, wx=256)
+        assert flag == 0, "retry pass should absorb the overflow"
+        np.testing.assert_allclose(out, ref, atol=1e-11)
+
+    def test_overflow_flag_raised_without_retry(self):
+        out, flag, ref = run_case(73, 144, 3, 2, band=0, retry=0,
+                                  displacement="shear", wy=16, wx=256)
+        assert flag == 1
+
+    def test_single_tile_grid(self):
+        out, flag, ref = run_case(16, 128, 3, 2, band=1, retry=4)
+        assert flag == 0
+        np.testing.assert_allclose(out, ref, atol=1e-11)
