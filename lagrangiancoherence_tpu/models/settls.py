@@ -52,7 +52,7 @@ def _clamp_wrap(px, py, *, y_min, y_max, x_min, x_max, cyclic_x):
 def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 settls_order: int, interp_order: int, return_traj: bool,
                 row_offset=0, home_rows=None, kernel: str = "xla",
-                pallas_wy: int = 48, pallas_wx: int = 256,
+                pallas_wy: int = 48, pallas_wx: int = 384,
                 pallas_polar_band: int = 2, pallas_retry_tiles: int = 48):
     """The SETTLS time loop as one ``lax.scan`` over a position *block*.
 
@@ -171,7 +171,7 @@ def parcel_propagation_core(u: jax.Array, v: jax.Array, timestep,
                             interp_order: int = 3,
                             return_traj: bool = False,
                             kernel: str = "xla", pallas_wy: int = 48,
-                            pallas_wx: int = 256,
+                            pallas_wx: int = 384,
                             pallas_polar_band: int = 2,
                             pallas_retry_tiles: int = 48,
                             return_overflow: bool = False):

@@ -59,6 +59,27 @@ TILE_C = 128    # home cols per tile
 _HIGH = jax.lax.Precision.HIGHEST
 
 
+def _dot_f32x3(a, b, cdt):
+    """f32-accurate matmul in 3 bf16 MXU passes (hi/lo operand split).
+
+    Mosaic's default f32 dot is a single bf16 pass (~1e-2 error — fatal for
+    interpolation weights) and ``Precision.HIGHEST`` costs 6 passes; the
+    DotAlgorithmPreset x3 algorithms don't lower.  This manual split gets
+    ~1e-7 relative accuracy at half the HIGHEST cost.  Falls back to a
+    HIGHEST dot for non-f32 compute dtypes (f64 interpret-mode tests).
+    """
+    if cdt != jnp.float32:
+        return jnp.dot(a, b, preferred_element_type=cdt, precision=_HIGH)
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
+    d = d + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
+    d = d + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
+    return d
+
+
 def _cdiv(a, b):
     return -(-a // b)
 
@@ -266,6 +287,9 @@ def _spline_body(py, px, win, out_ref, write_flag, scratch, y0, x0, *,
                                          iota_x, order),
             lambda o: o, ohx)
         for f in range(F):
+            # HIGHEST (6-pass bf16): the 3-pass hi/lo split's ~2^-16
+            # relative error compounds over 576 evaluations to ~0.06
+            # log-FTLE p99 — measured, not acceptable for parity
             d = jnp.dot(ohy, win[f].astype(cdt),
                         preferred_element_type=cdt, precision=_HIGH)
             scratch[f, :, r] = jnp.sum(d * ohx, axis=1).astype(dtype)
@@ -356,7 +380,7 @@ def _pole_kernel(rows_ref, yw0s, py_ref, px_ref, win_ref, out_ref, flag_ref,
 def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                         px: jax.Array, py: jax.Array, *,
                         ny: int, nx: int, y_min, y_max, x_min, x_max,
-                        order: int = 3, wy: int = 48, wx: int = 256,
+                        order: int = 3, wy: int = 48, wx: int = 384,
                         wyc: int = 128, polar_band: int = 2,
                         retry_tiles: int = 48, retry_wy: int = 128,
                         interpret: bool = False):
