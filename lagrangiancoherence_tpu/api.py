@@ -126,10 +126,25 @@ def latlonsel(field: Field, latitude=None, longitude=None,
 # parcel_propagation — reference signature facade over the scan core
 # ---------------------------------------------------------------------------
 
+def _resolve_kernel(kernel: str) -> str:
+    """``auto`` → the pallas fast path on TPU-class backends, the XLA gather
+    path elsewhere (CPU gathers are fast; TPU gathers are ~100x too slow —
+    see ops/pallas_interp.py)."""
+    if kernel != "auto":
+        return kernel
+    import jax
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return "xla"
+    return "xla" if platform == "cpu" else "pallas"
+
+
 def parcel_propagation(U, V, timestep: float = 1, propdim: str = "time",
                        verbose: bool = True, return_traj: bool = False,
                        SETTLS_order: int = 0, copy: bool = False,
-                       interp_order: int = 3, cyclic_xboundary: bool = False):
+                       interp_order: int = 3, cyclic_xboundary: bool = False,
+                       kernel: str = "auto"):
     """Two-time-level semi-Lagrangian advection, reference contract
     (/root/reference/LCS/trajectory.py:8-144).
 
@@ -153,13 +168,25 @@ def parcel_propagation(U, V, timestep: float = 1, propdim: str = "time",
         times = times[::-1]  # labels reverse; storage order does not (Q2)
 
     with timed_stage("Parcel propagation"):
-        px, py = parcel_propagation_core(
-            np.asarray(U.data, dtype=np.float64),
-            np.asarray(V.data, dtype=np.float64),
+        import jax.numpy as jnp
+        dtype = np.float64 if jnp.zeros(()).dtype == jnp.float64 else \
+            np.float32
+        out = parcel_propagation_core(
+            np.asarray(U.data, dtype=dtype),
+            np.asarray(V.data, dtype=dtype),
             float(timestep), grid,
             settls_order=int(SETTLS_order),
             interp_order=int(interp_order),
-            return_traj=return_traj)
+            return_traj=return_traj,
+            kernel=_resolve_kernel(kernel),
+            return_overflow=True)
+        *pos, overflow = out
+        px, py = pos
+        if int(np.asarray(overflow)):
+            logger.warning(
+                "pallas interpolation windows clamped some taps (extreme "
+                "shear); affected tiles are approximate — re-run with "
+                "kernel='xla' or larger windows for exact values")
         px = np.asarray(px)
         py = np.asarray(py)
 

@@ -43,7 +43,7 @@ from ..ops.interp import prefilter
 from .halo import (derivative_spherical_blocked, exchange_rows,
                    gaussian_filter_blocked)
 
-__all__ = ["ftle_sharded", "ftle_batch"]
+__all__ = ["ftle_sharded", "ftle_batch", "parcel_propagation_sharded"]
 
 EARTH_DEG = np.pi / 180.0
 
@@ -153,6 +153,66 @@ def ftle_sharded(u, v, timestep, grid: Grid, mesh, *, settls_order: int = 0,
                             shard_y)
     out = run(u_j, v_j, px0, py0, convx, lats_j, home_j)
     return out[:ny]
+
+
+def parcel_propagation_sharded(u, v, timestep, grid: Grid, mesh, *,
+                               settls_order: int = 0, interp_order: int = 3,
+                               return_traj: bool = False):
+    """Latitude-sharded SETTLS integration: (T, ny, nx) winds → departure
+    points (ny, nx) or trajectories (T, ny, nx), sharded over mesh axis
+    ``"y"``.  Zero cross-chip communication (winds replicated, positions
+    sharded) — the integration itself never couples parcels.
+    """
+    ny, nx = grid.shape
+    nyd = mesh.shape["y"]
+    rows = -(-ny // nyd)
+    ny_pad = rows * nyd
+    dtype = jnp.asarray(u).dtype
+
+    pad = ny_pad - ny
+    home_idx = np.arange(ny_pad)
+    home_idx = np.where(home_idx < ny, home_idx, 2 * ny - 1 - home_idx)
+    px0_np, py0_np = grid.mesh_xy
+    px0_np = px0_np[home_idx]
+    py0_np = py0_np[home_idx]
+    lats_pad = grid.lats[home_idx]
+    conv_y = 180.0 / (6371000.0 * np.pi)
+    conv_x_np = (conv_y / np.abs(np.cos(lats_pad * EARTH_DEG)))[:, None]
+    dt = jnp.asarray(timestep, dtype=dtype)
+
+    def block_fn(u_f, v_f, cu_f, cv_f, px0_b, py0_b, convx_b, home_b):
+        out = settls_scan(u_f, v_f, cu_f, cv_f, px0_b, py0_b, dt,
+                          convx_b, grid, settls_order=settls_order,
+                          interp_order=interp_order,
+                          return_traj=return_traj, home_rows=home_b)
+        return out[:-1]  # drop overflow (xla kernel: always 0)
+
+    pos_spec = P(None, "y", None) if return_traj else P("y", None)
+
+    @jax.jit
+    def run(u_j, v_j, px0, py0, convx, home_j):
+        cu = prefilter(u_j, order=interp_order)
+        cv = prefilter(v_j, order=interp_order)
+        fn = shard_map(block_fn, mesh=mesh,
+                       in_specs=(P(), P(), P(), P(),
+                                 P("y", None), P("y", None),
+                                 P("y", None), P("y", None)),
+                       out_specs=(pos_spec, pos_spec))
+        return fn(u_j, v_j, cu, cv, px0, py0, convx, home_j)
+
+    rep = NamedSharding(mesh, P())
+    shard_y = NamedSharding(mesh, P("y", None))
+    u_j = jax.device_put(jnp.asarray(u, dtype=dtype), rep)
+    v_j = jax.device_put(jnp.asarray(v, dtype=dtype), rep)
+    px0 = jax.device_put(jnp.asarray(px0_np, dtype=dtype), shard_y)
+    py0 = jax.device_put(jnp.asarray(py0_np, dtype=dtype), shard_y)
+    convx = jax.device_put(jnp.asarray(conv_x_np, dtype=dtype), shard_y)
+    home_j = jax.device_put(jnp.asarray(home_idx[:, None], dtype=jnp.int32),
+                            shard_y)
+    px, py = run(u_j, v_j, px0, py0, convx, home_j)
+    if return_traj:
+        return px[:, :ny], py[:, :ny]
+    return px[:ny], py[:ny]
 
 
 def ftle_batch(u_batch, v_batch, timestep, grid: Grid, mesh, *,

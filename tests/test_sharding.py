@@ -110,3 +110,38 @@ class TestMeshConstruction:
             pytest.skip("needs 8 devices")
         with pytest.raises(ValueError):
             parcel_mesh(8, x_parallel=3)
+
+
+@needs_8_devices
+class TestShardedPropagation:
+    def test_departure_parity(self):
+        from lagrangiancoherence_tpu.models.settls import \
+            parcel_propagation_core
+        from lagrangiancoherence_tpu.parallel.pipeline import \
+            parcel_propagation_sharded
+        u, v, grid = vortex_case()
+        ref_x, ref_y = parcel_propagation_core(
+            jnp.asarray(u), jnp.asarray(v), -6 * 3600.0, grid,
+            settls_order=2)
+        out_x, out_y = parcel_propagation_sharded(
+            u, v, -6 * 3600.0, grid, parcel_mesh(8), settls_order=2)
+        np.testing.assert_allclose(np.asarray(out_x), np.asarray(ref_x),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(out_y), np.asarray(ref_y),
+                                   atol=1e-10)
+
+    def test_trajectory_parity(self):
+        from lagrangiancoherence_tpu.models.settls import \
+            parcel_propagation_core
+        from lagrangiancoherence_tpu.parallel.pipeline import \
+            parcel_propagation_sharded
+        u, v, grid = vortex_case()
+        ref_x, ref_y = parcel_propagation_core(
+            jnp.asarray(u), jnp.asarray(v), -6 * 3600.0, grid,
+            settls_order=1, return_traj=True)
+        out_x, out_y = parcel_propagation_sharded(
+            u, v, -6 * 3600.0, grid, parcel_mesh(8), settls_order=1,
+            return_traj=True)
+        assert out_x.shape == ref_x.shape
+        np.testing.assert_allclose(np.asarray(out_x), np.asarray(ref_x),
+                                   atol=1e-10)
