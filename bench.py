@@ -60,7 +60,7 @@ def main():
     oh = np.asarray(out)
     assert np.isfinite(oh[2:-2]).all(), "non-finite FTLE"
 
-    reps = 5
+    reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
         out, overflow = run()

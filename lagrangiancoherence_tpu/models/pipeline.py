@@ -22,12 +22,14 @@ __all__ = ["ftle_pipeline"]
 @partial(jax.jit, static_argnames=("grid", "settls_order", "interp_order",
                                    "sigma", "compat", "kernel", "pallas_wy",
                                    "pallas_wx", "pallas_polar_band",
-                                   "pallas_retry_tiles", "return_overflow"))
+                                   "pallas_retry_tiles", "pallas_retry_wy",
+                                   "return_overflow"))
 def ftle_pipeline(u: jax.Array, v: jax.Array, timestep, grid: Grid, *,
                   settls_order: int = 0, interp_order: int = 3,
                   sigma=None, compat: bool = True, kernel: str = "xla",
                   pallas_wy: int = 48, pallas_wx: int = 384,
                   pallas_polar_band: int = 2, pallas_retry_tiles: int = 48,
+                  pallas_retry_wy: int = 192,
                   return_overflow: bool = False):
     """(T, ny, nx) winds → (ny, nx) FTLE norm, fully fused.
 
@@ -44,6 +46,7 @@ def ftle_pipeline(u: jax.Array, v: jax.Array, timestep, grid: Grid, *,
                                   pallas_wy=pallas_wy, pallas_wx=pallas_wx,
                                   pallas_polar_band=pallas_polar_band,
                                   pallas_retry_tiles=pallas_retry_tiles,
+                                  pallas_retry_wy=pallas_retry_wy,
                                   return_overflow=True)
     px, py, overflow = out
     tensor = flowmap_gradient(px, py, grid, sigma=sigma)

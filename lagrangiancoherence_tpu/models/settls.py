@@ -53,7 +53,8 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 settls_order: int, interp_order: int, return_traj: bool,
                 row_offset=0, home_rows=None, kernel: str = "xla",
                 pallas_wy: int = 48, pallas_wx: int = 384,
-                pallas_polar_band: int = 2, pallas_retry_tiles: int = 48):
+                pallas_polar_band: int = 2, pallas_retry_tiles: int = 48,
+                pallas_retry_wy: int = 192):
     """The SETTLS time loop as one ``lax.scan`` over a position *block*.
 
     ``u``/``v``: full (T, ny, nx) winds; ``cu``/``cv``: their prefiltered
@@ -100,7 +101,8 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 x_min=grid.x_min, x_max=grid.x_max,
                 order=interp_order, wy=pallas_wy, wx=pallas_wx,
                 polar_band=pallas_polar_band,
-                retry_tiles=pallas_retry_tiles)
+                retry_tiles=pallas_retry_tiles,
+                retry_wy=pallas_retry_wy)
 
         def slices(t):
             return (jax.lax.dynamic_index_in_dim(WT, t, 0, keepdims=False),
@@ -165,7 +167,8 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
 @partial(jax.jit, static_argnames=("grid", "settls_order", "interp_order",
                                    "return_traj", "kernel", "pallas_wy",
                                    "pallas_wx", "pallas_polar_band",
-                                   "pallas_retry_tiles", "return_overflow"))
+                                   "pallas_retry_tiles", "pallas_retry_wy",
+                                   "return_overflow"))
 def parcel_propagation_core(u: jax.Array, v: jax.Array, timestep,
                             grid: Grid, *, settls_order: int = 0,
                             interp_order: int = 3,
@@ -174,6 +177,7 @@ def parcel_propagation_core(u: jax.Array, v: jax.Array, timestep,
                             pallas_wx: int = 384,
                             pallas_polar_band: int = 2,
                             pallas_retry_tiles: int = 48,
+                            pallas_retry_wy: int = 192,
                             return_overflow: bool = False):
     """Integrate parcel positions through ``T-1`` SETTLS steps.
 
@@ -214,7 +218,8 @@ def parcel_propagation_core(u: jax.Array, v: jax.Array, timestep,
                       return_traj=return_traj, kernel=kernel,
                       pallas_wy=pallas_wy, pallas_wx=pallas_wx,
                       pallas_polar_band=pallas_polar_band,
-                      pallas_retry_tiles=pallas_retry_tiles)
+                      pallas_retry_tiles=pallas_retry_tiles,
+                      pallas_retry_wy=pallas_retry_wy)
     *pos, overflow = out
     if return_overflow:
         return tuple(pos) + (overflow,)

@@ -381,9 +381,9 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                         px: jax.Array, py: jax.Array, *,
                         ny: int, nx: int, y_min, y_max, x_min, x_max,
                         order: int = 3, wy: int = 48, wx: int = 384,
-                        wyc: int = 128, polar_band: int = 2,
-                        retry_tiles: int = 48, retry_wy: int = 128,
-                        interpret: bool = False):
+                        wyc: int = 192, polar_band: int = 2,
+                        retry_tiles: int = 48, retry_wy: int = 192,
+                        interpret: bool = False, debug_flags: bool = False):
     """Evaluate F stacked fields at parcel positions — the TPU fast path.
 
     ``raw``: (F, ny, nx) raw fields (pole-home path); ``cw_pad``: padded
@@ -552,6 +552,9 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             | jnp.max(flags_b * live[:, None].astype(jnp.int32))
     else:
         overflow = jnp.max(flag_map)
+        n_flag = jnp.sum(flag_map)
+        flags_b = jnp.zeros((1, 1), jnp.int32)
+        live = jnp.zeros((1,), bool)
 
     if order > 0:
         # pole-home rows: the constant path keys on HOME row — first
@@ -609,5 +612,16 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         row = jax.lax.broadcasted_iota(jnp.int32, (ny_t, nx_t), 0)
         is_pole = (row < order) | ((row >= ny - order) & (row < ny))
         out_arr = jnp.where(is_pole[None], pole_out, out_arr)
+    else:
+        pole_flags = jnp.zeros((1, 1), jnp.int32)
 
+    if debug_flags:
+        return out_arr[:, :ny, :nx], dict(
+            overflow=overflow,
+            passA_tiles_flagged=jnp.sum(flag_map),
+            retry_cap_exceeded=(n_flag > retry_tiles).astype(jnp.int32)
+            if retry_tiles else jnp.zeros((), jnp.int32),
+            retry_residual=jnp.max(flags_b * live[:, None].astype(jnp.int32))
+            if retry_tiles else jnp.zeros((), jnp.int32),
+            pole_flagged=jnp.max(pole_flags))
     return out_arr[:, :ny, :nx], overflow
