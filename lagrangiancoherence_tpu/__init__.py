@@ -34,6 +34,9 @@ _EXPORTS = {
     "ftle_pipeline": "lagrangiancoherence_tpu.models.pipeline",
     "ftle_sharded": "lagrangiancoherence_tpu.parallel.pipeline",
     "ftle_batch": "lagrangiancoherence_tpu.parallel.pipeline",
+    "parcel_propagation_sharded": "lagrangiancoherence_tpu.parallel.pipeline",
+    "ftle_series": "lagrangiancoherence_tpu.runners",
+    "ftle_series_to_files": "lagrangiancoherence_tpu.runners",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]
