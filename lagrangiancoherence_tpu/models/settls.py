@@ -53,7 +53,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 settls_order: int, interp_order: int, return_traj: bool,
                 row_offset=0, home_rows=None, kernel: str = "xla",
                 pallas_wy: int = 48, pallas_wx: int = 384,
-                pallas_polar_band: int = 2, pallas_retry_tiles: int = 48,
+                pallas_polar_band: int = 2, pallas_retry_tiles: int = 128,
                 pallas_retry_wy: int = 192):
     """The SETTLS time loop as one ``lax.scan`` over a position *block*.
 
@@ -176,7 +176,7 @@ def parcel_propagation_core(u: jax.Array, v: jax.Array, timestep,
                             kernel: str = "xla", pallas_wy: int = 48,
                             pallas_wx: int = 384,
                             pallas_polar_band: int = 2,
-                            pallas_retry_tiles: int = 48,
+                            pallas_retry_tiles: int = 128,
                             pallas_retry_wy: int = 192,
                             return_overflow: bool = False):
     """Integrate parcel positions through ``T-1`` SETTLS steps.

@@ -327,7 +327,7 @@ def _retry_kernel(iy, jx, iy_out, y0s, x0s, py_ref, px_ref, win_ref,
     _spline_body(py_ref[:].T, px_ref[:].T, win_ref, out_ref, write_flag,
                  scratch, y0, x0, F=F, ny=ny, nx=nx,
                  y_min=y_min, y_max=y_max, x_min=x_min, x_max=x_max,
-                 WY=WY, WX=WX, order=order, x_full=True)
+                 WY=WY, WX=WX, order=order, x_full=False)
 
 
 def _pole_kernel(rows_ref, yw0s, py_ref, px_ref, win_ref, out_ref, flag_ref,
@@ -382,8 +382,9 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                         ny: int, nx: int, y_min, y_max, x_min, x_max,
                         order: int = 3, wy: int = 48, wx: int = 384,
                         wyc: int = 192, polar_band: int = 2,
-                        retry_tiles: int = 48, retry_wy: int = 192,
-                        interpret: bool = False, debug_flags: bool = False):
+                        retry_tiles: int = 128, retry_wy: int = 192,
+                        retry_wx: int = 768, interpret: bool = False,
+                        debug_flags: bool = False):
     """Evaluate F stacked fields at parcel positions — the TPU fast path.
 
     ``raw``: (F, ny, nx) raw fields (pole-home path); ``cw_pad``: padded
@@ -494,7 +495,9 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     retry_tiles = min(retry_tiles, gy * gx)
     if retry_tiles > 0:
         wy2 = min(retry_wy, ny + 2 * ypad)
+        wx2 = min(retry_wx, nx + 2 * xpad)
         y0b = _tile_window_starts(yfold, ny, ypad, wy2, TILE_R, TILE_C, 8)
+        x0b = _tile_window_starts(xfold, nx, xpad, wx2, TILE_R, TILE_C, 128)
         flat = flag_map.ravel()
         sel = jnp.argsort(-flat)[:retry_tiles]
         n_flag = jnp.sum(flat)
@@ -504,10 +507,10 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         iy_out = jnp.where(live, iy, gy)      # dead iterations → garbage row
         y0b_sel = y0b[iy, jx]
 
-        kern = partial(_retry_kernel, **common, WY=wy2, WX=wx_full,
+        kern = partial(_retry_kernel, **common, WY=wy2, WX=wx2,
                        YPAD=ypad, XPAD=xpad)
         grid_b = (retry_tiles,)
-        x0full = jnp.full((retry_tiles,), xpad, jnp.int32)
+        x0full = x0b[iy, jx]
 
         def bimap(i, iyr, jxr, iyo, y0r, x0r):
             return (0, pl.multiple_of(y0r[i], 8),
@@ -524,7 +527,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                              lambda i, iyr, jxr, iyo, y0r, x0r:
                              (iyr[i], jxr[i]), memory_space=pltpu.VMEM),
                 pl.BlockSpec((pl.Element(F), pl.Element(wy2),
-                              pl.Element(wx_full)), bimap,
+                              pl.Element(wx2)), bimap,
                              memory_space=pltpu.VMEM)],
             out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
                                     lambda i, iyr, jxr, iyo, y0r, x0r:
