@@ -136,3 +136,60 @@ class TestParcelPropagationFacade:
     def test_plain_numpy_rejected_without_dims(self):
         with pytest.raises(TypeError):
             parcel_propagation(np.zeros((3, 4, 5)), np.zeros((3, 4, 5)))
+
+
+class TestIsGlobal:
+    def test_isglobal_regrids_and_truncates(self):
+        # small global field: exercises common-grid regrid + T20 truncation
+        cfg = dict(flows.VORTEX_CONFIG_SUBTROPICAL, nt=4)
+        u, v, lats, lons, times = flows.ideal_vortex(**cfg)
+        dims = ("time", "latitude", "longitude")
+        coords = dict(time=times, latitude=lats, longitude=lons)
+        out = LCS(timestep=-6 * 3600, SETTLS_order=1)(
+            u=Field(u, dims, coords), v=Field(v, dims, coords),
+            verbose=False, isglobal=True, truncation=10)
+        # output lives on the reference's common 0.5-degree grid
+        # (/root/reference/LCS/LCS.py:107-108)
+        assert out.shape == (1, 360, 721)
+        assert np.isfinite(out.data[0, 5:-5]).all()
+
+    def test_isglobal_without_truncation(self):
+        cfg = dict(flows.VORTEX_CONFIG_SUBTROPICAL, nt=4)
+        u, v, lats, lons, times = flows.ideal_vortex(**cfg)
+        dims = ("time", "latitude", "longitude")
+        coords = dict(time=times, latitude=lats, longitude=lons)
+        out = LCS(timestep=-6 * 3600)(
+            u=Field(u, dims, coords), v=Field(v, dims, coords),
+            verbose=False, isglobal=True, truncation=None)
+        assert out.shape == (1, 360, 721)
+
+
+class TestCompatModes:
+    def test_corrected_norm_differs_from_quirk(self):
+        from lagrangiancoherence_tpu.models.ftle import ftle_norm
+        import jax.numpy as jnp
+        rng = np.random.RandomState(0)
+        tensor = jnp.asarray(rng.randn(9, 8, 10))
+        quirk = np.asarray(ftle_norm(tensor, compat=True))
+        fixed = np.asarray(ftle_norm(tensor, compat=False))
+        assert not np.allclose(quirk, fixed)
+        # corrected mode = true sigma_max of the 3x2 Jacobian
+        t = np.asarray(tensor)
+        F = np.stack([np.stack([t[0], t[2], t[4]]),
+                      np.stack([t[1], t[3], t[5]])])  # (2, 3, ny, nx)
+        for i in range(8):
+            for j in range(10):
+                sv = np.linalg.svd(F[:, :, i, j], compute_uv=False).max()
+                np.testing.assert_allclose(fixed[i, j], sv, rtol=1e-10)
+
+    def test_ridges_corrected_mode_runs(self):
+        from lagrangiancoherence_tpu.models.ridges import find_ridges_core
+        from lagrangiancoherence_tpu.grid import Grid
+        import jax.numpy as jnp
+        lats = np.linspace(-30, 40, 24)
+        lons = np.linspace(-60, 20, 32)
+        LON, LAT = np.meshgrid(lons, lats)
+        f = 3.0 * np.exp(-((LAT - 5.0) / 8.0) ** 2)
+        out = find_ridges_core(jnp.asarray(f), Grid(lats=lats, lons=lons),
+                               sigma=1.0, isglobal=False, compat=False)
+        assert np.isfinite(np.asarray(out["eigmin"])).all()
