@@ -18,7 +18,8 @@ import numpy as np
 
 from ..grid import EARTH_RADIUS
 
-__all__ = ["exchange_rows", "fourth_order_dim0_blocked",
+__all__ = ["exchange_rows", "exchange_cols_cyclic",
+           "fourth_order_dim0_blocked", "fourth_order_dim1_blocked",
            "derivative_spherical_blocked", "gaussian_filter_blocked"]
 
 
@@ -46,6 +47,39 @@ def exchange_rows(x: jax.Array, h: int, axis_name: str = "y",
         top = jnp.where(idx == 0, x[h - 1::-1], top)
         bot = jnp.where(idx == n - 1, x[:x.shape[0] - h - 1:-1], bot)
     return jnp.concatenate([top, x, bot], axis=0)
+
+
+def exchange_cols_cyclic(x: jax.Array, h: int,
+                         axis_name: str = "x") -> jax.Array:
+    """Pad a (rows, cols) block to (rows, cols + 2h) with neighbour columns,
+    **cyclically**: the global longitude axis wraps, so the ppermute ring
+    includes the wraparound hop (device 0 ↔ device n-1)."""
+    n = jax.lax.axis_size(axis_name)
+    if n == 1:
+        left = x[:, -h:]
+        right = x[:, :h]
+    else:
+        left = jax.lax.ppermute(x[:, -h:], axis_name,
+                                [(i, (i + 1) % n) for i in range(n)])
+        right = jax.lax.ppermute(x[:, :h], axis_name,
+                                 [(i, (i - 1) % n) for i in range(n)])
+    return jnp.concatenate([left, x, right], axis=1)
+
+
+def fourth_order_dim1_blocked(padded: jax.Array, h: int) -> jax.Array:
+    """Longitude derivative of a cyclically halo-padded block: the
+    reference's 4th-order centred stencil with cyclic modulo indexing
+    (/root/reference/LCS/tools.py:221-228), column-blocked.
+
+    ``padded``: (rows, cols + 2h) with ``h >= 2``.  Returns (rows, cols).
+    """
+    cols = padded.shape[1] - 2 * h
+
+    def sl(k):
+        return jax.lax.slice_in_dim(padded, h + k, h + k + cols, axis=1)
+
+    return (4.0 / 3.0) * (sl(1) - sl(-1)) / 2.0 \
+        - (1.0 / 3.0) * (sl(2) - sl(-2)) / 4.0
 
 
 def fourth_order_dim0_blocked(padded: jax.Array, h: int, row_start,

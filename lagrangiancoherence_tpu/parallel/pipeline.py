@@ -40,7 +40,8 @@ from ..models.ftle import ftle_norm
 from ..models.pipeline import ftle_pipeline
 from ..models.settls import settls_scan
 from ..ops.interp import prefilter
-from .halo import (derivative_spherical_blocked, exchange_rows,
+from .halo import (derivative_spherical_blocked, exchange_cols_cyclic,
+                   exchange_rows, fourth_order_dim1_blocked,
                    gaussian_filter_blocked)
 
 __all__ = ["ftle_sharded", "ftle_batch", "parcel_propagation_sharded"]
@@ -55,6 +56,15 @@ def ftle_sharded(u, v, timestep, grid: Grid, mesh, *, settls_order: int = 0,
     """
     ny, nx = grid.shape
     nyd = mesh.shape["y"]
+    nxd = mesh.shape.get("x", 1)
+    x_axes = ("x",) if nxd > 1 else ()
+    if nxd > 1:
+        if nx % nxd:
+            raise ValueError(f"nx={nx} must divide the x mesh axis ({nxd})")
+        if sigma is not None:
+            raise NotImplementedError(
+                "gauss_sigma with an x-sharded mesh is not supported yet; "
+                "use a 1-D ('y',) mesh")
     rows = -(-ny // nyd)          # rows per shard (ceil)
     ny_pad = rows * nyd
     dtype = jnp.asarray(u).dtype
@@ -120,6 +130,15 @@ def ftle_sharded(u, v, timestep, grid: Grid, mesh, *, settls_order: int = 0,
                 return derivative_spherical_blocked(
                     fp, 2, row_start, lats_b, dlat, dlon, ny, dim=0,
                     out_dtype=f.dtype)
+            if nxd > 1:
+                # x-sharded: cyclic ring halo + blocked stencil (the
+                # gradient stage is always cyclic in lon — LCS.py:200 with
+                # tools.py:248 defaults), with the quirk-Q6 f32 cast
+                fp = exchange_cols_cyclic(f.astype(jnp.float32), 2)
+                deriv = fourth_order_dim1_blocked(fp, 2).astype(f.dtype)
+                dx = (np.pi / 180.0) * dlon * 6371000.0 \
+                    * jnp.cos(lats_b.astype(f.dtype) * EARTH_DEG)
+                return deriv / dx[:, None]
             return derivative_spherical_blocked(
                 f, 0, row_start, lats_b, dlat, dlon, ny, dim=1,
                 out_dtype=f.dtype)
@@ -133,19 +152,21 @@ def ftle_sharded(u, v, timestep, grid: Grid, mesh, *, settls_order: int = 0,
     def run(u_j, v_j, px0, py0, convx, lats_j, home_j):
         cu = prefilter(u_j, order=interp_order)
         cv = prefilter(v_j, order=interp_order)
+        xs = x_axes[0] if x_axes else None
         fn = shard_map(block_fn, mesh=mesh,
                        in_specs=(P(), P(), P(), P(),
-                                 P("y", None), P("y", None),
+                                 P("y", xs), P("y", xs),
                                  P("y", None), P("y"), P("y", None)),
-                       out_specs=P("y", None))
+                       out_specs=P("y", xs))
         return fn(u_j, v_j, cu, cv, px0, py0, convx, lats_j, home_j)
 
     rep = NamedSharding(mesh, P())
     shard_y = NamedSharding(mesh, P("y", None))
+    shard_yx = NamedSharding(mesh, P("y", x_axes[0] if x_axes else None))
     u_j = jax.device_put(jnp.asarray(u, dtype=dtype), rep)
     v_j = jax.device_put(jnp.asarray(v, dtype=dtype), rep)
-    px0 = jax.device_put(jnp.asarray(px0_np, dtype=dtype), shard_y)
-    py0 = jax.device_put(jnp.asarray(py0_np, dtype=dtype), shard_y)
+    px0 = jax.device_put(jnp.asarray(px0_np, dtype=dtype), shard_yx)
+    py0 = jax.device_put(jnp.asarray(py0_np, dtype=dtype), shard_yx)
     convx = jax.device_put(jnp.asarray(conv_x_np, dtype=dtype), shard_y)
     lats_j = jax.device_put(jnp.asarray(lats_pad, dtype=dtype),
                             NamedSharding(mesh, P("y")))

@@ -145,3 +145,29 @@ class TestShardedPropagation:
         assert out_x.shape == ref_x.shape
         np.testing.assert_allclose(np.asarray(out_x), np.asarray(ref_x),
                                    atol=1e-10)
+
+
+@needs_8_devices
+class TestTwoDMesh:
+    @pytest.mark.parametrize("x_parallel", [2, 4])
+    def test_yx_mesh_parity(self, x_parallel):
+        u, v, grid = vortex_case()  # nx=180 divides 2 and 4
+        ref = np.asarray(ftle_pipeline(jnp.asarray(u), jnp.asarray(v),
+                                       -6 * 3600.0, grid, settls_order=2))
+        mesh = parcel_mesh(8, x_parallel=x_parallel)
+        out = np.asarray(ftle_sharded(u, v, -6 * 3600.0, grid, mesh,
+                                      settls_order=2))
+        np.testing.assert_allclose(out, ref, atol=1e-10)
+
+    def test_indivisible_nx_rejected(self):
+        u, v, grid = vortex_case()
+        mesh = parcel_mesh(8, x_parallel=8)  # 180 % 8 != 0
+        with pytest.raises(ValueError):
+            ftle_sharded(u, v, -6 * 3600.0, grid, mesh, settls_order=0)
+
+    def test_sigma_with_x_sharding_rejected(self):
+        u, v, grid = vortex_case()
+        mesh = parcel_mesh(8, x_parallel=2)
+        with pytest.raises(NotImplementedError):
+            ftle_sharded(u, v, -6 * 3600.0, grid, mesh, settls_order=0,
+                         sigma=1.0)
