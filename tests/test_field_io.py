@@ -93,3 +93,28 @@ class TestIO:
         save_dataset({"u": f, "v": g}, path)
         ds = open_dataset(path)
         assert set(ds) == {"u", "v"}
+
+
+class TestDebugUtils:
+    def test_checked_ftle_flags_nan_winds(self):
+        from lagrangiancoherence_tpu.grid import Grid
+        from lagrangiancoherence_tpu.utils.debug import checked_ftle
+        from lagrangiancoherence_tpu.testing import flows
+        cfg = dict(flows.SADDLE_CONFIG, nt=3)
+        u, v, lats, lons, _ = flows.ideal_saddle(**cfg)
+        grid = Grid(lats=lats, lons=lons)
+        err, out = checked_ftle(u, v, -21600.0, grid, settls_order=0)
+        err.throw()  # clean input: no error
+        u_bad = u.copy()
+        u_bad[1, 5, 5] = np.nan
+        err, out = checked_ftle(u_bad, v, -21600.0, grid, settls_order=0)
+        with pytest.raises(Exception, match="non-finite"):
+            err.throw()
+
+    def test_nan_debug_toggles_flag(self):
+        import jax
+        from lagrangiancoherence_tpu.utils.debug import nan_debug
+        before = jax.config.jax_debug_nans
+        with nan_debug():
+            assert jax.config.jax_debug_nans
+        assert jax.config.jax_debug_nans == before
