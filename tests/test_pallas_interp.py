@@ -69,3 +69,36 @@ class TestPallasParity:
         out, flag, ref = run_case(16, 128, 3, 2, band=1, retry=4)
         assert flag == 0
         np.testing.assert_allclose(out, ref, atol=1e-11)
+
+
+class TestPallasInScan:
+    def test_propagation_pallas_matches_xla(self):
+        """End-to-end scan with the pallas kernel (interpret mode) ==
+        the XLA gather path, including trajectories."""
+        from lagrangiancoherence_tpu.grid import Grid
+        from lagrangiancoherence_tpu.models.settls import \
+            parcel_propagation_core
+        import lagrangiancoherence_tpu.ops.pallas_interp as PI
+        from lagrangiancoherence_tpu.testing import flows
+
+        cfg = dict(flows.VORTEX_CONFIG_SUBTROPICAL, nt=4)
+        u, v, lats, lons, _ = flows.ideal_vortex(**cfg)
+        grid = Grid(lats=lats, lons=lons, cyclic_x=True)
+        orig = PI.pallas_interp_multi
+        PI.pallas_interp_multi = \
+            lambda *a, **k: orig(*a, **{**k, "interpret": True})
+        try:
+            tx, ty, fl = parcel_propagation_core(
+                jnp.asarray(u), jnp.asarray(v), -6 * 3600.0, grid,
+                settls_order=1, return_traj=True, kernel="pallas",
+                return_overflow=True)
+        finally:
+            PI.pallas_interp_multi = orig
+        rx, ry = parcel_propagation_core(
+            jnp.asarray(u), jnp.asarray(v), -6 * 3600.0, grid,
+            settls_order=1, return_traj=True)
+        assert int(fl) == 0
+        np.testing.assert_allclose(np.asarray(tx), np.asarray(rx),
+                                   atol=1e-11)
+        np.testing.assert_allclose(np.asarray(ty), np.asarray(ry),
+                                   atol=1e-11)
