@@ -102,3 +102,38 @@ class TestPallasInScan:
                                    atol=1e-11)
         np.testing.assert_allclose(np.asarray(ty), np.asarray(ry),
                                    atol=1e-11)
+
+
+class TestRegionalGrid:
+    def test_non_global_domain_exact(self):
+        """Regional (non-cyclic-physics) grid: the scipy wrap-fold semantics
+        apply regardless (the reference's interpolator always uses
+        isglobal=True internally — /root/reference/LCS/LCS.py:129 defaults),
+        so the pallas path must match on regional domains too."""
+        out, flag, ref = run_case_grid(
+            lats=np.linspace(-40.0, 15.0, 56),
+            lons=np.linspace(-90.0, -32.0, 117),
+            order=3, F=4)
+        assert flag == 0
+        np.testing.assert_allclose(out, ref, atol=1e-11)
+
+
+def run_case_grid(lats, lons, order, F, seed=0):
+    rng = np.random.RandomState(seed)
+    ny, nx = lats.size, lons.size
+    fields = rng.randn(F, ny, nx)
+    coeffs = np.asarray(prefilter(jnp.asarray(fields), order=order))
+    px0, py0 = np.meshgrid(lons, lats)
+    px = np.clip(px0 + 2.5 * np.sin(py0 / 10), lons.min(), lons.max())
+    py = np.clip(py0 - 1.5 * np.cos(px0 / 15), lats.min(), lats.max())
+    ref = np.asarray(interp_at_parcels_multi(
+        jnp.asarray(fields), jnp.asarray(coeffs), jnp.asarray(px),
+        jnp.asarray(py), x_min=lons.min(), x_max=lons.max(),
+        y_min=lats.min(), y_max=lats.max(), order=order))
+    cw_pad = pad_coeffs_for_pallas(jnp.asarray(coeffs))
+    out, flag = pallas_interp_multi(
+        jnp.asarray(fields), cw_pad, jnp.asarray(px), jnp.asarray(py),
+        ny=ny, nx=nx, y_min=lats.min(), y_max=lats.max(),
+        x_min=lons.min(), x_max=lons.max(), order=order,
+        wy=48, wx=384, polar_band=1, retry_tiles=8, interpret=True)
+    return np.asarray(out), int(flag), ref
