@@ -79,9 +79,15 @@ def _extract_uv(ds, u, v, timedim: str) -> tuple[Field, Field]:
 def _resample_linear(f: Field, freq: str, timedim: str) -> Field:
     """Linear-in-time resample onto a regular frequency
     (xarray ``resample().interpolate('linear')`` semantics,
-    /root/reference/LCS/LCS.py:88-91)."""
+    /root/reference/LCS/LCS.py:88-91).
+
+    Bin labels come from pandas ``resample`` itself (origin = start of day,
+    not ``times[0]``), so records that do not start on a bin edge align the
+    way the reference's xarray resample does; labels outside the record's
+    time span interpolate to NaN, matching scipy ``interp1d`` with
+    ``bounds_error=False`` underneath xarray."""
     times = pd.to_datetime(f.coords[timedim])
-    new_times = pd.date_range(times[0], times[-1], freq=freq)
+    new_times = pd.Series(0.0, index=times).resample(freq).asfreq().index
     t_src = times.view("int64").astype(np.float64)
     t_dst = new_times.view("int64").astype(np.float64)
     ax = f.axis(timedim)
@@ -92,6 +98,9 @@ def _resample_linear(f: Field, freq: str, timedim: str) -> Field:
     t0, t1 = t_src[idx - 1], t_src[idx]
     w = ((t_dst - t0) / np.where(t1 > t0, t1 - t0, 1.0))[:, None]
     out = flat[idx - 1] * (1 - w) + flat[idx] * w
+    oob = (t_dst < t_src[0]) | (t_dst > t_src[-1])
+    if oob.any():
+        out[oob] = np.nan
     data = out.reshape((t_dst.size,) + data.shape[1:])
     data = np.moveaxis(data, 0, ax)
     coords = {**f.coords, timedim: new_times.values}
@@ -309,11 +318,6 @@ class LCS:
         with timed_stage("Deformation tensor + eigenvalues"):
             lats = x_departure.coords["latitude"]
             lons = x_departure.coords["longitude"]
-            if isinstance(self.subdomain, dict):
-                x_departure = latlonsel(x_departure, **self.subdomain)
-                y_departure = latlonsel(y_departure, **self.subdomain)
-                lats = x_departure.coords["latitude"]
-                lons = x_departure.coords["longitude"]
             grid = Grid(lats=lats, lons=lons)
             norm = np.asarray(ftle_from_departures(
                 np.asarray(x_departure.data, dtype=np.float64),
@@ -325,6 +329,14 @@ class LCS:
         eigenvalues = Field(
             norm, ("latitude", "longitude"),
             {"latitude": lats, "longitude": lons}, name="ftle")
+        if isinstance(self.subdomain, dict):
+            # The reference computes the gradient on the FULL field and crops
+            # the tensor afterwards (/root/reference/LCS/LCS.py:142-144), so
+            # subdomain-interior points keep centred stencils fed by data
+            # outside the crop.  The norm is pointwise, so cropping the norm
+            # here is exactly equivalent to cropping the tensor there.
+            # Departure points are returned uncropped, as in the reference.
+            eigenvalues = latlonsel(eigenvalues, **self.subdomain)
         eigenvalues = eigenvalues.expand_dims(timedim, coord=timestamp)
 
         if self.return_dpts and return_traj:

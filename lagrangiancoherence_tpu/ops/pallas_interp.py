@@ -91,11 +91,15 @@ def pad_coeffs_for_pallas(coeffs: jax.Array):
     periodically **with period n** (index j holds row/col ``j mod n``).
     Pad widths are ``n//2`` (the unwrap's maximum excursion) plus
     (8, 128)-alignment slop plus tap margins, so a window start can never
-    be clipped away from its tile's taps.
+    be clipped away from its tile's taps.  Both pads are themselves
+    multiples of the respective alignment (8 rows, 128 lanes): the polar
+    full-x pass feeds ``xpad`` directly through a
+    ``pl.multiple_of(..., 128)``-asserted index map, so a misaligned pad
+    would be undefined behaviour for Mosaic's Element-indexed DMA.
     """
     ny, nx = coeffs.shape[-2], coeffs.shape[-1]
-    ypad = ny // 2 + 16
-    xpad = nx // 2 + 2 * 128 + 8
+    ypad = -(-(ny // 2 + 16) // 8) * 8
+    xpad = -(-(nx // 2 + 8) // 128) * 128 + 2 * 128
 
     def wrap_pad(a, axis, pad, n):
         idx = np.arange(-pad, n + pad) % n

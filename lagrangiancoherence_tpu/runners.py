@@ -89,8 +89,16 @@ def ftle_series(u, v, timestep: float, *, window: int, stride: int = 1,
                 fn = jax.vmap(lambda uu, vv: ftle_pipeline(
                     uu, vv, timestep, grid, settls_order=settls_order,
                     interp_order=interp_order, sigma=sigma, compat=compat,
-                    kernel=kern))
-                out = jax.jit(fn)(jnp.asarray(ub), jnp.asarray(vb))
+                    kernel=kern, return_overflow=True))
+                out, overflow = jax.jit(fn)(jnp.asarray(ub), jnp.asarray(vb))
+                if int(np.asarray(overflow).max()):
+                    logger.warning(
+                        "pallas interpolation windows clamped some taps in "
+                        "windows starting at %s; affected tiles are "
+                        "approximate — re-run with kernel='xla' or larger "
+                        "windows for exact values",
+                        [chunk[i] for i in
+                         np.nonzero(np.asarray(overflow))[0]])
             fields.append(np.asarray(out))
     data = np.concatenate(fields, axis=0)
 

@@ -88,6 +88,29 @@ class TestSubdomain:
         assert out.coords["latitude"].max() < -30
         assert out.coords["longitude"].min() > -60
 
+    def test_subdomain_values_match_postcrop_oracle(self):
+        # The reference computes flowmap_gradient on the FULL grid and crops
+        # the tensor afterwards (/root/reference/LCS/LCS.py:142-144), so
+        # points near the crop boundary keep centred stencils fed by data
+        # outside the subdomain.  Assert the full band, including the edge.
+        cfg = dict(flows.SADDLE_CONFIG, nt=5)
+        u, v, lats, lons, times = flows.ideal_saddle(**cfg)
+        dims = ("time", "latitude", "longitude")
+        coords = dict(time=times, latitude=lats, longitude=lons)
+        U, V = Field(u, dims, coords), Field(v, dims, coords)
+        sub = {"latitude": slice(-50, -30), "longitude": slice(-60, -20)}
+        got = LCS(timestep=-6 * 3600, SETTLS_order=2, subdomain=sub)(
+            u=U, v=V, verbose=False)
+        full = oracle_ftle(u, v, lats, lons, -6 * 3600.0, settls_order=2,
+                           cyclic_x=False)
+        ii = np.nonzero((lats > -50) & (lats < -30))[0]
+        jj = np.nonzero((lons > -60) & (lons < -20))[0]
+        want = full[np.ix_(ii, jj)]
+        assert got.shape[1:] == want.shape
+        np.testing.assert_array_equal(got.coords["latitude"], lats[ii])
+        scale = max(1, np.nanmax(np.abs(want)))
+        assert np.nanmax(np.abs(got.data[0] - want)) <= 1e-5 * scale
+
     def test_latlonsel_list_and_slice(self):
         U, *_ = make_uv()
         a = latlonsel(U, latitude=slice(-50, -30), longitude=slice(-60, -20))
@@ -121,6 +144,27 @@ class TestResample:
                                     resample="3h").data
         np.testing.assert_allclose(c, b, rtol=1e-10, atol=1e-10)
         assert not np.allclose(a, b)  # resample genuinely changed the path
+
+    def test_offbin_record_aligns_to_frequency_grid(self):
+        # pandas/xarray resample anchors bins at the start of day, NOT at
+        # times[0] (/root/reference/LCS/LCS.py:88-91): a record starting at
+        # 01:00 resampled to 3h gets labels 00:00, 03:00, 06:00, ...
+        from lagrangiancoherence_tpu.api import _resample_linear
+        U, V, lats, lons, _ = make_uv(nt=4)
+        offbin = pd.date_range("2000-01-01 01:00", periods=4, freq="6h")
+        U = U.assign_coords(time=offbin.values)
+        out = _resample_linear(U, "3h", "time")
+        got_times = pd.to_datetime(out.coords["time"])
+        want_times = pd.Series(0.0, index=offbin).resample("3h").asfreq().index
+        assert (got_times == want_times).all()
+        assert got_times[0] == pd.Timestamp("2000-01-01 00:00")
+        # the 00:00 label precedes the record -> NaN (scipy bounds behaviour)
+        assert np.isnan(out.data[0]).all()
+        # an interior label interpolates linearly in real time: 03:00 sits
+        # 2h/6h of the way from 01:00 to 07:00
+        w = 2.0 / 6.0
+        want = (1 - w) * U.data[0] + w * U.data[1]
+        np.testing.assert_allclose(out.data[1], want, rtol=1e-12)
 
 
 class TestParcelPropagationFacade:
