@@ -61,18 +61,37 @@ def _normalized_legendre(nmax: int, m: int, x: np.ndarray) -> np.ndarray:
     return out
 
 
+def _interpolatory_weights(x: np.ndarray) -> np.ndarray:
+    """Interpolatory quadrature weights on the nodes ``x`` in (-1, 1):
+    the unique weights integrating every polynomial of degree <= ny-1
+    exactly (solved in the orthonormal Legendre basis for conditioning —
+    the nodes x = sin(equispaced lat) follow the Chebyshev density, so the
+    Vandermonde is well-conditioned and the weights stay positive).
+
+    Why this instead of plain cos(lat) Riemann weights: products
+    ``\\bar P_n^m \\bar P_k^m`` are polynomials of degree n+k, so exact
+    polynomial quadrature makes the LSQ projector *annihilate* every
+    out-of-span mode with n+k <= ny-1 analytically, where the Riemann sum
+    only reaches O(dlat^2) (~1e-4 on the 0.5-degree grid)."""
+    ny = x.shape[0]
+    V = _normalized_legendre(ny - 1, 0, x)          # (ny modes, ny nodes)
+    mu = np.zeros(ny)
+    mu[0] = 2.0 * np.sqrt(1.0 / (4.0 * np.pi))      # int of \bar P_0^0 on [-1,1]
+    return np.linalg.solve(V, mu)
+
+
 @lru_cache(maxsize=16)
 def legendre_basis(lats_key: bytes, truncation: int) -> np.ndarray:
     """Stacked smoothing operators ``S[m] = P_m (P_m^T W P_m)^{-1} P_m^T W``,
     shape ``(truncation+1, ny, ny)``; cached per (latitude vector, T).
 
-    The projection is least squares under the ``cos(lat)`` measure — the
-    discrete analogue of the sphere's ``\\int .. dx`` inner product, which
-    keeps high-degree Legendre modes (n > T) orthogonal to the retained
-    basis on a regular (non-Gaussian) latitude grid."""
+    The projection is least squares under exact interpolatory quadrature
+    weights (see :func:`_interpolatory_weights`): modes with n <= T pass
+    through unchanged (projection identity on its own span) and modes with
+    T < n <= ny-1-T are annihilated to machine precision."""
     lats = np.frombuffer(lats_key, dtype=np.float64)
     x = np.sin(np.deg2rad(lats))
-    w = np.cos(np.deg2rad(lats))
+    w = _interpolatory_weights(x)
     ny = lats.shape[0]
     S = np.zeros((truncation + 1, ny, ny))
     for m in range(truncation + 1):

@@ -38,9 +38,66 @@ def test_zonal_mean_wavenumbers_above_T_removed():
     coeffs = np.zeros(31); coeffs[30] = 1.0
     f = np.broadcast_to(Legendre(coeffs)(x)[:, None], (lats.size, lons.size)).copy()
     out = np.asarray(truncate(f, lats, truncation=20))
-    # cos-weighted least squares on a regular (non-Gaussian) grid leaves
-    # O(quadrature) leakage ~7e-4; exact annihilation needs Gaussian latitudes
-    assert np.abs(out).max() < 2e-3 * np.abs(f).max()
+    # interpolatory quadrature weights make the projector annihilate
+    # out-of-span Legendre modes to machine precision
+    assert np.abs(out).max() < 1e-12 * np.abs(f).max()
+
+
+def _common_grid():
+    """The reference's 0.5-degree common latitudes (LCS.py:107-108) with an
+    exactly periodic longitude axis for the FFT stage."""
+    lats = np.linspace(-89.75, 89.75, 360)
+    lons = np.arange(-180.0, 180.0, 0.5)
+    return lats, lons
+
+
+def _real_ynm(n, m, lats, lons):
+    """Independent Y_n^m oracle via scipy (not the module's own basis)."""
+    from scipy.special import sph_harm_y
+    LON, CLAT = np.meshgrid(np.deg2rad(lons), np.deg2rad(90.0 - lats))
+    return np.real(sph_harm_y(n, m, CLAT, LON))
+
+
+class TestSpectralContract:
+    """The mathematically checkable contract of a T-truncation
+    (windspharm ``VectorWind.truncate`` semantics,
+    /root/reference/LCS/LCS.py:115-118): reproduce every Y_n^m with
+    n <= T exactly, annihilate every Y_n^m with n > T or m > T."""
+
+    T = 20
+
+    def test_retained_modes_pass_through(self):
+        lats, lons = _common_grid()
+        for (n, m) in [(0, 0), (3, 2), (10, 7), (20, 5), (20, 20)]:
+            f = _real_ynm(n, m, lats, lons)
+            out = np.asarray(truncate(f, lats, truncation=self.T))
+            err = np.abs(out - f).max() / np.abs(f).max()
+            assert err < 1e-10, (n, m, err)
+
+    def test_high_degree_modes_annihilated(self):
+        lats, lons = _common_grid()
+        for (n, m) in [(21, 0), (21, 20), (25, 10), (40, 0)]:
+            f = _real_ynm(n, m, lats, lons)
+            out = np.asarray(truncate(f, lats, truncation=self.T))
+            resid = np.abs(out).max() / np.abs(f).max()
+            assert resid < 1e-10, (n, m, resid)
+
+    def test_high_order_modes_annihilated(self):
+        # m > T is zeroed in the FFT stage regardless of n
+        lats, lons = _common_grid()
+        f = _real_ynm(25, 23, lats, lons)
+        out = np.asarray(truncate(f, lats, truncation=self.T))
+        assert np.abs(out).max() < 1e-10 * np.abs(f).max()
+
+    def test_mixed_field_splits_exactly(self):
+        lats, lons = _common_grid()
+        f_low = (_real_ynm(4, 1, lats, lons)
+                 + 0.3 * _real_ynm(15, 12, lats, lons))
+        f_high = (0.7 * _real_ynm(22, 3, lats, lons)
+                  + 0.5 * _real_ynm(30, 25, lats, lons))
+        out = np.asarray(truncate(f_low + f_high, lats, truncation=self.T))
+        err = np.abs(out - f_low).max() / np.abs(f_low).max()
+        assert err < 1e-10, err
 
 
 def test_batched_time_axis():
