@@ -7,11 +7,22 @@ interpolations per field, the exact workload the reference runs through
 scipy ``map_coordinates`` one call at a time
 (/root/reference/LCS/trajectory.py:80-124).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 ``value`` is fields/sec on the available accelerator (steady-state, after
-compile).  The reference publishes no numbers (BASELINE.md), so
-``vs_baseline`` compares against the north-star target of 1 s/field:
-vs_baseline = value / (1 field/sec).
+compile).  The reference publishes no numbers (BASELINE.md), so two
+comparisons are emitted:
+
+* ``vs_baseline`` — speedup over the measured reference implementation
+  (131.9 s/field, scipy map_coordinates path, single-core CPU on this
+  host; see testing/oracle.py);
+* ``vs_north_star`` — value / (1 field/s), the BASELINE.json target
+  (>= 1.0 means the north star is met).
+
+Also emitted (TPU runs): ``overflow`` (the pallas window-clamp flag — 0
+means the fast path is tap-exact for this workload) and
+``pallas_vs_xla_maxabs`` (max |pallas - xla| over one gather group on the
+flagship departure points — the committed TPU-mode numerics regression
+record for the Mosaic-compiled kernel).
 """
 from __future__ import annotations
 
@@ -77,16 +88,48 @@ def main():
     dt = (time.perf_counter() - t0) / reps
 
     fields_per_sec = 1.0 / dt
+
+    # TPU-mode numerics record: max |pallas - xla| over one F=4 gather
+    # group at the flagship departure points (the Mosaic-compiled kernel's
+    # committed accuracy artifact; tests only cover interpret mode).
+    pallas_vs_xla = None
+    if kernel == "pallas":
+        from lagrangiancoherence_tpu.models.settls import (
+            parcel_propagation_core)
+        from lagrangiancoherence_tpu.ops.interp import (
+            interp_at_parcels_multi, prefilter)
+        from lagrangiancoherence_tpu.ops.pallas_interp import (
+            pad_coeffs_for_pallas, pallas_interp_multi)
+        px, py = parcel_propagation_core(u_j, v_j, -6.0 * 3600.0, grid,
+                                         settls_order=4, interp_order=3,
+                                         kernel="pallas")
+        raw = jnp.stack([u_j[0], v_j[0], u_j[1], v_j[1]])
+        cw = prefilter(raw, order=3)
+        bounds = dict(y_min=grid.y_min, y_max=grid.y_max,
+                      x_min=grid.x_min, x_max=grid.x_max)
+        got, _ = jax.jit(lambda r, c, a, b: pallas_interp_multi(
+            r, pad_coeffs_for_pallas(c), a, b, ny=ny, nx=nx, order=3,
+            **bounds))(raw, cw, px, py)
+        want = jax.jit(lambda r, c, a, b: interp_at_parcels_multi(
+            r, c, a, b, order=3, **bounds))(raw, cw, px, py)
+        pallas_vs_xla = float(np.max(np.abs(np.asarray(got)
+                                            - np.asarray(want))))
+
     # vs_baseline: speedup over the reference implementation's measured cost
     # for the identical workload — 131.9 s/field (scipy map_coordinates
     # path, single-core CPU; see testing/oracle.py, measured on this host).
     REFERENCE_FIELDS_PER_SEC = 1.0 / 131.9
-    print(json.dumps({
+    rec = {
         "metric": "global 0.25deg FTLE fields/sec (1440x721, 8-day, SETTLS-4)",
         "value": round(fields_per_sec, 3),
         "unit": "fields/sec",
         "vs_baseline": round(fields_per_sec / REFERENCE_FIELDS_PER_SEC, 1),
-    }))
+        "vs_north_star": round(fields_per_sec / 1.0, 3),
+        "overflow": int(np.asarray(overflow)),
+    }
+    if pallas_vs_xla is not None:
+        rec["pallas_vs_xla_maxabs"] = pallas_vs_xla
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -52,9 +52,10 @@ def _clamp_wrap(px, py, *, y_min, y_max, x_min, x_max, cyclic_x):
 def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 settls_order: int, interp_order: int, return_traj: bool,
                 row_offset=0, home_rows=None, kernel: str = "xla",
-                pallas_wy: int = 48, pallas_wx: int = 384,
-                pallas_polar_band: int = 2, pallas_retry_tiles: int = 128,
-                pallas_retry_wy: int = 192):
+                debug_per_step: bool = False,
+                pallas_wy: int = 32, pallas_wx: int = 384,
+                pallas_polar_band: int = 2, pallas_retry_tiles: int = 256,
+                pallas_retry_wy: int = 64):
     """The SETTLS time loop as one ``lax.scan`` over a position *block*.
 
     ``u``/``v``: full (T, ny, nx) winds; ``cu``/``cv``: their prefiltered
@@ -86,13 +87,23 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
     CW = jnp.stack([cu, cv], axis=1)
 
     if kernel == "pallas":
-        if home_rows is not None:
-            raise ValueError("pallas kernel supports full-grid runs only")
-        from ..ops.pallas_interp import (pad_coeffs_for_pallas,
+        from ..ops.pallas_interp import (TILE_R, pad_coeffs_for_pallas,
                                          pallas_interp_multi)
         WT = W                                  # (T, 2, ny, nx) raw
         CWP = pad_coeffs_for_pallas(CW)         # (T, 2, nyp, nxp)
         ny, nx = grid.shape
+
+        # sharded blocks: window routing is position-only; the pole-row
+        # special case keys on GLOBAL home rows, so pass them through with
+        # a static superset of block tile rows that may hold pole rows
+        # (first tile of shard 0's block, last two tiles of the last
+        # shard's block — a uniform superset keeps shard_map's single
+        # program valid on every shard; extra tiles are masked out).
+        if home_rows is None:
+            ptr = None
+        else:
+            gy_loc = -(-px0.shape[0] // TILE_R)
+            ptr = tuple(sorted({0, max(gy_loc - 2, 0), gy_loc - 1}))
 
         def interp_multi(raw_t, cw_pad, px, py):
             return pallas_interp_multi(
@@ -102,7 +113,8 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 order=interp_order, wy=pallas_wy, wx=pallas_wx,
                 polar_band=pallas_polar_band,
                 retry_tiles=pallas_retry_tiles,
-                retry_wy=pallas_retry_wy)
+                retry_wy=pallas_retry_wy,
+                home_rows=home_rows, pole_tile_rows=ptr)
 
         def slices(t):
             return (jax.lax.dynamic_index_in_dim(WT, t, 0, keepdims=False),
@@ -148,13 +160,18 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
             px = px + 0.5 * dt * conv_x * (ua + 2.0 * u_t_d - u_n_d)
             px, py = _clamp_wrap(px, py, **bounds)
 
-        out = (px, py) if return_traj else None
+        if debug_per_step:
+            out = (px, py, flag) if return_traj else flag
+        else:
+            out = (px, py) if return_traj else None
         return (px, py, flag), out
 
     nsteps = u.shape[0] - 1
     flag0 = jnp.zeros((), jnp.int32)
     (px, py, flag), traj = jax.lax.scan(step, (px0, py0, flag0),
                                         jnp.arange(nsteps))
+    if debug_per_step and not return_traj:
+        return px, py, traj  # (nsteps,) cumulative per-step flags
 
     if return_traj:
         traj_x, traj_y = traj
@@ -173,11 +190,11 @@ def parcel_propagation_core(u: jax.Array, v: jax.Array, timestep,
                             grid: Grid, *, settls_order: int = 0,
                             interp_order: int = 3,
                             return_traj: bool = False,
-                            kernel: str = "xla", pallas_wy: int = 48,
+                            kernel: str = "xla", pallas_wy: int = 32,
                             pallas_wx: int = 384,
                             pallas_polar_band: int = 2,
-                            pallas_retry_tiles: int = 128,
-                            pallas_retry_wy: int = 192,
+                            pallas_retry_tiles: int = 256,
+                            pallas_retry_wy: int = 64,
                             return_overflow: bool = False):
     """Integrate parcel positions through ``T-1`` SETTLS steps.
 

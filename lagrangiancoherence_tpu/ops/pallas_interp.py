@@ -3,44 +3,55 @@
 Why these kernels exist: the reference's inner loop is a full-grid scipy
 ``map_coordinates`` per wind component per SETTLS iteration
 (/root/reference/LCS/tools.py:26-41) — a data-dependent gather.  XLA's TPU
-gather lowers to a scalar-unit loop (~10M elements/s measured on v5e —
-~100ms per 1M-parcel evaluation, 100x off the <1s/field budget) and Mosaic
-has no vectorised in-VMEM gather.  The gather is reformulated as **windowed
-one-hot matmuls on the MXU**:
+gather lowers to a scalar-unit loop (~10M elements/s measured on v5e) and
+Mosaic has no vectorised in-VMEM gather (``take_along_axis`` fails to
+lower).  The gather is reformulated as **windowed one-hot matmuls on the
+MXU**:
 
 * parcels are processed in (8, 128) home-grid tiles; departure positions of
   a tile cluster spatially (smooth flow), so the tile's spline taps fit a
   (WY, WX) window of a wrap-padded copy of the field;
-* per-tile window offsets are **precomputed in XLA** (vectorised
-  fold/unwrap/min over tiles) and fed through scalar prefetch; the windows
-  themselves are pipelined kernel *inputs* via ``pl.Element``-indexed
-  BlockSpecs, so Pallas double-buffers the HBM→VMEM window streams behind
-  compute — no in-kernel DMA waits;
-* per home row, the 4x4-tap evaluation is ``D = OneHot_y @ Win`` (one
-  (128, WY) x (WY, WX) MXU matmul per field) followed by a lane reduction
-  against ``OneHot_x``;
+* per-tile tap spans are **computed exactly in XLA** (vectorised
+  fold/unwrap/min/max over tiles) and every tile is routed to the smallest
+  window tier that provably holds its taps — escalating through wider
+  windows up to a full-longitude slab for polar tiles whose zonal taps span
+  the whole circle (1/cos(lat) metric amplification,
+  /root/reference/LCS/trajectory.py:56).  Routing is exact, so the
+  ``overflow`` flag only raises when a tier's *capacity* is exceeded;
+* each tile is evaluated **whole** (one MXU contraction per tile): the
+  B-spline basis is materialised at every window lane,
+  ``G = OneHot_x(1024, WX) @ Win(F*WY, WX)^T`` contracts the x axis for all
+  8 rows x 128 lanes x F fields at once, and a lane reduction against the
+  y basis finishes the tensor-product spline.  Per-tile cost is
+  ``8*ceil(WX/128)*ceil(F*WY/128)`` MXU passes (x3 for f32-faithful
+  ``Precision.HIGHEST``) — measured pass-bound on v5e, which is why the
+  tier ladder starts at (32, 384);
 * scipy's ``mode='wrap'`` fold (period n-1, SURVEY.md quirk Q4) plus
   mirror-at-edge tap semantics are reproduced exactly: positions are
   unwrapped mod n around each tile's anchor (wrap-straddling tiles stay
   compact; aliasing is harmless because the padded operand repeats with
-  period n), and the mirrored edge-tap collisions are fixed by in-kernel
-  offset remaps;
-* **polar bands**: within ``polar_band`` tile rows of either pole the
-  zonal displacement is metric-amplified by 1/cos(lat)
-  (/root/reference/LCS/trajectory.py:56), so a tile's x-taps can span the
-  whole circle; those rows re-run through a full-x variant (offsets taken
-  directly in folded space — overflow-free in x by construction);
-* any remaining window overflow clamps the offending taps and raises the
-  ``overflow`` output flag.
+  period n), and the mirrored edge-tap collisions are fixed by predicated
+  basis corrections;
+* tier passes run over **compacted tile lists** (scalar-prefetched
+  indices); dead capacity slots are ``pl.when``-gated off and their block
+  index maps repeat the previous slot, so Mosaic skips both the compute and
+  the window DMA — escalation costs scale with the *actual* number of
+  stretched tiles per step, which grows from ~0 (early scan, compact
+  parcels) to a few hundred (late scan, chaotic shear).
 
 The order-1/'constant' pole-home-row path (/root/reference/LCS/tools.py:
-31-39) applies to the ``order`` home rows nearest each pole and runs in a
-third small kernel with direct (unfolded) indices.
+31-39) — the ``order`` home rows nearest each pole — runs through the same
+whole-tile body in a direct-index variant (no fold, tent weights,
+out-of-range-to-zero masking), with its own windowed tier + full-x
+fallback.
 
-Numerics: weights/taps match ops/interp.py exactly; matmuls run at
+Numerics: weights/taps match ops/interp.py exactly; the contraction runs at
 ``Precision.HIGHEST`` (default-precision bf16 rounding of the one-hot
-weights costs ~1e-2; HIGHEST restores ~1e-4-absolute f32 agreement).
-Verified bit-identical to the jnp path in f64 interpret mode.
+weights costs ~1e-2 absolute; a manual 3-pass hi/lo split still compounds
+to ~0.06 p99 log-FTLE over a full integration — both measured; HIGHEST
+restores the XLA-f32 error class).  Agrees with the jnp path to 1e-11 in
+f64 interpret mode (tests/test_pallas_interp.py) and to f32 rounding on
+real TPU (bench.py emits the measured max|pallas-xla| each run).
 """
 from __future__ import annotations
 
@@ -56,28 +67,11 @@ __all__ = ["pad_coeffs_for_pallas", "pallas_interp_multi"]
 
 TILE_R = 8      # home rows per tile
 TILE_C = 128    # home cols per tile
+_M = TILE_R * TILE_C
 _HIGH = jax.lax.Precision.HIGHEST
-
-
-def _dot_f32x3(a, b, cdt):
-    """f32-accurate matmul in 3 bf16 MXU passes (hi/lo operand split).
-
-    Mosaic's default f32 dot is a single bf16 pass (~1e-2 error — fatal for
-    interpolation weights) and ``Precision.HIGHEST`` costs 6 passes; the
-    DotAlgorithmPreset x3 algorithms don't lower.  This manual split gets
-    ~1e-7 relative accuracy at half the HIGHEST cost.  Falls back to a
-    HIGHEST dot for non-f32 compute dtypes (f64 interpret-mode tests).
-    """
-    if cdt != jnp.float32:
-        return jnp.dot(a, b, preferred_element_type=cdt, precision=_HIGH)
-    a_hi = a.astype(jnp.bfloat16)
-    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    b_hi = b.astype(jnp.bfloat16)
-    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    d = jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
-    d = d + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
-    d = d + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
-    return d
+# v5e has 128MB of VMEM; the default 16MB scoped limit rejects the
+# full-longitude tier windows plus their basis/remap temporaries
+_CPARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def _cdiv(a, b):
@@ -92,10 +86,10 @@ def pad_coeffs_for_pallas(coeffs: jax.Array):
     Pad widths are ``n//2`` (the unwrap's maximum excursion) plus
     (8, 128)-alignment slop plus tap margins, so a window start can never
     be clipped away from its tile's taps.  Both pads are themselves
-    multiples of the respective alignment (8 rows, 128 lanes): the polar
-    full-x pass feeds ``xpad`` directly through a
-    ``pl.multiple_of(..., 128)``-asserted index map, so a misaligned pad
-    would be undefined behaviour for Mosaic's Element-indexed DMA.
+    multiples of the respective alignment (8 rows, 128 lanes): window
+    starts are computed in padded element space and asserted
+    ``pl.multiple_of(..., 8 | 128)`` in the index maps, so a misaligned
+    pad would be undefined behaviour for Mosaic's Element-indexed DMA.
     """
     ny, nx = coeffs.shape[-2], coeffs.shape[-1]
     ypad = -(-(ny // 2 + 16) // 8) * 8
@@ -133,8 +127,8 @@ def _cubic_w(t):
     return (w0, w1, w2, w3)
 
 
-def _tap_offsets_and_weights(fold_c, u, base, n, order):
-    """Window-relative tap offsets (with exact mirror remaps) + weights.
+def _tap_offsets(fold_c, u, base, n, order):
+    """Window-relative tap offsets (with exact mirror remaps).
 
     ``fold_c``: folded coordinate (period n-1, in [0, n-1]); ``u``: the
     unwrapped coordinate (≡ fold_c mod n, same fractional part); ``base``:
@@ -148,42 +142,24 @@ def _tap_offsets_and_weights(fold_c, u, base, n, order):
                          tap k=+2 mirrors n+1→n-3 → use k=-1's offset - 1
     """
     fu = jnp.floor(u)
-    t = u - fu
     ff = jnp.floor(fold_c)
     o0 = fu.astype(jnp.int32) - base
     if order == 1:
         hi = ff >= n - 1
         off1 = jnp.where(hi, o0 - 1, o0 + 1)
-        return [(o0, 1.0 - t), (off1, t)]
-    w = _cubic_w(t)
+        return [o0, off1]
     lo = fold_c < 1.0
     hi2 = ff == n - 2
     hi1 = ff >= n - 1
     off_m1 = jnp.where(lo, o0 + 1, o0 - 1)
     off_p1 = jnp.where(hi1, o0 - 1, o0 + 1)
     off_p2 = jnp.where(hi1, o0 - 2, jnp.where(hi2, o0, o0 + 2))
-    return [(off_m1, w[0]), (o0, w[1]), (off_p1, w[2]), (off_p2, w[3])]
-
-
-def _tile_window_starts(fold_t, n, pad, w, tile_r, tile_c, align):
-    """Per-tile aligned window starts, vectorised over all tiles (XLA).
-
-    ``fold_t``: folded coordinates (nyt, nxt).  Returns int32 (gy, gx)
-    offsets in PADDED element space (multiples of ``align``).
-    """
-    nyt, nxt = fold_t.shape
-    gy, gx = nyt // tile_r, nxt // tile_c
-    tiles = fold_t.reshape(gy, tile_r, gx, tile_c)
-    anchor = tiles[:, 0, :, 0][:, None, :, None]
-    u = _unwrap(tiles, anchor, n)
-    mn = jnp.min(jnp.floor(u), axis=(1, 3)).astype(jnp.int32) - 3
-    start = jnp.clip(mn, -pad, n + pad - w)
-    return ((start + pad) // align) * align  # padded-space, aligned
+    return [off_m1, o0, off_p1, off_p2]
 
 
 def _bspline3(s):
     """Cubic B-spline basis evaluated at lane distances ``s``: the 4 tap
-    weights w0..w3 of ops/interp.py are exactly B3 at s = lane - (o0+t)."""
+    weights of ops/interp.py are exactly B3 at s = lane - position."""
     a = jnp.abs(s)
     near = (4.0 - 6.0 * a * a + 3.0 * a * a * a) / 6.0
     t2 = 2.0 - a
@@ -196,52 +172,65 @@ def _tent(s):
     return jnp.maximum(0.0, 1.0 - jnp.abs(s))
 
 
-def _onehot_direct(pos_rel, iota, order):
-    """Weight matrix (TILE_C, W): the spline basis evaluated at each lane's
+def _basis_direct(pos_rel, iota, order):
+    """Basis matrix (..., W): the spline basis evaluated at each lane's
     distance from the interpolation point — one fused pass instead of one
     compare/select per tap.  Valid where no mirror remap applies."""
-    s = iota.astype(pos_rel.dtype) - pos_rel[:, None]
+    s = iota.astype(pos_rel.dtype) - pos_rel[..., None]
     return _bspline3(s) if order == 3 else _tent(s)
 
 
 def _remap_corrections(ohw, fold_r, u_r, base, n, iota, order):
     """Move edge-tap weight mass per the mirror remaps (rare; see
-    _tap_offsets_and_weights).  ``fold_r``/``u_r``: one row's (TILE_C,)
-    coordinates.  Returns the corrected weight matrix."""
+    _tap_offsets).  ``fold_r``/``u_r``: (TR, TC) coordinates.  Returns the
+    corrected basis matrix (TR, TC, W)."""
+    # NOTE: predicates are folded into the weights as float masks BEFORE
+    # the [..., None] broadcast — Mosaic cannot insert a minor dim on i1
+    # vectors ("tpu.reshape ... i1 ... not a no-op").
+    cdt = ohw.dtype
     fu = jnp.floor(u_r)
     t = u_r - fu
     ff = jnp.floor(fold_r)
-    o0 = (fu.astype(jnp.int32) - base)[:, None]
+    o0 = (fu.astype(jnp.int32) - base)[..., None]
     if order == 1:
-        hi = (ff >= n - 1)[:, None]
-        w1 = t[:, None]
-        d = jnp.where(hi & (iota == o0 + 1), -w1, 0.0) \
-            + jnp.where(hi & (iota == o0 - 1), w1, 0.0)
+        hi = (ff >= n - 1).astype(cdt)
+        w1 = (t * hi)[..., None]
+        d = jnp.where(iota == o0 + 1, -w1, 0.0) \
+            + jnp.where(iota == o0 - 1, w1, 0.0)
         return ohw + d
     w = _cubic_w(t)
-    lo = (fold_r < 1.0)[:, None]
-    hi2 = (ff == n - 2)[:, None]
-    hi1 = (ff >= n - 1)[:, None]
-    w0 = w[0][:, None]
-    w2 = w[2][:, None]
-    w3 = w[3][:, None]
-    d = jnp.where(lo & (iota == o0 - 1), -w0, 0.0) \
-        + jnp.where(lo & (iota == o0 + 1), w0, 0.0) \
-        + jnp.where(hi2 & (iota == o0 + 2), -w3, 0.0) \
-        + jnp.where(hi2 & (iota == o0), w3, 0.0) \
-        + jnp.where(hi1 & (iota == o0 + 1), -w2, 0.0) \
-        + jnp.where(hi1 & (iota == o0 - 1), w2, 0.0) \
-        + jnp.where(hi1 & (iota == o0 + 2), -w3, 0.0) \
-        + jnp.where(hi1 & (iota == o0 - 2), w3, 0.0)
+    lo = (fold_r < 1.0).astype(cdt)
+    hi2 = (ff == n - 2).astype(cdt)
+    hi1 = (ff >= n - 1).astype(cdt)
+    w0 = (w[0] * lo)[..., None]
+    w2 = (w[2] * hi1)[..., None]
+    w3_2 = (w[3] * hi2)[..., None]
+    w3_1 = (w[3] * hi1)[..., None]
+    d = jnp.where(iota == o0 - 1, -w0, 0.0) \
+        + jnp.where(iota == o0 + 1, w0, 0.0) \
+        + jnp.where(iota == o0 + 2, -w3_2, 0.0) \
+        + jnp.where(iota == o0, w3_2, 0.0) \
+        + jnp.where(iota == o0 + 1, -w2, 0.0) \
+        + jnp.where(iota == o0 - 1, w2, 0.0) \
+        + jnp.where(iota == o0 + 2, -w3_1, 0.0) \
+        + jnp.where(iota == o0 - 2, w3_1, 0.0)
     return ohw + d
 
 
-def _spline_body(py, px, win, out_ref, write_flag, scratch, y0, x0, *,
-                 F, ny, nx, y_min, y_max, x_min, x_max, WY, WX, order,
-                 x_full: bool):
-    """Shared spline evaluation body.  ``y0``/``x0``: window starts in
-    unpadded index space; with ``x_full`` the x offsets come directly from
-    folded space (base 0) and cannot overflow."""
+# ---------------------------------------------------------------------------
+# Whole-tile kernel bodies
+# ---------------------------------------------------------------------------
+
+def _spline_tile_body(py, px, win_ref, out_ref, write_flag, y0, x0, *,
+                      F, ny, nx, y_min, y_max, x_min, x_max, WY, WX,
+                      order, x_full):
+    """Evaluate one (TILE_R, TILE_C) tile: whole-tile one-hot contraction.
+
+    ``py``/``px``: (TR, TC) positions; ``win_ref``: (F, WY, WX) window
+    block; ``out_ref``: (F, TR, TC) output block; ``y0``/``x0``: window
+    starts in unpadded unwrapped index space.  With ``x_full`` the x
+    offsets come directly from folded space (base 0) and cannot overflow.
+    """
     dtype = out_ref.dtype
     cdt = py.dtype
     yi = ny * (py - y_min) / (y_max - y_min)
@@ -250,14 +239,14 @@ def _spline_body(py, px, win, out_ref, write_flag, scratch, y0, x0, *,
     xfold = _fold(xi, nx)
     yu = _unwrap(yfold, yfold[0, 0], ny)
     xu = xfold if x_full else _unwrap(xfold, xfold[0, 0], nx)
-    ytaps = _tap_offsets_and_weights(yfold, yu, y0, ny, order)
-    xtaps = _tap_offsets_and_weights(xfold, xu, x0, nx, order)
 
+    # safety flag: exact routing makes this 0; capacity overflow and
+    # mis-routed tiles clamp and raise it
     over = jnp.zeros((), jnp.int32)
-    for off, _ in ytaps:
+    for off in _tap_offsets(yfold, yu, y0, ny, order):
         over = over | jnp.any((off < 0) | (off >= WY)).astype(jnp.int32)
     if not x_full:
-        for off, _ in xtaps:
+        for off in _tap_offsets(xfold, xu, x0, nx, order):
             over = over | jnp.any((off < 0) | (off >= WX)).astype(jnp.int32)
     write_flag(over)
 
@@ -265,370 +254,551 @@ def _spline_body(py, px, win, out_ref, write_flag, scratch, y0, x0, *,
     # of the domain edges) — the direct basis build is exact elsewhere
     y_edge = jnp.any((yfold < 1.0) | (jnp.floor(yfold) >= ny - 2))
     x_edge = jnp.any((xfold < 1.0) | (jnp.floor(xfold) >= nx - 2))
-    # window-relative positions (offsets already clamped into the window by
-    # the flag contract; clamp keeps the basis evaluation in-range too)
+    # window-relative positions (clamped so the basis evaluation stays
+    # in-range when the flag contract clamps taps)
     ypos = jnp.clip(yu - y0, 0.0, WY - 1.0)
     xpos = jnp.clip(xu - x0, 0.0, WX - 1.0)
 
-    iota_y = jax.lax.broadcasted_iota(jnp.int32, (TILE_C, WY), 1)
-    iota_x = jax.lax.broadcasted_iota(jnp.int32, (TILE_C, WX), 1)
+    i3y = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C, WY), 2)
+    ohy = _basis_direct(ypos, i3y, order)
+    ohy = jax.lax.cond(
+        y_edge,
+        lambda o: _remap_corrections(o, yfold, yu, y0, ny, i3y, order),
+        lambda o: o, ohy)
 
-    # static row unroll, but each row's result is stored into the scratch
-    # ref immediately — the sequential ref dependency lets Mosaic reuse the
-    # (TILE_C, WX)-sized intermediates instead of keeping 8 x F of them
-    # live (which blows the 16MB VMEM budget at full-x window widths)
-    for r in range(TILE_R):
-        ohy = _onehot_direct(ypos[:, r], iota_y, order)
-        ohy = jax.lax.cond(
-            y_edge,
-            lambda o: _remap_corrections(o, yfold[:, r], yu[:, r], y0, ny,
-                                         iota_y, order),
-            lambda o: o, ohy)
-        ohx = _onehot_direct(xpos[:, r], iota_x, order)
-        ohx = jax.lax.cond(
+    # MXU contraction over x, in <=512-lane chunks so the materialised
+    # x basis stays within the scoped-VMEM budget for full-longitude
+    # windows.  (F, WY, WX) -> (F*WY, WX) and (8, 128, XC) -> (1024, XC)
+    # merge major dims only — layout no-ops in Mosaic.
+    w2 = win_ref[...].reshape(F * WY, WX).astype(cdt)
+    g = jnp.zeros((_M, F * WY), cdt)
+    xchunk = 256 if WX > 512 else 512
+    c0 = 0
+    while c0 < WX:
+        xc = min(xchunk, WX - c0)
+        i3c = c0 + jax.lax.broadcasted_iota(jnp.int32,
+                                            (TILE_R, TILE_C, xc), 2)
+        ohc = _basis_direct(xpos, i3c, order)
+        ohc = jax.lax.cond(
             x_edge,
-            lambda o: _remap_corrections(o, xfold[:, r], xu[:, r], x0, nx,
-                                         iota_x, order),
-            lambda o: o, ohx)
-        for f in range(F):
-            # HIGHEST (6-pass bf16): the 3-pass hi/lo split's ~2^-16
-            # relative error compounds over 576 evaluations to ~0.06
-            # log-FTLE p99 — measured, not acceptable for parity
-            d = jnp.dot(ohy, win[f].astype(cdt),
-                        preferred_element_type=cdt, precision=_HIGH)
-            scratch[f, :, r] = jnp.sum(d * ohx, axis=1).astype(dtype)
+            lambda o, i3c=i3c: _remap_corrections(o, xfold, xu, x0, nx,
+                                                  i3c, order),
+            lambda o: o, ohc)
+        g = g + jax.lax.dot_general(ohc.reshape(_M, xc), w2[:, c0:c0 + xc],
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=cdt,
+                                    precision=_HIGH)
+        c0 += xc
+    g3 = g.reshape(TILE_R, TILE_C, F * WY)
     for f in range(F):
-        out_ref[f] = scratch[f].T    # (TILE_R, TILE_C)
+        out_ref[f] = jnp.sum(g3[..., f * WY:(f + 1) * WY] * ohy,
+                             axis=2).astype(dtype)
 
 
-def _interp_kernel(y0s, x0s, py_ref, px_ref, win_ref, out_ref, flag_ref,
-                   scratch, *, F, ny, nx, y_min, y_max, x_min, x_max, WY,
-                   WX, YPAD, XPAD, order, row_base, x_full):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    y0 = y0s[i + row_base, j] - YPAD
-    x0 = jnp.zeros((), jnp.int32) if x_full else x0s[i + row_base, j] - XPAD
-
-    def write_flag(v):
-        flag_ref[i, j] = v
-
-    _spline_body(py_ref[:].T, px_ref[:].T, win_ref, out_ref, write_flag,
-                 scratch, y0, x0, F=F, ny=ny, nx=nx, y_min=y_min,
-                 y_max=y_max, x_min=x_min, x_max=x_max, WY=WY, WX=WX,
-                 order=order, x_full=x_full)
-
-
-def _retry_kernel(iy, jx, iy_out, y0s, x0s, py_ref, px_ref, win_ref,
-                  out_ref, flag_ref, scratch, *, F, ny, nx, y_min, y_max,
-                  x_min, x_max, WY, WX, YPAD, XPAD, order):
-    i = pl.program_id(0)
-    y0 = y0s[i] - YPAD
-    x0 = x0s[i] - XPAD
-
-    def write_flag(v):
-        flag_ref[i, 0] = v
-
-    _spline_body(py_ref[:].T, px_ref[:].T, win_ref, out_ref, write_flag,
-                 scratch, y0, x0, F=F, ny=ny, nx=nx,
-                 y_min=y_min, y_max=y_max, x_min=x_min, x_max=x_max,
-                 WY=WY, WX=WX, order=order, x_full=False)
-
-
-def _pole_kernel(rows_ref, yw0s, py_ref, px_ref, win_ref, out_ref, flag_ref,
-                 scratch, *, F, ny, nx, nx_t, x_min, x_max, y_min, y_max,
-                 WYC):
+def _pole_tile_body(py, px, win_ref, out_ref, write_flag, y0, x0, *,
+                    F, ny, nx, y_min, y_max, x_min, x_max, WY, WX,
+                    x_full):
     """Order-1 mode='constant' evaluation for pole-home-row tiles
-    (/root/reference/LCS/tools.py:31-39): direct (unfolded) indices,
-    out-of-range → 0, full-x window."""
+    (/root/reference/LCS/tools.py:31-39): direct (unfolded) indices on the
+    RAW field, out-of-range → 0."""
     dtype = out_ref.dtype
-    py = py_ref[:].T
-    px = px_ref[:].T
     cdt = py.dtype
     yi = ny * (py - y_min) / (y_max - y_min)
     xi = nx * (px - x_min) / (x_max - x_min)
     in_range = (yi >= 0) & (yi <= ny - 1) & (xi >= 0) & (xi <= nx - 1)
-    y0f = jnp.clip(jnp.floor(yi), 0, ny - 2)
-    x0f = jnp.clip(jnp.floor(xi), 0, nx - 2)
-    ty = (yi - y0f).astype(cdt)
-    tx = (xi - x0f).astype(cdt)
+    # clip into the grid: out-of-range values are masked to 0 below, and
+    # the in-range extremes (yi == ny-1) evaluate exactly under the tent
+    yc = jnp.clip(yi, 0.0, float(ny - 1))
+    xc = jnp.clip(xi, 0.0, float(nx - 1))
 
-    yw0 = yw0s[pl.program_id(0), pl.program_id(1)]
-    oy_raw = y0f.astype(jnp.int32) - yw0
-    flag_ref[pl.program_id(0), pl.program_id(1)] = jnp.any(
-        (oy_raw < 0) | (oy_raw > WYC - 2)).astype(jnp.int32)
-    oy = jnp.clip(oy_raw, 0, WYC - 2)
-    ox = x0f.astype(jnp.int32)
+    oy = jnp.clip(jnp.floor(yc), 0, ny - 2).astype(jnp.int32) - y0
+    ox = jnp.clip(jnp.floor(xc), 0, nx - 2).astype(jnp.int32) - x0
+    over = jnp.any((oy < 0) | (oy > WY - 2)).astype(jnp.int32)
+    if not x_full:
+        over = over | jnp.any((ox < 0) | (ox > WX - 2)).astype(jnp.int32)
+    write_flag(over)
 
-    iota_y = jax.lax.broadcasted_iota(jnp.int32, (TILE_C, WYC), 1)
-    iota_x = jax.lax.broadcasted_iota(jnp.int32, (TILE_C, nx_t), 1)
+    ypos = jnp.clip(yc - y0, 0.0, WY - 1.0)
+    xpos = jnp.clip(xc - x0, 0.0, WX - 1.0)
+    i3y = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C, WY), 2)
+    ohy = _basis_direct(ypos, i3y, 1)
 
-    for r in range(TILE_R):
-        o_y = oy[:, r][:, None]
-        w_y = ty[:, r][:, None]
-        ohy = jnp.where(iota_y == o_y, 1.0 - w_y, 0.0) \
-            + jnp.where(iota_y == o_y + 1, w_y, 0.0)
-        o_x = ox[:, r][:, None]
-        w_x = tx[:, r][:, None]
-        ohx = jnp.where(iota_x == o_x, 1.0 - w_x, 0.0) \
-            + jnp.where(iota_x == o_x + 1, w_x, 0.0)
-        mask = in_range[:, r]
-        for f in range(F):
-            d = jnp.dot(ohy, win_ref[f].astype(cdt),
-                        preferred_element_type=cdt, precision=_HIGH)
-            val = jnp.sum(d * ohx, axis=1)
-            scratch[f, :, r] = jnp.where(mask, val, 0.0).astype(dtype)
+    w2 = win_ref[...].reshape(F * WY, WX).astype(cdt)
+    g = jnp.zeros((_M, F * WY), cdt)
+    xchunk = 256 if WX > 512 else 512
+    c0 = 0
+    while c0 < WX:
+        xck = min(xchunk, WX - c0)
+        i3c = c0 + jax.lax.broadcasted_iota(jnp.int32,
+                                            (TILE_R, TILE_C, xck), 2)
+        ohc = _basis_direct(xpos, i3c, 1)
+        g = g + jax.lax.dot_general(ohc.reshape(_M, xck),
+                                    w2[:, c0:c0 + xck],
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=cdt,
+                                    precision=_HIGH)
+        c0 += xck
+    g3 = g.reshape(TILE_R, TILE_C, F * WY)
     for f in range(F):
-        out_ref[f] = scratch[f].T
+        val = jnp.sum(g3[..., f * WY:(f + 1) * WY] * ohy, axis=2)
+        out_ref[f] = jnp.where(in_range, val, 0.0).astype(dtype)
 
+
+def _grid_kernel(live_s, y0s, x0s, py_ref, px_ref, win_ref, out_ref,
+                 flag_ref, *, body, F, WY, WX, YPAD, XPAD, x_full, common):
+    """Tier-A kernel: 2-D grid over all tiles in place, gated to the tiles
+    routed to this tier (plus unrouted overflow tiles, which clamp)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    flag_ref[i, j] = jnp.int32(0)
+
+    @pl.when(live_s[i, j] > 0)
+    def _():
+        y0 = y0s[i, j] - YPAD
+        x0 = jnp.zeros((), jnp.int32) if x_full else x0s[i, j] - XPAD
+
+        def write_flag(v):
+            flag_ref[i, j] = v
+
+        body(py_ref[0], px_ref[0], win_ref, out_ref, write_flag, y0, x0,
+             F=F, WY=WY, WX=WX, x_full=x_full, **common)
+
+
+def _pole_grid_kernel(live_s, y0s, x0s, rows, py_ref, px_ref, win_ref,
+                      out_ref, flag_ref, *, body, F, WY, WX, YPAD, XPAD,
+                      x_full, common):
+    """Pole-row windowed pass: 2-D grid (pole tile rows x gx)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    flag_ref[i, j] = jnp.int32(0)
+
+    @pl.when(live_s[i, j] > 0)
+    def _():
+        y0 = y0s[i, j] - YPAD
+        x0 = jnp.zeros((), jnp.int32) if x_full else x0s[i, j] - XPAD
+
+        def write_flag(v):
+            flag_ref[i, j] = v
+
+        body(py_ref[0], px_ref[0], win_ref, out_ref, write_flag, y0, x0,
+             F=F, WY=WY, WX=WX, x_full=x_full, **common)
+
+
+def _list_kernel(n_live, iy, jx, iy_out, y0s, x0s, py_ref, px_ref, win_ref,
+                 out_ref, flag_ref, *, body, F, WY, WX, YPAD, XPAD, x_full,
+                 common):
+    """Escalation-tier kernel: 1-D grid over a compacted tile list; slots
+    past ``n_live`` are dead (their index maps repeat slot 0, so the window
+    DMA is skipped, and the body is gated off)."""
+    i = pl.program_id(0)
+    flag_ref[i, 0] = jnp.int32(0)
+
+    @pl.when(i < n_live[0])
+    def _():
+        y0 = y0s[i] - YPAD
+        x0 = jnp.zeros((), jnp.int32) if x_full else x0s[i] - XPAD
+
+        def write_flag(v):
+            flag_ref[i, 0] = v
+
+        body(py_ref[0], px_ref[0], win_ref, out_ref, write_flag, y0, x0,
+             F=F, WY=WY, WX=WX, x_full=x_full, **common)
+
+
+# ---------------------------------------------------------------------------
+# XLA-side routing
+# ---------------------------------------------------------------------------
+
+def _tile_minmax(fold_t, n, x_full=False):
+    """Per-tile floor-min/max of unwrapped coords, (gy, gx) int32 each."""
+    nyt, nxt = fold_t.shape
+    gy, gx = nyt // TILE_R, nxt // TILE_C
+    tiles = fold_t.reshape(gy, TILE_R, gx, TILE_C)
+    if x_full:
+        u = tiles
+    else:
+        anchor = tiles[:, :1, :, :1]
+        u = _unwrap(tiles, anchor, n)
+    f = jnp.floor(u)
+    return (jnp.min(f, axis=(1, 3)).astype(jnp.int32),
+            jnp.max(f, axis=(1, 3)).astype(jnp.int32))
+
+
+def _starts(mn, n, pad, w, align):
+    """Aligned window starts in PADDED element space for floor-mins ``mn``."""
+    s = ((mn - 3 + pad) // align) * align
+    return jnp.clip(s, 0, n + 2 * pad - w)
+
+
+def _fits(mn, mx, s_pad, pad, w, margin):
+    """Does window [s_pad-pad, s_pad-pad+w) hold taps [mn-margin, mx+2]?"""
+    lo = s_pad - pad
+    return ((mn - margin) >= lo) & ((mx + 2) <= lo + w - 1)
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
 
 def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                         px: jax.Array, py: jax.Array, *,
                         ny: int, nx: int, y_min, y_max, x_min, x_max,
-                        order: int = 3, wy: int = 48, wx: int = 384,
-                        wyc: int = 192, polar_band: int = 2,
-                        retry_tiles: int = 128, retry_wy: int = 192,
-                        retry_wx: int = 768, interpret: bool = False,
+                        order: int = 3, wy: int = 32, wx: int = 384,
+                        wyc: int = 64, polar_band: int = 2,
+                        retry_tiles: int = 256, retry_wy: int = 64,
+                        retry_wx: int = 768,
+                        home_rows=None, pole_tile_rows=None,
+                        interpret: bool = False,
                         debug_flags: bool = False):
     """Evaluate F stacked fields at parcel positions — the TPU fast path.
 
     ``raw``: (F, ny, nx) raw fields (pole-home path); ``cw_pad``: padded
     coefficients from :func:`pad_coeffs_for_pallas` (pass padded raw fields
-    for order 1); ``px``/``py``: (ny, nx) positions; ``polar_band``: tile
-    rows per pole routed through the overflow-free full-x variant.
-    Returns ``(out (F, ny, nx), overflow int32 scalar)``.
+    for order 1); ``px``/``py``: (ny, nx) positions.
+
+    Tier A — window ``(wy, wx)``, a 2-D grid over all tiles, gated to the
+    tiles whose taps provably fit — is followed by an escalation ladder of
+    wider windows (see ``ladder`` in the body: y-stretched, x-stretched,
+    both, violent, and full-longitude levels) over compacted tile lists.
+    Routing is exact (per-tile tap spans computed in XLA), and the cascade
+    is capacity-aware: a tile spills to the next level that holds it when
+    a level's capacity is exhausted.  The ``overflow`` flag raises only if
+    a tile is left windowless (every holding level full, or spans beyond
+    the widest level) — such tiles keep tier-A clamped values.
+
+    ``retry_tiles=0`` disables all escalation: unfit tiles clamp and flag,
+    as callers relying on the overflow contract expect.
+
+    Sharded blocks: ``px``/``py`` may hold a latitude BLOCK of the parcel
+    grid ((rows, nx) with rows != ny).  ``home_rows`` ((rows, 1) int32,
+    traced) then supplies each block row's GLOBAL home row (the reference
+    keys its pole special-case on home row, /root/reference/LCS/tools.py:
+    31-39), and ``pole_tile_rows`` (static tuple) the block tile rows that
+    may contain pole home rows — a superset is fine, extra tiles are
+    masked out.  Window routing itself is position-only and needs neither.
+
+    Returns ``(out (F, rows, nx), overflow int32 scalar)``.
     """
     F = raw.shape[0]
-    ny_t = _cdiv(ny, TILE_R) * TILE_R
+    R = py.shape[0]
+    ny_t = _cdiv(R, TILE_R) * TILE_R          # position-block tiling
     nx_t = _cdiv(nx, TILE_C) * TILE_C
     gy, gx = ny_t // TILE_R, nx_t // TILE_C
+    n_tiles = gy * gx
     dtype = raw.dtype
     ypad = (cw_pad.shape[-2] - ny) // 2
     xpad = (cw_pad.shape[-1] - nx) // 2
     if ny + 2 * ypad < wy or nx + 2 * xpad < wx:
         raise ValueError(f"window ({wy},{wx}) exceeds padded field "
                          f"({ny + 2 * ypad},{nx + 2 * xpad})")
-    polar_band = min(polar_band, gy // 2)
     wx_full = nx_t + 128   # full-x slab: covers folded taps up to nx+1
 
     def pad_pos(p):
-        return jnp.pad(p, ((0, ny_t - ny), (0, nx_t - nx)), mode="edge")
+        return jnp.pad(p, ((0, ny_t - R), (0, nx_t - nx)), mode="edge")
 
     pyt = pad_pos(py)
     pxt = pad_pos(px)
 
-    # --- precompute per-tile window starts in XLA (padded space, aligned)
+    # ---- exact per-tile tap spans (XLA, vectorised over tiles) ----
     yi = ny * (pyt - y_min) / (y_max - y_min)
     xi = nx * (pxt - x_min) / (x_max - x_min)
     yfold = _fold(yi, ny)
     xfold = _fold(xi, nx)
-    y0s = _tile_window_starts(yfold, ny, ypad, wy, TILE_R, TILE_C, 8)
-    x0s = _tile_window_starts(xfold, nx, xpad, wx, TILE_R, TILE_C, 128)
+    ymn, ymx = _tile_minmax(yfold, ny)
+    xmn, xmx = _tile_minmax(xfold, nx)
 
-    common = dict(F=F, ny=ny, nx=nx, y_min=float(y_min), y_max=float(y_max),
+    # ---- escalation ladder: (wy, wx or None=full-x, capacity) ----
+    # Tuned on flagship-final-step span histograms (ROUND2_NOTES): y spans
+    # p50/p90/p99/max = 16/33/67/124, x spans p50/p90 = 144/838 with ~10%
+    # of tiles (polar) genuinely spanning the whole circle.  MXU passes per
+    # tile = 8*ceil(WX/128)*ceil(F*WY/128)*3, so tiers separate y- and
+    # x-escalations to keep ceil products minimal.
+    # NOTE on tier-A width: window starts are 128-lane-aligned, so a tier
+    # holds x spans up to wx - 133 in the worst alignment.  The HOME mesh
+    # itself spans ~128.1 cells per tile (the quirk-Q4 N/(N-1) stretch),
+    # so the base tier must be >= 384 wide or every tile escalates on the
+    # early, compact steps.
+    wy_cap = ((ny + 2 * ypad) // 8) * 8
+    wx_cap = ((nx + 2 * xpad) // 128) * 128
+    ladder = [
+        (min(64, wy_cap), min(wx, wx_cap), 384),     # y-stretched
+        (min(32, wy_cap), min(retry_wx, wx_cap), 256),   # x-stretched
+        (min(retry_wy, wy_cap), min(retry_wx, wx_cap), 256),  # both
+        (min(128, wy_cap), min(1024, wx_cap), 96),   # violent
+        (min(32, wy_cap), None, 256),                # polar full-circle
+        (min(64, wy_cap), None, 96),
+        (min(192, wy_cap), None, 32),                # polar + tall (rare)
+    ]
+
+    # lowest tap offset after mirror remaps is mn-2 (order 3, fold >= n-1
+    # case of _tap_offsets) / mn-1 (order 1); highest is mx+2
+    m = 2 if order == 3 else 1
+
+    def fit(wy_, wx_):
+        ys = _starts(ymn, ny, ypad, wy_, 8)
+        if wx_ is None:
+            return _fits(ymn, ymx, ys, ypad, wy_, m), ys, None
+        xs = _starts(xmn, nx, xpad, wx_, 128)
+        return (_fits(ymn, ymx, ys, ypad, wy_, m)
+                & _fits(xmn, xmx, xs, xpad, wx_, m), ys, xs)
+
+    fitA, y0A, x0A = fit(wy, wx)
+
+    common = dict(ny=ny, nx=nx, y_min=float(y_min), y_max=float(y_max),
                   x_min=float(x_min), x_max=float(x_max), order=order)
-    pos_spec = pl.BlockSpec((TILE_R, TILE_C), lambda i, j, *_: (i, j),
-                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((F, TILE_R, TILE_C), lambda i, j, *_: (0, i, j),
-                            memory_space=pltpu.VMEM)
+    body = partial(_spline_tile_body)
 
-    def win_spec(wy_, wx_, row_base):
-        def imap(i, j, y0ref, x0ref):
-            return (0, pl.multiple_of(y0ref[i + row_base, j], 8),
-                    pl.multiple_of(x0ref[i + row_base, j], 128))
-        return pl.BlockSpec((pl.Element(F), pl.Element(wy_), pl.Element(wx_)),
-                            imap, memory_space=pltpu.VMEM)
-
-    def run_spline(row_base, rows, wx_, x_full):
-        grid = (rows, gx)
-        kern = partial(_interp_kernel, **common, WY=wy, WX=wx_,
-                       YPAD=ypad, XPAD=xpad, row_base=row_base,
-                       x_full=x_full)
-        if x_full:
-            x0z = jnp.full_like(x0s, xpad)  # slab starts at real col 0
-        else:
-            x0z = x0s
-        gridspec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((TILE_R, TILE_C),
-                             lambda i, j, *_: (i + row_base, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((TILE_R, TILE_C),
-                             lambda i, j, *_: (i + row_base, j),
-                             memory_space=pltpu.VMEM),
-                win_spec(wy, wx_, row_base)],
-            out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
-                                    lambda i, j, *_: (0, i + row_base, j),
-                                    memory_space=pltpu.VMEM),
-                       pl.BlockSpec(grid, lambda i, j, *_: (0, 0),
-                                    memory_space=pltpu.SMEM)],
-            scratch_shapes=[pltpu.VMEM((F, TILE_C, TILE_R), dtype)],
-        )
-        return pl.pallas_call(
-            kern, grid_spec=gridspec,
-            out_shape=[jax.ShapeDtypeStruct((F, ny_t, nx_t), dtype),
-                       jax.ShapeDtypeStruct(grid, jnp.int32)],
-            interpret=interpret,
-        )(y0s, x0z, pyt, pxt, cw_pad)
-
-    mid_rows = gy - 2 * polar_band
-    flag_map = jnp.zeros((gy, gx), jnp.int32)
-    if mid_rows > 0:
-        out_arr, flags_mid = run_spline(polar_band, mid_rows, wx, False)
-        flag_map = flag_map.at[polar_band:gy - polar_band].set(flags_mid)
-    else:
-        out_arr = jnp.zeros((F, ny_t, nx_t), dtype)
-
-    if polar_band > 0:
-        row = jax.lax.broadcasted_iota(jnp.int32, (ny_t, nx_t), 0)
-        for base in (0, gy - polar_band):
-            p_out, p_flags = run_spline(base, polar_band, wx_full, True)
-            flag_map = flag_map.at[base:base + polar_band].set(p_flags)
-            lo = base * TILE_R
-            hi = (base + polar_band) * TILE_R
-            in_band = (row >= lo) & (row < hi)
-            out_arr = jnp.where(in_band[None], p_out, out_arr)
-
-    overflow = jnp.zeros((), jnp.int32)
-
-    # ---- adaptive retry (pass B): re-run flagged tiles with a tall window
-    # and the overflow-free full-x variant.  FTLE flows shear chaotically —
-    # stretched tiles are expected, not exceptional (stretching IS the
-    # signal), so correctness cannot rely on the pass-A windows alone.
-    retry_tiles = min(retry_tiles, gy * gx)
-    if retry_tiles > 0:
-        wy2 = min(retry_wy, ny + 2 * ypad)
-        wx2 = min(retry_wx, nx + 2 * xpad)
-        y0b = _tile_window_starts(yfold, ny, ypad, wy2, TILE_R, TILE_C, 8)
-        x0b = _tile_window_starts(xfold, nx, xpad, wx2, TILE_R, TILE_C, 128)
-        flat = flag_map.ravel()
-        sel = jnp.argsort(-flat)[:retry_tiles]
-        n_flag = jnp.sum(flat)
+    # ---- escalation tiers over compacted tile lists ----
+    def run_tier(want, cap, wy_, wx_, ys_full, xs, x_full, tbody, tcommon,
+                 operand, ypad_t, xpad_t):
+        """Run one escalation tier; returns (out+garbage-row, covered mask,
+        residual in-kernel flag, capacity-exceeded flag)."""
+        cap = min(cap, n_tiles)
+        flat = want.ravel().astype(jnp.int32)
+        sel = jnp.argsort(-flat)[:cap]
+        count = jnp.minimum(jnp.sum(flat), cap)
+        slot = jnp.arange(cap)
+        live = slot < count
         iy = (sel // gx).astype(jnp.int32)
         jx = (sel - gx * (sel // gx)).astype(jnp.int32)
-        live = jnp.arange(retry_tiles) < n_flag
-        iy_out = jnp.where(live, iy, gy)      # dead iterations → garbage row
-        y0b_sel = y0b[iy, jx]
+        # dead slots repeat slot 0's blocks → Mosaic skips their DMAs
+        iy_d = jnp.where(live, iy, iy[0])
+        jx_d = jnp.where(live, jx, jx[0])
+        iy_out = jnp.where(live, iy, gy)          # garbage row for dead
+        y0sel = jnp.where(live, ys_full[iy, jx], ys_full[iy[0], jx[0]])
+        if x_full:
+            x0sel = jnp.zeros((cap,), jnp.int32)
+        else:
+            x0sel = jnp.where(live, xs[iy, jx], xs[iy[0], jx[0]])
+        n_live = jnp.full((1,), count, jnp.int32)
 
-        kern = partial(_retry_kernel, **common, WY=wy2, WX=wx2,
-                       YPAD=ypad, XPAD=xpad)
-        grid_b = (retry_tiles,)
-        x0full = x0b[iy, jx]
+        kern = partial(_list_kernel, body=tbody, F=F, WY=wy_, WX=wx_,
+                       YPAD=ypad_t, XPAD=xpad_t, x_full=x_full,
+                       common=tcommon)
 
-        def bimap(i, iyr, jxr, iyo, y0r, x0r):
+        def wmap(i, nl, iyr, jxr, iyo, y0r, x0r):
+            if x_full:
+                # full-x slab starts at unpadded col 0 (= padded xpad_t);
+                # folded x offsets are then overflow-free by construction
+                return (0, pl.multiple_of(y0r[i], 8), xpad_t)
             return (0, pl.multiple_of(y0r[i], 8),
                     pl.multiple_of(x0r[i], 128))
 
         gridspec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
-            grid=grid_b,
+            num_scalar_prefetch=6,
+            grid=(cap,),
             in_specs=[
-                pl.BlockSpec((TILE_R, TILE_C),
-                             lambda i, iyr, jxr, iyo, y0r, x0r:
-                             (iyr[i], jxr[i]), memory_space=pltpu.VMEM),
-                pl.BlockSpec((TILE_R, TILE_C),
-                             lambda i, iyr, jxr, iyo, y0r, x0r:
-                             (iyr[i], jxr[i]), memory_space=pltpu.VMEM),
-                pl.BlockSpec((pl.Element(F), pl.Element(wy2),
-                              pl.Element(wx2)), bimap,
+                pl.BlockSpec((1, TILE_R, TILE_C),
+                             lambda i, nl, iyr, jxr, iyo, y0r, x0r:
+                             (0, iyr[i], jxr[i]), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TILE_R, TILE_C),
+                             lambda i, nl, iyr, jxr, iyo, y0r, x0r:
+                             (0, iyr[i], jxr[i]), memory_space=pltpu.VMEM),
+                pl.BlockSpec((pl.Element(F), pl.Element(wy_),
+                              pl.Element(wx_)), wmap,
                              memory_space=pltpu.VMEM)],
             out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
-                                    lambda i, iyr, jxr, iyo, y0r, x0r:
+                                    lambda i, nl, iyr, jxr, iyo, y0r, x0r:
                                     (0, iyo[i], jxr[i]),
                                     memory_space=pltpu.VMEM),
-                       pl.BlockSpec((retry_tiles, 1),
-                                    lambda i, *_: (0, 0),
+                       pl.BlockSpec((cap, 1), lambda i, *_: (0, 0),
                                     memory_space=pltpu.SMEM)],
-            scratch_shapes=[pltpu.VMEM((F, TILE_C, TILE_R), dtype)],
         )
-        out_b, flags_b = pl.pallas_call(
+        out_t, flags_t = pl.pallas_call(
             kern, grid_spec=gridspec,
             out_shape=[jax.ShapeDtypeStruct((F, ny_t + TILE_R, nx_t), dtype),
-                       jax.ShapeDtypeStruct((retry_tiles, 1), jnp.int32)],
+                       jax.ShapeDtypeStruct((cap, 1), jnp.int32)],
             interpret=interpret,
-        )(iy, jx, iy_out, y0b_sel, x0full, pyt, pxt, cw_pad)
-        # merge ONLY the tiles the retry pass actually wrote (when more
-        # tiles flagged than retry_tiles, the excess keeps pass-A values
-        # and the overflow flag stays raised)
-        written = jnp.zeros((gy + 1, gx), jnp.int32).at[iy_out, jx].max(
-            live.astype(jnp.int32))[:gy]
-        retried = jnp.repeat(jnp.repeat(written > 0, TILE_R, 0), TILE_C, 1)
-        out_arr = jnp.where(retried[None], out_b[:, :ny_t], out_arr)
-        overflow = overflow | (n_flag > retry_tiles).astype(jnp.int32) \
-            | jnp.max(flags_b * live[:, None].astype(jnp.int32))
-    else:
-        overflow = jnp.max(flag_map)
-        n_flag = jnp.sum(flag_map)
-        flags_b = jnp.zeros((1, 1), jnp.int32)
-        live = jnp.zeros((1,), bool)
+            compiler_params=_CPARAMS,
+        )(n_live, iy_d, jx_d, iy_out, y0sel, x0sel,
+          pyt[None], pxt[None], operand)
+        covered = jnp.zeros((gy + 1, gx), jnp.int32).at[iy_out, jx_d].max(
+            live.astype(jnp.int32))[:gy] > 0
+        resid = jnp.max(flags_t * live[:, None].astype(jnp.int32))
+        over_cap = (jnp.sum(flat) > cap).astype(jnp.int32)
+        return out_t, covered & want, resid, over_cap
 
+    covered = jnp.zeros((gy, gx), bool)
+    tier_outs = []
+    overflow = jnp.zeros((), jnp.int32)
+    if retry_tiles > 0:
+        for wy_, wx_, cap in ladder:
+            fitT, ysT, xsT = fit(wy_, wx_)
+            # capacity-aware cascade: a tile that fit an earlier tier but
+            # exceeded its capacity spills into the next tier that holds it
+            want = (~fitA) & (~covered) & fitT
+            out_t, cov, resid, over_cap = run_tier(
+                want, cap, wy_, wx_full if wx_ is None else wx_, ysT, xsT,
+                wx_ is None, body, common, cw_pad, ypad, xpad)
+            tier_outs.append((out_t, cov))
+            covered = covered | cov
+            overflow = overflow | resid
+        # the flag now only raises when even the last holding tier's
+        # capacity ran out (checked after the cascade) or a window clamped
+        uncovered = jnp.sum((~fitA) & (~covered))
+        overflow = overflow | (uncovered > 0).astype(jnp.int32)
+
+    # ---- tier A: 2-D grid over all tiles; unrouted/uncovered tiles also
+    # run here (clamped windows, flag raised by the in-kernel check) ----
+    liveA = (fitA | ~covered).astype(jnp.int32)
+    kernA = partial(_grid_kernel, body=body, F=F, WY=wy, WX=wx,
+                    YPAD=ypad, XPAD=xpad, x_full=False, common=common)
+    gridA = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(gy, gx),
+        in_specs=[
+            pl.BlockSpec((1, TILE_R, TILE_C),
+                         lambda i, j, *_: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_R, TILE_C),
+                         lambda i, j, *_: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pl.Element(F), pl.Element(wy), pl.Element(wx)),
+                         lambda i, j, lv, y0r, x0r:
+                         (0, pl.multiple_of(y0r[i, j], 8),
+                          pl.multiple_of(x0r[i, j], 128)),
+                         memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
+                                lambda i, j, *_: (0, i, j),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((gy, gx), lambda i, j, *_: (0, 0),
+                                memory_space=pltpu.SMEM)],
+    )
+    outA, flagsA = pl.pallas_call(
+        kernA, grid_spec=gridA,
+        out_shape=[jax.ShapeDtypeStruct((F, ny_t, nx_t), dtype),
+                   jax.ShapeDtypeStruct((gy, gx), jnp.int32)],
+        interpret=interpret,
+            compiler_params=_CPARAMS,
+    )(liveA, y0A, x0A, pyt[None], pxt[None], cw_pad)
+    overflow = overflow | jnp.max(flagsA * liveA)
+
+    out_arr = outA
+    for out_t, cov in tier_outs:
+        mask = jnp.repeat(jnp.repeat(cov, TILE_R, 0), TILE_C, 1)
+        out_arr = jnp.where(mask[None], out_t[:, :ny_t], out_arr)
+
+    # ---- pole-home rows: order-1 mode='constant' on the raw fields,
+    # keyed on HOME row (/root/reference/LCS/tools.py:31-39) ----
+    pole_flag = jnp.zeros((), jnp.int32)
     if order > 0:
-        # pole-home rows: the constant path keys on HOME row — first
-        # `order` and last `order` rows (/root/reference/LCS/tools.py:31-39)
-        pole_rows = sorted({0} | {r // TILE_R
-                                  for r in range(max(ny - order, 0), ny)})
-        pad_rows = ny_t + 8 - ny
+        if pole_tile_rows is None:
+            pole_rows = sorted({0} | {r // TILE_R
+                                      for r in range(max(ny - order, 0),
+                                                     ny)})
+        else:
+            pole_rows = sorted(set(int(r) for r in pole_tile_rows))
+        ny_tf = _cdiv(ny, TILE_R) * TILE_R     # field-side row tiling
+        pad_rows = ny_tf + 8 - ny
         raw_p = jnp.pad(raw, ((0, 0), (0, pad_rows), (0, nx_t + 128 - nx)))
         ny_p = ny + pad_rows
-        wyc_eff = min(wyc, ny_p)
-        # per-pole-tile y window starts over raw (unfolded) indices
-        y0f_all = jnp.clip(jnp.floor(yi), 0, ny - 2).astype(jnp.int32)
-        tiles = y0f_all.reshape(gy, TILE_R, gx, TILE_C)
-        yw0_all = jnp.clip(jnp.min(tiles, axis=(1, 3)), 0,
-                           max(ny_p - wyc_eff, 0))
-        yw0_all = (yw0_all // 8) * 8
-        row_sel = np.asarray(pole_rows, dtype=np.int32)
-        yw0s = yw0_all[jnp.asarray(row_sel)]
-        grid_p = (len(pole_rows), gx)
-        pkern = partial(_pole_kernel, F=F, ny=ny, nx=nx, nx_t=nx_t + 128,
-                        y_min=float(y_min), y_max=float(y_max),
-                        x_min=float(x_min), x_max=float(x_max), WYC=wyc_eff)
+        nxp_r = nx_t + 128
+        wy_p = min(max(wyc, 16), ((ny_p) // 8) * 8)
+        wx_p = min(512, (nxp_r // 128) * 128)
+        # direct-index spans over the raw field
+        y0f = jnp.clip(jnp.floor(yi), 0, ny - 2).astype(jnp.int32)
+        x0f = jnp.clip(jnp.floor(xi), 0, nx - 2).astype(jnp.int32)
 
-        def pimap(i, j, rs, yw0ref):
-            return (0, pl.multiple_of(yw0ref[i, j], 8), 0)
+        def dir_minmax(a):
+            t = a.reshape(gy, TILE_R, gx, TILE_C)
+            return t.min(axis=(1, 3)), t.max(axis=(1, 3))
 
-        gridspec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=grid_p,
+        pymn, pymx = dir_minmax(y0f)
+        pxmn, pxmx = dir_minmax(x0f)
+        rows = jnp.asarray(np.asarray(pole_rows, np.int32))
+        pymn_s, pymx_s = pymn[rows], pymx[rows]
+        pxmn_s, pxmx_s = pxmn[rows], pxmx[rows]
+        ysP = jnp.clip((pymn_s // 8) * 8, 0, max(ny_p - wy_p, 0))
+        xsP = jnp.clip((pxmn_s // 128) * 128, 0, max(nxp_r - wx_p, 0))
+        fitP = ((pymx_s + 1) <= ysP + wy_p - 1) & \
+               ((pxmx_s + 1) <= xsP + wx_p - 1) & (pymn_s >= ysP) & \
+               (pxmn_s >= xsP)
+        pcommon = dict(ny=ny, nx=nx, y_min=float(y_min),
+                       y_max=float(y_max), x_min=float(x_min),
+                       x_max=float(x_max))
+        pbody = partial(_pole_tile_body)
+
+        n_pole = len(pole_rows)
+        # windowed pole pass: 2-D grid (pole tile rows x gx), gated to fits
+        kernP = partial(_pole_grid_kernel, body=pbody, F=F, WY=wy_p,
+                        WX=wx_p, YPAD=0, XPAD=0, x_full=False,
+                        common=pcommon)
+
+        gridP = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(n_pole, gx),
             in_specs=[
-                pl.BlockSpec((TILE_R, TILE_C),
-                             lambda i, j, rs, _: (rs[i], j),
+                pl.BlockSpec((1, TILE_R, TILE_C),
+                             lambda i, j, lv, y0r, x0r, rs: (0, rs[i], j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((TILE_R, TILE_C),
-                             lambda i, j, rs, _: (rs[i], j),
+                pl.BlockSpec((1, TILE_R, TILE_C),
+                             lambda i, j, lv, y0r, x0r, rs: (0, rs[i], j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((pl.Element(F), pl.Element(wyc_eff),
-                              pl.Element(nx_t + 128)), pimap,
+                pl.BlockSpec((pl.Element(F), pl.Element(wy_p),
+                              pl.Element(wx_p)),
+                             lambda i, j, lv, y0r, x0r, rs:
+                             (0, pl.multiple_of(y0r[i, j], 8),
+                              pl.multiple_of(x0r[i, j], 128)),
                              memory_space=pltpu.VMEM)],
             out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
-                                    lambda i, j, rs, _: (0, rs[i], j),
+                                    lambda i, j, lv, y0r, x0r, rs:
+                                    (0, rs[i], j),
                                     memory_space=pltpu.VMEM),
-                       pl.BlockSpec(grid_p, lambda i, j, rs, _: (0, 0),
+                       pl.BlockSpec((n_pole, gx), lambda i, j, *_: (0, 0),
                                     memory_space=pltpu.SMEM)],
-            scratch_shapes=[pltpu.VMEM((F, TILE_C, TILE_R), dtype)],
         )
-        pole_out, pole_flags = pl.pallas_call(
-            pkern, grid_spec=gridspec,
+        # every pole tile runs the windowed pass (unfit tiles clamp — the
+        # fallback-of-last-resort is approximate-but-finite, never garbage)
+        liveP = jnp.ones((n_pole, gx), jnp.int32)
+        pole_out, pflags = pl.pallas_call(
+            kernP, grid_spec=gridP,
             out_shape=[jax.ShapeDtypeStruct((F, ny_t, nx_t), dtype),
-                       jax.ShapeDtypeStruct(grid_p, jnp.int32)],
+                       jax.ShapeDtypeStruct((n_pole, gx), jnp.int32)],
             interpret=interpret,
-        )(jnp.asarray(row_sel), yw0s, pyt, pxt, raw_p)
-        overflow = jnp.maximum(overflow, jnp.max(pole_flags))
+            compiler_params=_CPARAMS,
+        )(liveP, ysP, xsP, rows, pyt[None], pxt[None], raw_p)
 
-        row = jax.lax.broadcasted_iota(jnp.int32, (ny_t, nx_t), 0)
-        is_pole = (row < order) | ((row >= ny - order) & (row < ny))
-        out_arr = jnp.where(is_pole[None], pole_out, out_arr)
-    else:
-        pole_flags = jnp.zeros((1, 1), jnp.int32)
+        # full-x fallback ladder for pole tiles whose taps exceed the
+        # window — pole parcels drift O(100) rows over an 8-day window AND
+        # whirl the full circle, so two y-heights are tiered (dead slots
+        # are gated off; the fallback only costs what the flow whirls).
+        # run_tier operates in the pole path's RAW index space: pads 0.
+        unfitP = jnp.zeros((gy, gx), bool).at[rows].set(~fitP)
+        pole_vals = pole_out
+        covP = jnp.zeros((gy, gx), bool)
+        residP = jnp.zeros((), jnp.int32)
+        for wy_pf in (wy_p, min(3 * wy_p, (ny_p // 8) * 8)):
+            ysPF = jnp.clip((pymn // 8) * 8, 0, max(ny_p - wy_pf, 0))
+            fitPF = (pymx + 1) <= ysPF + wy_pf - 1
+            wantPF = unfitP & (~covP) & fitPF
+            out_pf, cov_pf, resid_pf, _ = run_tier(
+                wantPF, n_pole * gx, wy_pf, nxp_r, ysPF, None,
+                True, pbody, pcommon, raw_p, 0, 0)
+            covP = covP | cov_pf
+            residP = residP | resid_pf
+            mask_pf = jnp.repeat(jnp.repeat(cov_pf, TILE_R, 0), TILE_C, 1)
+            pole_vals = jnp.where(mask_pf[None], out_pf[:, :ny_t],
+                                  pole_vals)
+        # windowed-pass clamp flags only count where no fallback level
+        # superseded the clamped values
+        pole_flag = jnp.max(pflags * (1 - covP[rows].astype(jnp.int32))) \
+            | residP
+        if home_rows is None:
+            row = jax.lax.broadcasted_iota(jnp.int32, (ny_t, nx_t), 0)
+            is_pole = (row < order) | ((row >= ny - order) & (row < ny))
+        else:
+            hm = (home_rows < order) | (home_rows >= ny - order)
+            hm = jnp.pad(hm, ((0, ny_t - R), (0, 0)), mode="edge")
+            is_pole = jnp.broadcast_to(hm, (ny_t, nx_t))
+        out_arr = jnp.where(is_pole[None], pole_vals, out_arr)
+        overflow = overflow | pole_flag
 
+    out = out_arr[:, :R, :nx]
     if debug_flags:
-        return out_arr[:, :ny, :nx], dict(
+        return out, dict(
             overflow=overflow,
-            passA_tiles_flagged=jnp.sum(flag_map),
-            retry_cap_exceeded=(n_flag > retry_tiles).astype(jnp.int32)
-            if retry_tiles else jnp.zeros((), jnp.int32),
-            retry_residual=jnp.max(flags_b * live[:, None].astype(jnp.int32))
-            if retry_tiles else jnp.zeros((), jnp.int32),
-            pole_flagged=jnp.max(pole_flags))
-    return out_arr[:, :ny, :nx], overflow
+            tiles_escalated=jnp.sum(~fitA),
+            uncovered=jnp.sum((~fitA) & (~covered)),
+            tierA_resid=jnp.max(flagsA * liveA),
+            pole_flag=pole_flag)
+    return out, overflow

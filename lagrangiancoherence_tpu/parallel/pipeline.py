@@ -50,7 +50,8 @@ EARTH_DEG = np.pi / 180.0
 
 
 def ftle_sharded(u, v, timestep, grid: Grid, mesh, *, settls_order: int = 0,
-                 interp_order: int = 3, sigma=None, compat: bool = True):
+                 interp_order: int = 3, sigma=None, compat: bool = True,
+                 kernel: str = "xla"):
     """(T, ny, nx) winds → (ny, nx) FTLE norm, sharded over ``mesh`` axis
     ``"y"``.  Numerically identical to ``models.pipeline.ftle_pipeline``.
     """
@@ -59,6 +60,10 @@ def ftle_sharded(u, v, timestep, grid: Grid, mesh, *, settls_order: int = 0,
     nxd = mesh.shape.get("x", 1)
     x_axes = ("x",) if nxd > 1 else ()
     if nxd > 1:
+        if kernel == "pallas":
+            raise NotImplementedError(
+                "kernel='pallas' needs full-width latitude blocks; use a "
+                "1-D ('y',) mesh")
         if nx % nxd:
             raise ValueError(f"nx={nx} must divide the x mesh axis ({nxd})")
         if sigma is not None:
@@ -97,7 +102,7 @@ def ftle_sharded(u, v, timestep, grid: Grid, mesh, *, settls_order: int = 0,
         px, py, _ = settls_scan(u_f, v_f, cu_f, cv_f, px0_b, py0_b, dt,
                                 convx_b, grid, settls_order=settls_order,
                                 interp_order=interp_order, return_traj=False,
-                                home_rows=home_b)
+                                home_rows=home_b, kernel=kernel)
         if sigma is not None:
             if pad == 0:
                 # fully local: width-radius halo exchange, zero gather
@@ -153,7 +158,7 @@ def ftle_sharded(u, v, timestep, grid: Grid, mesh, *, settls_order: int = 0,
         cu = prefilter(u_j, order=interp_order)
         cv = prefilter(v_j, order=interp_order)
         xs = x_axes[0] if x_axes else None
-        fn = shard_map(block_fn, mesh=mesh,
+        fn = shard_map(block_fn, mesh=mesh, check_vma=False,
                        in_specs=(P(), P(), P(), P(),
                                  P("y", xs), P("y", xs),
                                  P("y", None), P("y"), P("y", None)),
@@ -178,7 +183,8 @@ def ftle_sharded(u, v, timestep, grid: Grid, mesh, *, settls_order: int = 0,
 
 def parcel_propagation_sharded(u, v, timestep, grid: Grid, mesh, *,
                                settls_order: int = 0, interp_order: int = 3,
-                               return_traj: bool = False):
+                               return_traj: bool = False,
+                               kernel: str = "xla"):
     """Latitude-sharded SETTLS integration: (T, ny, nx) winds → departure
     points (ny, nx) or trajectories (T, ny, nx), sharded over mesh axis
     ``"y"``.  Zero cross-chip communication (winds replicated, positions
@@ -205,8 +211,9 @@ def parcel_propagation_sharded(u, v, timestep, grid: Grid, mesh, *,
         out = settls_scan(u_f, v_f, cu_f, cv_f, px0_b, py0_b, dt,
                           convx_b, grid, settls_order=settls_order,
                           interp_order=interp_order,
-                          return_traj=return_traj, home_rows=home_b)
-        return out[:-1]  # drop overflow (xla kernel: always 0)
+                          return_traj=return_traj, home_rows=home_b,
+                          kernel=kernel)
+        return out[:-1]  # drop overflow flag
 
     pos_spec = P(None, "y", None) if return_traj else P("y", None)
 
@@ -214,7 +221,7 @@ def parcel_propagation_sharded(u, v, timestep, grid: Grid, mesh, *,
     def run(u_j, v_j, px0, py0, convx, home_j):
         cu = prefilter(u_j, order=interp_order)
         cv = prefilter(v_j, order=interp_order)
-        fn = shard_map(block_fn, mesh=mesh,
+        fn = shard_map(block_fn, mesh=mesh, check_vma=False,
                        in_specs=(P(), P(), P(), P(),
                                  P("y", None), P("y", None),
                                  P("y", None), P("y", None)),

@@ -171,3 +171,27 @@ class TestTwoDMesh:
         with pytest.raises(NotImplementedError):
             ftle_sharded(u, v, -6 * 3600.0, grid, mesh, settls_order=0,
                          sigma=1.0)
+
+
+@needs_8_devices
+class TestShardedPallas:
+    """VERDICT round-1 item 5: the pallas fast path inside the sharded
+    pipeline — per-shard latitude blocks route their own windows, and the
+    pole special-case keys on GLOBAL home rows passed through shard_map."""
+
+    @pytest.mark.parametrize("n_dev", [2, 8])
+    def test_sharded_pallas_matches_single_xla(self, n_dev):
+        import lagrangiancoherence_tpu.ops.pallas_interp as PI
+        u, v, grid = vortex_case()
+        ref = np.asarray(ftle_pipeline(jnp.asarray(u), jnp.asarray(v),
+                                       -6 * 3600.0, grid, settls_order=2))
+        orig = PI.pallas_interp_multi
+        PI.pallas_interp_multi = \
+            lambda *a, **k: orig(*a, **{**k, "interpret": True})
+        try:
+            out = np.asarray(ftle_sharded(u, v, -6 * 3600.0, grid,
+                                          parcel_mesh(n_dev),
+                                          settls_order=2, kernel="pallas"))
+        finally:
+            PI.pallas_interp_multi = orig
+        np.testing.assert_allclose(out, ref, atol=1e-10)
