@@ -180,41 +180,35 @@ def _basis_direct(pos_rel, iota, order):
     return _bspline3(s) if order == 3 else _tent(s)
 
 
-def _remap_corrections(ohw, fold_r, u_r, base, n, iota, order):
-    """Move edge-tap weight mass per the mirror remaps (rare; see
-    _tap_offsets).  ``fold_r``/``u_r``: (TR, TC) coordinates.  Returns the
-    corrected basis matrix (TR, TC, W)."""
-    # NOTE: predicates are folded into the weights as float masks BEFORE
-    # the [..., None] broadcast — Mosaic cannot insert a minor dim on i1
-    # vectors ("tpu.reshape ... i1 ... not a no-op").
-    cdt = ohw.dtype
-    fu = jnp.floor(u_r)
-    t = u_r - fu
-    ff = jnp.floor(fold_r)
-    o0 = (fu.astype(jnp.int32) - base)[..., None]
+def _tap_weights(u, order):
+    """Per-tap spline weights, (TR, TC) each, ordered like _tap_offsets.
+
+    w_k is exactly the B-spline basis at the tap's lane distance: for tap
+    floor(u)+d the distance is d - t, so [w0..w3] = _cubic_w(t) matches
+    _bspline3 at s = -1-t, -t, 1-t, 2-t (taps floor-1 .. floor+2)."""
+    t = u - jnp.floor(u)
     if order == 1:
-        hi = (ff >= n - 1).astype(cdt)
-        w1 = (t * hi)[..., None]
-        d = jnp.where(iota == o0 + 1, -w1, 0.0) \
-            + jnp.where(iota == o0 - 1, w1, 0.0)
-        return ohw + d
-    w = _cubic_w(t)
-    lo = (fold_r < 1.0).astype(cdt)
-    hi2 = (ff == n - 2).astype(cdt)
-    hi1 = (ff >= n - 1).astype(cdt)
-    w0 = (w[0] * lo)[..., None]
-    w2 = (w[2] * hi1)[..., None]
-    w3_2 = (w[3] * hi2)[..., None]
-    w3_1 = (w[3] * hi1)[..., None]
-    d = jnp.where(iota == o0 - 1, -w0, 0.0) \
-        + jnp.where(iota == o0 + 1, w0, 0.0) \
-        + jnp.where(iota == o0 + 2, -w3_2, 0.0) \
-        + jnp.where(iota == o0, w3_2, 0.0) \
-        + jnp.where(iota == o0 + 1, -w2, 0.0) \
-        + jnp.where(iota == o0 - 1, w2, 0.0) \
-        + jnp.where(iota == o0 + 2, -w3_1, 0.0) \
-        + jnp.where(iota == o0 - 2, w3_1, 0.0)
-    return ohw + d
+        return [1.0 - t, t]
+    return list(_cubic_w(t))
+
+
+def _onehot_basis(offs, ws, iota, W):
+    """Weighted one-hot basis (TR, TC, W): B = sum_k w_k * [lane == off_k].
+
+    Replaces the piecewise-polynomial lane evaluation (_basis_direct +
+    _remap_corrections under lax.cond): the mirror remaps are already in
+    the integer ``offs`` (_tap_offsets), collisions of remapped taps on
+    one lane sum naturally, and the per-element cost drops from ~21 VPU
+    passes (cubic eval + selects + remap corrections) to 3 per tap
+    (compare / select / accumulate).  Offsets are clipped into the window
+    so mis-routed (flagged) tiles still produce finite clamped-ish values
+    instead of zeros — the flag contract."""
+    acc = None
+    for o, w in zip(offs, ws):
+        oc = jnp.clip(o, 0, W - 1)[..., None]
+        term = jnp.where(iota == oc, w[..., None], 0.0)
+        acc = term if acc is None else acc + term
+    return acc
 
 
 # ---------------------------------------------------------------------------
@@ -240,31 +234,25 @@ def _spline_tile_body(py, px, win_ref, out_ref, write_flag, y0, x0, *,
     yu = _unwrap(yfold, yfold[0, 0], ny)
     xu = xfold if x_full else _unwrap(xfold, xfold[0, 0], nx)
 
+    # tap offsets (window-relative, mirror-remapped) and weights — tiny
+    # (TR, TC) arrays; only the one-hot build below touches (TR, TC, W)
+    offs_y = _tap_offsets(yfold, yu, y0, ny, order)
+    offs_x = _tap_offsets(xfold, xu, x0, nx, order)
+    ws_y = _tap_weights(yu, order)
+    ws_x = _tap_weights(xu, order)
+
     # safety flag: exact routing makes this 0; capacity overflow and
     # mis-routed tiles clamp and raise it
     over = jnp.zeros((), jnp.int32)
-    for off in _tap_offsets(yfold, yu, y0, ny, order):
+    for off in offs_y:
         over = over | jnp.any((off < 0) | (off >= WY)).astype(jnp.int32)
     if not x_full:
-        for off in _tap_offsets(xfold, xu, x0, nx, order):
+        for off in offs_x:
             over = over | jnp.any((off < 0) | (off >= WX)).astype(jnp.int32)
     write_flag(over)
 
-    # edge-remap predicates, per tile (rare: folded coords within one cell
-    # of the domain edges) — the direct basis build is exact elsewhere
-    y_edge = jnp.any((yfold < 1.0) | (jnp.floor(yfold) >= ny - 2))
-    x_edge = jnp.any((xfold < 1.0) | (jnp.floor(xfold) >= nx - 2))
-    # window-relative positions (clamped so the basis evaluation stays
-    # in-range when the flag contract clamps taps)
-    ypos = jnp.clip(yu - y0, 0.0, WY - 1.0)
-    xpos = jnp.clip(xu - x0, 0.0, WX - 1.0)
-
     i3y = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C, WY), 2)
-    ohy = _basis_direct(ypos, i3y, order)
-    ohy = jax.lax.cond(
-        y_edge,
-        lambda o: _remap_corrections(o, yfold, yu, y0, ny, i3y, order),
-        lambda o: o, ohy)
+    ohy = _onehot_basis(offs_y, ws_y, i3y, WY)
 
     # MXU contraction over x, in <=512-lane chunks so the materialised
     # x basis stays within the scoped-VMEM budget for full-longitude
@@ -278,12 +266,7 @@ def _spline_tile_body(py, px, win_ref, out_ref, write_flag, y0, x0, *,
         xc = min(xchunk, WX - c0)
         i3c = c0 + jax.lax.broadcasted_iota(jnp.int32,
                                             (TILE_R, TILE_C, xc), 2)
-        ohc = _basis_direct(xpos, i3c, order)
-        ohc = jax.lax.cond(
-            x_edge,
-            lambda o, i3c=i3c: _remap_corrections(o, xfold, xu, x0, nx,
-                                                  i3c, order),
-            lambda o: o, ohc)
+        ohc = _onehot_basis(offs_x, ws_x, i3c, WX)
         g = g + jax.lax.dot_general(ohc.reshape(_M, xc), w2[:, c0:c0 + xc],
                                     (((1,), (1,)), ((), ())),
                                     preferred_element_type=cdt,
@@ -425,15 +408,30 @@ def _tile_minmax(fold_t, n, x_full=False):
 
 
 def _starts(mn, n, pad, w, align):
-    """Aligned window starts in PADDED element space for floor-mins ``mn``."""
-    s = ((mn - 3 + pad) // align) * align
+    """Aligned window starts in PADDED element space for floor-mins ``mn``.
+
+    The -4 slop below pairs with _fits' +-2-cell conservatism: a position
+    clamped exactly onto the domain edge folds to the OTHER end of the
+    period-(n-1) wrap, and a 1-ulp arithmetic difference between the XLA
+    routing pass and the Mosaic kernel across that fold boundary moves the
+    unwrapped floor by up to TWO cells (observed at the clamped polar
+    rows), not one.
+    """
+    s = ((mn - 4 + pad) // align) * align
     return jnp.clip(s, 0, n + 2 * pad - w)
 
 
 def _fits(mn, mx, s_pad, pad, w, margin):
-    """Does window [s_pad-pad, s_pad-pad+w) hold taps [mn-margin, mx+2]?"""
+    """Does window [s_pad-pad, s_pad-pad+w) hold taps [mn-margin, mx+2]?
+
+    Conservative by TWO extra cells on each side: the kernel recomputes
+    the scaled coordinates with Mosaic's own arithmetic, which may differ
+    from the XLA routing pass by 1 ulp; across the period-(n-1) fold
+    boundary (positions clamped exactly onto a domain edge) that flips
+    the unwrapped floor by up to two cells after the mod-n unwrap.
+    """
     lo = s_pad - pad
-    return ((mn - margin) >= lo) & ((mx + 2) <= lo + w - 1)
+    return ((mn - margin - 2) >= lo) & ((mx + 4) <= lo + w - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -496,8 +494,31 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     def pad_pos(p):
         return jnp.pad(p, ((0, ny_t - R), (0, nx_t - nx)), mode="edge")
 
-    pyt = pad_pos(py)
-    pxt = pad_pos(px)
+    # ---- spline-path positions: pole home rows (evaluated by the
+    # dedicated order-1/constant pole path below, which overwrites their
+    # output) are substituted with the nearest non-pole row's positions
+    # BEFORE routing and spline evaluation.  Their true positions can be
+    # unbounded garbage — ``conv_x = 1/cos(lat)`` is ~1e10 at exact-pole
+    # home latitudes (/root/reference/LCS/trajectory.py:56), so one step
+    # flings them to O(2^27) degrees — which would poison the tap spans of
+    # the tiles they share with normal rows, force spurious full-x
+    # escalations, and (worse) make the XLA-routing vs Mosaic-kernel fold
+    # arithmetic diverge by O(ulp(|x|)/cell) = dozens of cells, raising
+    # phantom overflow flags.  The spline path never needs these rows.
+    if order > 0 and R > 2 * order:
+        hrow = (jnp.arange(R, dtype=jnp.int32) if home_rows is None
+                else home_rows[:, 0].astype(jnp.int32))
+        safe_idx = jnp.clip(
+            jnp.clip(hrow, order, ny - 1 - order) - hrow[0], 0, R - 1)
+        px_sp = jnp.take(px, safe_idx, axis=0)
+        py_sp = jnp.take(py, safe_idx, axis=0)
+    else:
+        px_sp, py_sp = px, py
+
+    pyt = pad_pos(py_sp)
+    pxt = pad_pos(px_sp)
+    pyt_true = pad_pos(py)
+    pxt_true = pad_pos(px)
 
     # ---- exact per-tile tap spans (XLA, vectorised over tiles) ----
     yi = ny * (pyt - y_min) / (y_max - y_min)
@@ -550,7 +571,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
 
     # ---- escalation tiers over compacted tile lists ----
     def run_tier(want, cap, wy_, wx_, ys_full, xs, x_full, tbody, tcommon,
-                 operand, ypad_t, xpad_t):
+                 operand, ypad_t, xpad_t, ppy, ppx):
         """Run one escalation tier; returns (out+garbage-row, covered mask,
         residual in-kernel flag, capacity-exceeded flag)."""
         cap = min(cap, n_tiles)
@@ -611,32 +632,39 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             interpret=interpret,
             compiler_params=_CPARAMS,
         )(n_live, iy_d, jx_d, iy_out, y0sel, x0sel,
-          pyt[None], pxt[None], operand)
+          ppy[None], ppx[None], operand)
         covered = jnp.zeros((gy + 1, gx), jnp.int32).at[iy_out, jx_d].max(
             live.astype(jnp.int32))[:gy] > 0
-        resid = jnp.max(flags_t * live[:, None].astype(jnp.int32))
+        live_flags = flags_t[:, 0] * live.astype(jnp.int32)
+        resid = jnp.max(live_flags)
         over_cap = (jnp.sum(flat) > cap).astype(jnp.int32)
-        return out_t, covered & want, resid, over_cap
+        fmap = jnp.zeros((gy + 1, gx), jnp.int32).at[iy_out, jx_d].max(
+            live_flags)[:gy]
+        return out_t, covered & want, resid, over_cap, fmap
 
     covered = jnp.zeros((gy, gx), bool)
     tier_outs = []
+    tier_fmaps = []
     overflow = jnp.zeros((), jnp.int32)
     if retry_tiles > 0:
-        for wy_, wx_, cap in ladder:
+        for t_i, (wy_, wx_, cap) in enumerate(ladder):
             fitT, ysT, xsT = fit(wy_, wx_)
             # capacity-aware cascade: a tile that fit an earlier tier but
             # exceeded its capacity spills into the next tier that holds it
             want = (~fitA) & (~covered) & fitT
-            out_t, cov, resid, over_cap = run_tier(
+            out_t, cov, resid, over_cap, fmap = run_tier(
                 want, cap, wy_, wx_full if wx_ is None else wx_, ysT, xsT,
-                wx_ is None, body, common, cw_pad, ypad, xpad)
+                wx_ is None, body, common, cw_pad, ypad, xpad, pyt, pxt)
             tier_outs.append((out_t, cov))
+            tier_fmaps.append(fmap)
             covered = covered | cov
-            overflow = overflow | resid
+            overflow = overflow | (resid << (5 + t_i))
         # the flag now only raises when even the last holding tier's
-        # capacity ran out (checked after the cascade) or a window clamped
+        # capacity ran out (checked after the cascade) or a window clamped.
+        # Bit 1 marks capacity exhaustion (bit 0: tier residual clamps) —
+        # the overflow word is a diagnostic bitmask; callers test nonzero.
         uncovered = jnp.sum((~fitA) & (~covered))
-        overflow = overflow | (uncovered > 0).astype(jnp.int32)
+        overflow = overflow | ((uncovered > 0).astype(jnp.int32) << 1)
 
     # ---- tier A: 2-D grid over all tiles; unrouted/uncovered tiles also
     # run here (clamped windows, flag raised by the in-kernel check) ----
@@ -671,7 +699,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         interpret=interpret,
             compiler_params=_CPARAMS,
     )(liveA, y0A, x0A, pyt[None], pxt[None], cw_pad)
-    overflow = overflow | jnp.max(flagsA * liveA)
+    overflow = overflow | (jnp.max(flagsA * liveA) << 2)
 
     out_arr = outA
     for out_t, cov in tier_outs:
@@ -695,9 +723,15 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         nxp_r = nx_t + 128
         wy_p = min(max(wyc, 16), ((ny_p) // 8) * 8)
         wx_p = min(512, (nxp_r // 128) * 128)
-        # direct-index spans over the raw field
-        y0f = jnp.clip(jnp.floor(yi), 0, ny - 2).astype(jnp.int32)
-        x0f = jnp.clip(jnp.floor(xi), 0, nx - 2).astype(jnp.int32)
+        # direct-index spans over the raw field, from the TRUE positions
+        # (the spline path's yi/xi are pole-row-substituted; the pole path
+        # is exactly the consumer of the real pole-row positions).  The
+        # clip runs in float BEFORE the int cast so unbounded pole-row
+        # excursions cannot overflow int32.
+        yi_t = ny * (pyt_true - y_min) / (y_max - y_min)
+        xi_t = nx * (pxt_true - x_min) / (x_max - x_min)
+        y0f = jnp.clip(jnp.floor(yi_t), 0, ny - 2).astype(jnp.int32)
+        x0f = jnp.clip(jnp.floor(xi_t), 0, nx - 2).astype(jnp.int32)
 
         def dir_minmax(a):
             t = a.reshape(gy, TILE_R, gx, TILE_C)
@@ -705,11 +739,20 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
 
         pymn, pymx = dir_minmax(y0f)
         pxmn, pxmx = dir_minmax(x0f)
+        # +-1-cell conservative bounds (same 1-ulp floor concern as
+        # _fits), themselves clipped: the direct indices saturate at
+        # [0, n-2] identically in the routing pass and the kernel, so the
+        # hard boundaries cannot flip
+        kymn = jnp.maximum(pymn - 1, 0)
+        kymx = jnp.minimum(pymx + 1, ny - 2)
+        kxmn = jnp.maximum(pxmn - 1, 0)
+        kxmx = jnp.minimum(pxmx + 1, nx - 2)
         rows = jnp.asarray(np.asarray(pole_rows, np.int32))
-        pymn_s, pymx_s = pymn[rows], pymx[rows]
-        pxmn_s, pxmx_s = pxmn[rows], pxmx[rows]
+        pymn_s, pymx_s = kymn[rows], kymx[rows]
+        pxmn_s, pxmx_s = kxmn[rows], kxmx[rows]
         ysP = jnp.clip((pymn_s // 8) * 8, 0, max(ny_p - wy_p, 0))
-        xsP = jnp.clip((pxmn_s // 128) * 128, 0, max(nxp_r - wx_p, 0))
+        xsP = jnp.clip((pxmn_s // 128) * 128, 0,
+                       max(nxp_r - wx_p, 0))
         fitP = ((pymx_s + 1) <= ysP + wy_p - 1) & \
                ((pxmx_s + 1) <= xsP + wx_p - 1) & (pymn_s >= ysP) & \
                (pxmn_s >= xsP)
@@ -756,7 +799,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                        jax.ShapeDtypeStruct((n_pole, gx), jnp.int32)],
             interpret=interpret,
             compiler_params=_CPARAMS,
-        )(liveP, ysP, xsP, rows, pyt[None], pxt[None], raw_p)
+        )(liveP, ysP, xsP, rows, pyt_true[None], pxt_true[None], raw_p)
 
         # full-x fallback ladder for pole tiles whose taps exceed the
         # window — pole parcels drift O(100) rows over an 8-day window AND
@@ -768,12 +811,12 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         covP = jnp.zeros((gy, gx), bool)
         residP = jnp.zeros((), jnp.int32)
         for wy_pf in (wy_p, min(3 * wy_p, (ny_p // 8) * 8)):
-            ysPF = jnp.clip((pymn // 8) * 8, 0, max(ny_p - wy_pf, 0))
-            fitPF = (pymx + 1) <= ysPF + wy_pf - 1
+            ysPF = jnp.clip((kymn // 8) * 8, 0, max(ny_p - wy_pf, 0))
+            fitPF = ((kymx + 1) <= ysPF + wy_pf - 1) & (kymn >= ysPF)
             wantPF = unfitP & (~covP) & fitPF
-            out_pf, cov_pf, resid_pf, _ = run_tier(
+            out_pf, cov_pf, resid_pf, _, _pfm = run_tier(
                 wantPF, n_pole * gx, wy_pf, nxp_r, ysPF, None,
-                True, pbody, pcommon, raw_p, 0, 0)
+                True, pbody, pcommon, raw_p, 0, 0, pyt_true, pxt_true)
             covP = covP | cov_pf
             residP = residP | resid_pf
             mask_pf = jnp.repeat(jnp.repeat(cov_pf, TILE_R, 0), TILE_C, 1)
@@ -781,8 +824,8 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                                   pole_vals)
         # windowed-pass clamp flags only count where no fallback level
         # superseded the clamped values
-        pole_flag = jnp.max(pflags * (1 - covP[rows].astype(jnp.int32))) \
-            | residP
+        pole_flag = (jnp.max(pflags * (1 - covP[rows].astype(jnp.int32)))
+                     << 3) | (residP << 4)
         if home_rows is None:
             row = jax.lax.broadcasted_iota(jnp.int32, (ny_t, nx_t), 0)
             is_pole = (row < order) | ((row >= ny - order) & (row < ny))
@@ -800,5 +843,9 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             tiles_escalated=jnp.sum(~fitA),
             uncovered=jnp.sum((~fitA) & (~covered)),
             tierA_resid=jnp.max(flagsA * liveA),
-            pole_flag=pole_flag)
+            pole_flag=pole_flag,
+            _tier_fmaps=tier_fmaps,
+            _pflags=pflags if order > 0 else None,
+            _fitP=fitP if order > 0 else None,
+            _covP=covP[rows] if order > 0 else None)
     return out, overflow

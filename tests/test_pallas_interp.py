@@ -63,7 +63,7 @@ class TestPallasParity:
     def test_overflow_flag_raised_without_retry(self):
         out, flag, ref = run_case(73, 144, 3, 2, band=0, retry=0,
                                   displacement="shear", wy=16, wx=256)
-        assert flag == 1
+        assert flag != 0  # diagnostic bitmask; nonzero == clamped
 
     def test_single_tile_grid(self):
         out, flag, ref = run_case(16, 128, 3, 2, band=1, retry=4)
