@@ -215,27 +215,37 @@ def _onehot_basis(offs, ws, iota, W):
 # Whole-tile kernel bodies
 # ---------------------------------------------------------------------------
 
-def _spline_tile_body(py, px, win_ref, out_ref, write_flag, y0, x0, *,
-                      F, ny, nx, y_min, y_max, x_min, x_max, WY, WX,
-                      order, x_full):
+def _spline_tile_body(fy, fx, win_ref, out_ref, write_flag, y0, x0, *,
+                      F, ny, nx, WY, WX, order, x_full, edge=None):
     """Evaluate one (TILE_R, TILE_C) tile: whole-tile one-hot contraction.
 
-    ``py``/``px``: (TR, TC) positions; ``win_ref``: (F, WY, WX) window
+    ``fy``/``fx``: (TR, TC) FOLDED fractional grid coordinates (period
+    n-1, scaled/folded ONCE by the XLA routing pass — the kernel must
+    not recompute them: XLA may contract the scaling arithmetic with
+    surrounding ops (``--xla_allow_excess_precision``), so a Mosaic
+    recomputation can differ by an ulp and slip a floor across a cell or,
+    at a fold jump, across the period); ``win_ref``: (F, WY, WX) window
     block; ``out_ref``: (F, TR, TC) output block; ``y0``/``x0``: window
     starts in unpadded unwrapped index space.  With ``x_full`` the x
     offsets come directly from folded space (base 0) and cannot overflow.
+
+    ``edge``: optional traced scalar — nonzero when the tile's folded
+    coords may touch the domain edges (mirror-remap zone, computed
+    conservatively by the routing pass).  Interior tiles (>99% of a
+    global field) take the cheap direct B-spline lane evaluation —
+    ~2x fewer VPU ops than the per-tap one-hot build; edge tiles take
+    the one-hot build whose integer offsets carry the exact mirror
+    remaps.  ``pl.when`` branches on the scalar, so only one path runs.
     """
     dtype = out_ref.dtype
-    cdt = py.dtype
-    yi = ny * (py - y_min) / (y_max - y_min)
-    xi = nx * (px - x_min) / (x_max - x_min)
-    yfold = _fold(yi, ny)
-    xfold = _fold(xi, nx)
+    cdt = fy.dtype
+    yfold = fy
+    xfold = fx
     yu = _unwrap(yfold, yfold[0, 0], ny)
     xu = xfold if x_full else _unwrap(xfold, xfold[0, 0], nx)
 
     # tap offsets (window-relative, mirror-remapped) and weights — tiny
-    # (TR, TC) arrays; only the one-hot build below touches (TR, TC, W)
+    # (TR, TC) arrays; only the basis builds below touch (TR, TC, W)
     offs_y = _tap_offsets(yfold, yu, y0, ny, order)
     offs_x = _tap_offsets(xfold, xu, x0, nx, order)
     ws_y = _tap_weights(yu, order)
@@ -251,39 +261,65 @@ def _spline_tile_body(py, px, win_ref, out_ref, write_flag, y0, x0, *,
             over = over | jnp.any((off < 0) | (off >= WX)).astype(jnp.int32)
     write_flag(over)
 
-    i3y = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C, WY), 2)
-    ohy = _onehot_basis(offs_y, ws_y, i3y, WY)
+    def eval_pipeline(build_y, build_x):
+        i3y = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C, WY), 2)
+        ohy = build_y(i3y)
 
-    # MXU contraction over x, in <=512-lane chunks so the materialised
-    # x basis stays within the scoped-VMEM budget for full-longitude
-    # windows.  (F, WY, WX) -> (F*WY, WX) and (8, 128, XC) -> (1024, XC)
-    # merge major dims only — layout no-ops in Mosaic.
-    w2 = win_ref[...].reshape(F * WY, WX).astype(cdt)
-    g = jnp.zeros((_M, F * WY), cdt)
-    xchunk = 256 if WX > 512 else 512
-    c0 = 0
-    while c0 < WX:
-        xc = min(xchunk, WX - c0)
-        i3c = c0 + jax.lax.broadcasted_iota(jnp.int32,
-                                            (TILE_R, TILE_C, xc), 2)
-        ohc = _onehot_basis(offs_x, ws_x, i3c, WX)
-        g = g + jax.lax.dot_general(ohc.reshape(_M, xc), w2[:, c0:c0 + xc],
-                                    (((1,), (1,)), ((), ())),
-                                    preferred_element_type=cdt,
-                                    precision=_HIGH)
-        c0 += xc
-    g3 = g.reshape(TILE_R, TILE_C, F * WY)
-    for f in range(F):
-        out_ref[f] = jnp.sum(g3[..., f * WY:(f + 1) * WY] * ohy,
-                             axis=2).astype(dtype)
+        # MXU contraction over x, in <=512-lane chunks so the
+        # materialised x basis stays within the scoped-VMEM budget for
+        # full-longitude windows.  (F, WY, WX) -> (F*WY, WX) and
+        # (8, 128, XC) -> (M, XC) merge major dims only — layout no-ops.
+        w2 = win_ref[...].reshape(F * WY, WX).astype(cdt)
+        g = jnp.zeros((_M, F * WY), cdt)
+        xchunk = 256 if WX > 512 else 512
+        c0 = 0
+        while c0 < WX:
+            xc = min(xchunk, WX - c0)
+            i3c = c0 + jax.lax.broadcasted_iota(
+                jnp.int32, (TILE_R, TILE_C, xc), 2)
+            ohc = build_x(i3c)
+            g = g + jax.lax.dot_general(
+                ohc.reshape(_M, xc), w2[:, c0:c0 + xc],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=cdt, precision=_HIGH)
+            c0 += xc
+        g3 = g.reshape(TILE_R, TILE_C, F * WY)
+        for f in range(F):
+            out_ref[f] = jnp.sum(g3[..., f * WY:(f + 1) * WY] * ohy,
+                                 axis=2).astype(dtype)
+
+    def onehot_path():
+        eval_pipeline(lambda i3: _onehot_basis(offs_y, ws_y, i3, WY),
+                      lambda i3: _onehot_basis(offs_x, ws_x, i3, WX))
+
+    if edge is None:
+        onehot_path()
+        return
+
+    # window-relative positions for the direct evaluation, clamped so a
+    # mis-routed tile still evaluates in-range (flagged above)
+    ypos = jnp.clip(yu - y0, 0.0, WY - 1.0)
+    xpos = jnp.clip(xu - x0, 0.0, WX - 1.0)
+
+    @pl.when(edge == 0)
+    def _interior():
+        eval_pipeline(lambda i3: _basis_direct(ypos, i3, order),
+                      lambda i3: _basis_direct(xpos, i3, order))
+
+    @pl.when(edge != 0)
+    def _edge():
+        onehot_path()
 
 
-def _pole_tile_body(py, px, win_ref, out_ref, write_flag, y0, x0, *,
-                    F, ny, nx, y_min, y_max, x_min, x_max, WY, WX,
-                    x_full):
-    """Order-1 mode='constant' evaluation for pole-home-row tiles
+def _pole_block_body(py, px, mask, win_ref, out_ref, write_flag, y0, *,
+                     F, ny, nx, y_min, y_max, x_min, x_max, WY, WXS):
+    """Order-1 mode='constant' evaluation for the compact pole-row block
     (/root/reference/LCS/tools.py:31-39): direct (unfolded) indices on the
-    RAW field, out-of-range → 0."""
+    RAW field, out-of-range → 0.  The x window is always the full slab
+    (``WXS`` >= nx), so only the y window can clamp; ``mask`` (TR, TC)
+    selects the block rows that are real pole home rows — only their
+    clamps raise the flag (padding/non-pole candidate rows are discarded
+    by the caller's ``is_pole`` scatter)."""
     dtype = out_ref.dtype
     cdt = py.dtype
     yi = ny * (py - y_min) / (y_max - y_min)
@@ -295,23 +331,21 @@ def _pole_tile_body(py, px, win_ref, out_ref, write_flag, y0, x0, *,
     xc = jnp.clip(xi, 0.0, float(nx - 1))
 
     oy = jnp.clip(jnp.floor(yc), 0, ny - 2).astype(jnp.int32) - y0
-    ox = jnp.clip(jnp.floor(xc), 0, nx - 2).astype(jnp.int32) - x0
-    over = jnp.any((oy < 0) | (oy > WY - 2)).astype(jnp.int32)
-    if not x_full:
-        over = over | jnp.any((ox < 0) | (ox > WX - 2)).astype(jnp.int32)
+    bad = (oy < 0) | (oy > WY - 2)
+    over = jnp.any(bad & (mask > 0)).astype(jnp.int32)
     write_flag(over)
 
     ypos = jnp.clip(yc - y0, 0.0, WY - 1.0)
-    xpos = jnp.clip(xc - x0, 0.0, WX - 1.0)
+    xpos = jnp.clip(xc, 0.0, WXS - 1.0)
     i3y = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C, WY), 2)
     ohy = _basis_direct(ypos, i3y, 1)
 
-    w2 = win_ref[...].reshape(F * WY, WX).astype(cdt)
+    w2 = win_ref[...].reshape(F * WY, WXS).astype(cdt)
     g = jnp.zeros((_M, F * WY), cdt)
-    xchunk = 256 if WX > 512 else 512
+    xchunk = 256 if WXS > 512 else 512
     c0 = 0
-    while c0 < WX:
-        xck = min(xchunk, WX - c0)
+    while c0 < WXS:
+        xck = min(xchunk, WXS - c0)
         i3c = c0 + jax.lax.broadcasted_iota(jnp.int32,
                                             (TILE_R, TILE_C, xck), 2)
         ohc = _basis_direct(xpos, i3c, 1)
@@ -330,7 +364,9 @@ def _pole_tile_body(py, px, win_ref, out_ref, write_flag, y0, x0, *,
 def _grid_kernel(live_s, y0s, x0s, py_ref, px_ref, win_ref, out_ref,
                  flag_ref, *, body, F, WY, WX, YPAD, XPAD, x_full, common):
     """Tier-A kernel: 2-D grid over all tiles in place, gated to the tiles
-    routed to this tier (plus unrouted overflow tiles, which clamp)."""
+    routed to this tier (plus unrouted overflow tiles, which clamp).
+    ``live_s`` encodes liveness in bit 0 and the mirror-edge flag in
+    bit 1 (see _spline_tile_body's ``edge``)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     flag_ref[i, j] = jnp.int32(0)
@@ -344,32 +380,47 @@ def _grid_kernel(live_s, y0s, x0s, py_ref, px_ref, win_ref, out_ref,
             flag_ref[i, j] = v
 
         body(py_ref[0], px_ref[0], win_ref, out_ref, write_flag, y0, x0,
-             F=F, WY=WY, WX=WX, x_full=x_full, **common)
+             F=F, WY=WY, WX=WX, x_full=x_full, edge=live_s[i, j] >> 1,
+             **common)
 
 
-def _pole_grid_kernel(live_s, y0s, x0s, rows, py_ref, px_ref, win_ref,
-                      out_ref, flag_ref, *, body, F, WY, WX, YPAD, XPAD,
-                      x_full, common):
-    """Pole-row windowed pass: 2-D grid (pole tile rows x gx)."""
+def _pole_grid_kernel(y0s, py_ref, px_ref, mask_ref, win_ref, out_ref,
+                      flag_ref, *, F, WY, WXS, common):
+    """Pole level-1 pass: (2, gx) grid — north / south candidate blocks x
+    column tiles, every tile live.  The two pole sides are SEPARATE
+    blocks: their direct y indices sit at opposite ends of the field, so
+    a combined block's y span would cover the whole grid."""
     i = pl.program_id(0)
     j = pl.program_id(1)
-    flag_ref[i, j] = jnp.int32(0)
 
-    @pl.when(live_s[i, j] > 0)
+    def write_flag(v):
+        flag_ref[i, j] = v
+
+    _pole_block_body(py_ref[0], px_ref[0], mask_ref[0], win_ref, out_ref,
+                     write_flag, y0s[i, j], F=F, WY=WY, WXS=WXS, **common)
+
+
+def _pole_list_kernel(n_live, iy, jx, iy_out, y0s, py_ref, px_ref,
+                      mask_ref, win_ref, out_ref, flag_ref, *, F, WY, WXS,
+                      common):
+    """Pole level-2 pass over a compacted (side, column-tile) list; dead
+    slots repeat slot 0's blocks and write the garbage row block."""
+    i = pl.program_id(0)
+    flag_ref[i, 0] = jnp.int32(0)
+
+    @pl.when(i < n_live[0])
     def _():
-        y0 = y0s[i, j] - YPAD
-        x0 = jnp.zeros((), jnp.int32) if x_full else x0s[i, j] - XPAD
-
         def write_flag(v):
-            flag_ref[i, j] = v
+            flag_ref[i, 0] = v
 
-        body(py_ref[0], px_ref[0], win_ref, out_ref, write_flag, y0, x0,
-             F=F, WY=WY, WX=WX, x_full=x_full, **common)
+        _pole_block_body(py_ref[0], px_ref[0], mask_ref[0], win_ref,
+                         out_ref, write_flag, y0s[i], F=F, WY=WY, WXS=WXS,
+                         **common)
 
 
-def _list_kernel(n_live, iy, jx, iy_out, y0s, x0s, py_ref, px_ref, win_ref,
-                 out_ref, flag_ref, *, body, F, WY, WX, YPAD, XPAD, x_full,
-                 common):
+def _list_kernel(n_live, iy, jx, iy_out, y0s, x0s, edges, py_ref, px_ref,
+                 win_ref, out_ref, flag_ref, *, body, F, WY, WX, YPAD,
+                 XPAD, x_full, common):
     """Escalation-tier kernel: 1-D grid over a compacted tile list; slots
     past ``n_live`` are dead (their index maps repeat slot 0, so the window
     DMA is skipped, and the body is gated off)."""
@@ -385,7 +436,7 @@ def _list_kernel(n_live, iy, jx, iy_out, y0s, x0s, py_ref, px_ref, win_ref,
             flag_ref[i, 0] = v
 
         body(py_ref[0], px_ref[0], win_ref, out_ref, write_flag, y0, x0,
-             F=F, WY=WY, WX=WX, x_full=x_full, **common)
+             F=F, WY=WY, WX=WX, x_full=x_full, edge=edges[i], **common)
 
 
 # ---------------------------------------------------------------------------
@@ -407,31 +458,35 @@ def _tile_minmax(fold_t, n, x_full=False):
             jnp.max(f, axis=(1, 3)).astype(jnp.int32))
 
 
-def _starts(mn, n, pad, w, align):
+def _starts(mn, n, pad, w, align, slop=4):
     """Aligned window starts in PADDED element space for floor-mins ``mn``.
 
-    The -4 slop below pairs with _fits' +-2-cell conservatism: a position
-    clamped exactly onto the domain edge folds to the OTHER end of the
-    period-(n-1) wrap, and a 1-ulp arithmetic difference between the XLA
-    routing pass and the Mosaic kernel across that fold boundary moves the
-    unwrapped floor by up to TWO cells (observed at the clamped polar
-    rows), not one.
+    The default -4 slop pairs with _fits' edge-tile conservatism: a
+    position clamped exactly onto the domain edge folds to the OTHER end
+    of the period-(n-1) wrap, and a 1-ulp arithmetic difference between
+    the XLA routing pass and the Mosaic kernel across that fold boundary
+    moves the unwrapped floor by up to TWO cells (observed at the clamped
+    polar rows).  Interior tiles (no fold jump possible) use slop=2.
     """
-    s = ((mn - 4 + pad) // align) * align
+    s = ((mn - slop + pad) // align) * align
     return jnp.clip(s, 0, n + 2 * pad - w)
 
 
-def _fits(mn, mx, s_pad, pad, w, margin):
-    """Does window [s_pad-pad, s_pad-pad+w) hold taps [mn-margin, mx+2]?
+def _fits(mn, mx, s_pad, pad, w, margin, ulp=2):
+    """Does window [s_pad-pad, s_pad-pad+w) hold taps
+    [mn-margin-ulp, mx+2+ulp]?
 
-    Conservative by TWO extra cells on each side: the kernel recomputes
-    the scaled coordinates with Mosaic's own arithmetic, which may differ
-    from the XLA routing pass by 1 ulp; across the period-(n-1) fold
-    boundary (positions clamped exactly onto a domain edge) that flips
-    the unwrapped floor by up to two cells after the mod-n unwrap.
+    ``ulp`` is the routing-vs-kernel arithmetic slack: the kernel
+    recomputes the scaled coordinates with Mosaic's own arithmetic, which
+    may differ from the XLA routing pass by 1 ulp.  Away from the
+    period-(n-1) fold boundary that moves a floor by at most ONE cell
+    (only at exact cell boundaries); across the fold (positions clamped
+    exactly onto a domain edge — edge tiles only) by up to two cells
+    after the mod-n unwrap.  Callers pass ulp=1 for provably interior
+    tiles and ulp=2 for edge tiles.
     """
     lo = s_pad - pad
-    return ((mn - margin - 2) >= lo) & ((mx + 4) <= lo + w - 1)
+    return ((mn - margin - ulp) >= lo) & ((mx + 2 + ulp) <= lo + w - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -471,9 +526,10 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     grid ((rows, nx) with rows != ny).  ``home_rows`` ((rows, 1) int32,
     traced) then supplies each block row's GLOBAL home row (the reference
     keys its pole special-case on home row, /root/reference/LCS/tools.py:
-    31-39), and ``pole_tile_rows`` (static tuple) the block tile rows that
-    may contain pole home rows — a superset is fine, extra tiles are
-    masked out.  Window routing itself is position-only and needs neither.
+    31-39).  The pole pass always evaluates the first/last ``order`` block
+    rows as candidates and masks by home row, so no static tile-row hint
+    is needed (``pole_tile_rows`` is accepted and ignored for backward
+    compatibility).  Window routing itself is position-only.
 
     Returns ``(out (F, rows, nx), overflow int32 scalar)``.
     """
@@ -517,8 +573,6 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
 
     pyt = pad_pos(py_sp)
     pxt = pad_pos(px_sp)
-    pyt_true = pad_pos(py)
-    pxt_true = pad_pos(px)
 
     # ---- exact per-tile tap spans (XLA, vectorised over tiles) ----
     yi = ny * (pyt - y_min) / (y_max - y_min)
@@ -527,6 +581,20 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     xfold = _fold(xi, nx)
     ymn, ymx = _tile_minmax(yfold, ny)
     xmn, xmx = _tile_minmax(xfold, nx)
+
+    # conservative mirror-edge flag per tile: folded floors within one
+    # cell of the remap zones (fold < 1 / floor >= n-2, _tap_offsets) —
+    # the +-1 margin absorbs routing-vs-kernel 1-ulp fold differences.
+    # Interior tiles take the cheap direct-B3 basis in the kernel.
+    def _fold_floor_mm(fold_t, n):
+        t = jnp.floor(fold_t).reshape(gy, TILE_R, gx, TILE_C)
+        return (t.min(axis=(1, 3)).astype(jnp.int32),
+                t.max(axis=(1, 3)).astype(jnp.int32))
+
+    yfmn, yfmx = _fold_floor_mm(yfold, ny)
+    xfmn, xfmx = _fold_floor_mm(xfold, nx)
+    edge_t = ((yfmn <= 1) | (yfmx >= ny - 3)
+              | (xfmn <= 1) | (xfmx >= nx - 3)).astype(jnp.int32)
 
     # ---- escalation ladder: (wy, wx or None=full-x, capacity) ----
     # Tuned on flagship-final-step span histograms (ROUND2_NOTES): y spans
@@ -555,23 +623,30 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     # case of _tap_offsets) / mn-1 (order 1); highest is mx+2
     m = 2 if order == 3 else 1
 
+    # per-tile routing slack: interior tiles can only slip one cell
+    # (edge_t's fold-jump hazard is excluded by construction), buying
+    # several cells of effective window height/width.  The start slop
+    # must be >= m + ulp or _fits' low-side test can fail when mn - slop
+    # lands exactly on an alignment boundary.
+    ulp_t = jnp.where(edge_t > 0, 2, 1)
+    slop_t = m + ulp_t
+
     def fit(wy_, wx_):
-        ys = _starts(ymn, ny, ypad, wy_, 8)
+        ys = _starts(ymn, ny, ypad, wy_, 8, slop=slop_t)
         if wx_ is None:
-            return _fits(ymn, ymx, ys, ypad, wy_, m), ys, None
-        xs = _starts(xmn, nx, xpad, wx_, 128)
-        return (_fits(ymn, ymx, ys, ypad, wy_, m)
-                & _fits(xmn, xmx, xs, xpad, wx_, m), ys, xs)
+            return _fits(ymn, ymx, ys, ypad, wy_, m, ulp=ulp_t), ys, None
+        xs = _starts(xmn, nx, xpad, wx_, 128, slop=slop_t)
+        return (_fits(ymn, ymx, ys, ypad, wy_, m, ulp=ulp_t)
+                & _fits(xmn, xmx, xs, xpad, wx_, m, ulp=ulp_t), ys, xs)
 
     fitA, y0A, x0A = fit(wy, wx)
 
-    common = dict(ny=ny, nx=nx, y_min=float(y_min), y_max=float(y_max),
-                  x_min=float(x_min), x_max=float(x_max), order=order)
+    common = dict(ny=ny, nx=nx, order=order)
     body = partial(_spline_tile_body)
 
     # ---- escalation tiers over compacted tile lists ----
     def run_tier(want, cap, wy_, wx_, ys_full, xs, x_full, tbody, tcommon,
-                 operand, ypad_t, xpad_t, ppy, ppx):
+                 operand, ypad_t, xpad_t):
         """Run one escalation tier; returns (out+garbage-row, covered mask,
         residual in-kernel flag, capacity-exceeded flag)."""
         cap = min(cap, n_tiles)
@@ -591,13 +666,14 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             x0sel = jnp.zeros((cap,), jnp.int32)
         else:
             x0sel = jnp.where(live, xs[iy, jx], xs[iy[0], jx[0]])
+        edge_sel = edge_t[iy_d, jx_d]
         n_live = jnp.full((1,), count, jnp.int32)
 
         kern = partial(_list_kernel, body=tbody, F=F, WY=wy_, WX=wx_,
                        YPAD=ypad_t, XPAD=xpad_t, x_full=x_full,
                        common=tcommon)
 
-        def wmap(i, nl, iyr, jxr, iyo, y0r, x0r):
+        def wmap(i, nl, iyr, jxr, iyo, y0r, x0r, edr):
             if x_full:
                 # full-x slab starts at unpadded col 0 (= padded xpad_t);
                 # folded x offsets are then overflow-free by construction
@@ -606,21 +682,21 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                     pl.multiple_of(x0r[i], 128))
 
         gridspec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=7,
             grid=(cap,),
             in_specs=[
                 pl.BlockSpec((1, TILE_R, TILE_C),
-                             lambda i, nl, iyr, jxr, iyo, y0r, x0r:
+                             lambda i, nl, iyr, jxr, iyo, y0r, x0r, edr:
                              (0, iyr[i], jxr[i]), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, TILE_R, TILE_C),
-                             lambda i, nl, iyr, jxr, iyo, y0r, x0r:
+                             lambda i, nl, iyr, jxr, iyo, y0r, x0r, edr:
                              (0, iyr[i], jxr[i]), memory_space=pltpu.VMEM),
                 pl.BlockSpec((pl.Element(F), pl.Element(wy_),
                               pl.Element(wx_)), wmap,
                              memory_space=pltpu.VMEM)],
             out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
-                                    lambda i, nl, iyr, jxr, iyo, y0r, x0r:
-                                    (0, iyo[i], jxr[i]),
+                                    lambda i, nl, iyr, jxr, iyo, y0r, x0r,
+                                    edr: (0, iyo[i], jxr[i]),
                                     memory_space=pltpu.VMEM),
                        pl.BlockSpec((cap, 1), lambda i, *_: (0, 0),
                                     memory_space=pltpu.SMEM)],
@@ -631,8 +707,8 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                        jax.ShapeDtypeStruct((cap, 1), jnp.int32)],
             interpret=interpret,
             compiler_params=_CPARAMS,
-        )(n_live, iy_d, jx_d, iy_out, y0sel, x0sel,
-          ppy[None], ppx[None], operand)
+        )(n_live, iy_d, jx_d, iy_out, y0sel, x0sel, edge_sel,
+          yfold[None], xfold[None], operand)
         covered = jnp.zeros((gy + 1, gx), jnp.int32).at[iy_out, jx_d].max(
             live.astype(jnp.int32))[:gy] > 0
         live_flags = flags_t[:, 0] * live.astype(jnp.int32)
@@ -642,33 +718,36 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             live_flags)[:gy]
         return out_t, covered & want, resid, over_cap, fmap
 
-    covered = jnp.zeros((gy, gx), bool)
-    tier_outs = []
-    tier_fmaps = []
+    # ---- routing-only cascade: decide every tier's tile set in XLA
+    # BEFORE any launch.  Capacity truncation is a rank test (tiles past
+    # a tier's cap spill to the next holding tier), so the final
+    # uncovered set — and therefore tier A's live set — is known without
+    # running a single kernel.  This lets each tier launch AND merge
+    # under one lax.cond, skipped entirely on the (common) empty case:
+    # an empty launch still costs ~0.1 ms, and an unconditional merge
+    # streams the full output array per tier. ----
     overflow = jnp.zeros((), jnp.int32)
+    tier_plan = []
+    covered = jnp.zeros((gy, gx), bool)
     if retry_tiles > 0:
-        for t_i, (wy_, wx_, cap) in enumerate(ladder):
+        for wy_, wx_, cap in ladder:
             fitT, ysT, xsT = fit(wy_, wx_)
-            # capacity-aware cascade: a tile that fit an earlier tier but
-            # exceeded its capacity spills into the next tier that holds it
             want = (~fitA) & (~covered) & fitT
-            out_t, cov, resid, over_cap, fmap = run_tier(
-                want, cap, wy_, wx_full if wx_ is None else wx_, ysT, xsT,
-                wx_ is None, body, common, cw_pad, ypad, xpad, pyt, pxt)
-            tier_outs.append((out_t, cov))
-            tier_fmaps.append(fmap)
-            covered = covered | cov
-            overflow = overflow | (resid << (5 + t_i))
-        # the flag now only raises when even the last holding tier's
-        # capacity ran out (checked after the cascade) or a window clamped.
-        # Bit 1 marks capacity exhaustion (bit 0: tier residual clamps) —
-        # the overflow word is a diagnostic bitmask; callers test nonzero.
+            rank = jnp.cumsum(want.ravel().astype(jnp.int32)) - 1
+            taken = want & (rank < min(cap, n_tiles)).reshape(gy, gx)
+            tier_plan.append((taken, ysT, xsT, wy_, wx_,
+                              min(cap, n_tiles)))
+            covered = covered | taken
+        # bit 1: some tile fit no tier (or every holding tier was full) —
+        # it keeps tier-A clamped values.  The overflow word is a
+        # diagnostic bitmask; callers test nonzero.
         uncovered = jnp.sum((~fitA) & (~covered))
         overflow = overflow | ((uncovered > 0).astype(jnp.int32) << 1)
 
     # ---- tier A: 2-D grid over all tiles; unrouted/uncovered tiles also
-    # run here (clamped windows, flag raised by the in-kernel check) ----
-    liveA = (fitA | ~covered).astype(jnp.int32)
+    # run here (clamped windows, flag raised by the in-kernel check).
+    # Bit 1 of liveA carries the per-tile mirror-edge flag. ----
+    liveA = (fitA | ~covered).astype(jnp.int32) * (1 + 2 * edge_t)
     kernA = partial(_grid_kernel, body=body, F=F, WY=wy, WX=wx,
                     YPAD=ypad, XPAD=xpad, x_full=False, common=common)
     gridA = pltpu.PrefetchScalarGridSpec(
@@ -698,134 +777,221 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                    jax.ShapeDtypeStruct((gy, gx), jnp.int32)],
         interpret=interpret,
             compiler_params=_CPARAMS,
-    )(liveA, y0A, x0A, pyt[None], pxt[None], cw_pad)
-    overflow = overflow | (jnp.max(flagsA * liveA) << 2)
+    )(liveA, y0A, x0A, yfold[None], xfold[None], cw_pad)
+    overflow = overflow | \
+        (jnp.max(flagsA * (liveA > 0).astype(jnp.int32)) << 2)
 
+    # ---- escalation tiers: launch + merge under cond, empty → skip ----
     out_arr = outA
-    for out_t, cov in tier_outs:
-        mask = jnp.repeat(jnp.repeat(cov, TILE_R, 0), TILE_C, 1)
-        out_arr = jnp.where(mask[None], out_t[:, :ny_t], out_arr)
+    tier_fmaps = []
+    for t_i, (taken, ysT, xsT, wy_, wx_, cap) in enumerate(tier_plan):
+        xsT_c = jnp.zeros((gy, gx), jnp.int32) if xsT is None else xsT
+
+        def go(taken, ysT, xsT_c, out_arr, wy_=wy_, wx_=wx_, cap=cap):
+            out_t, cov, resid, _oc, fmap = run_tier(
+                taken, cap, wy_, wx_full if wx_ is None else wx_,
+                ysT, xsT_c, wx_ is None, body, common, cw_pad,
+                ypad, xpad)
+            mask = jnp.repeat(jnp.repeat(cov, TILE_R, 0), TILE_C, 1)
+            return (jnp.where(mask[None], out_t[:, :ny_t], out_arr),
+                    resid, fmap)
+
+        def skip(taken, ysT, xsT_c, out_arr):
+            return (out_arr, jnp.zeros((), jnp.int32),
+                    jnp.zeros((gy, gx), jnp.int32))
+
+        out_arr, resid, fmap = jax.lax.cond(
+            jnp.any(taken), go, skip, taken, ysT, xsT_c, out_arr)
+        tier_fmaps.append(fmap)
+        overflow = overflow | (resid << (5 + t_i))
 
     # ---- pole-home rows: order-1 mode='constant' on the raw fields,
-    # keyed on HOME row (/root/reference/LCS/tools.py:31-39) ----
+    # keyed on HOME row (/root/reference/LCS/tools.py:31-39).  The at most
+    # 2*order pole rows are evaluated as ONE compact TILE_R-row candidate
+    # block (the first/last `order` block rows — shards hold contiguous
+    # home-row ranges, so no other block row can be a pole home row) under
+    # a 2-level y-ladder of full-longitude slabs.  Full-x is structural
+    # here: pole-row positions are decorrelated over the whole circle (the
+    # 1/cos conv_x blowup, /root/reference/LCS/trajectory.py:56), while
+    # their y positions are integrator-clamped and drift slowly. ----
     pole_flag = jnp.zeros((), jnp.int32)
     if order > 0:
-        if pole_tile_rows is None:
-            pole_rows = sorted({0} | {r // TILE_R
-                                      for r in range(max(ny - order, 0),
-                                                     ny)})
+        # candidate block rows for the (at most 2*order) pole HOME rows:
+        # shards hold a contiguous home-row range starting at
+        # home_rows[0], so home row h lives at block row h - home_rows[0]
+        # — blocks may be row-PADDED at the end, so "last `order` block
+        # rows" would miss the trailing pole rows.  A candidate only
+        # counts (mask_b) when its home row actually matches; clipped /
+        # out-of-shard candidates evaluate harmlessly and are discarded
+        # by the is_pole scatter.
+        exp_n = np.r_[0:order][:order]
+        exp_s = np.r_[max(ny - order, 0):ny]
+        exp2 = jnp.asarray(np.stack([
+            np.pad(exp_n, (0, TILE_R - exp_n.size), mode="edge"),
+            np.pad(exp_s, (0, TILE_R - exp_s.size), mode="edge")]),
+            jnp.int32)                            # (2, TILE_R) home rows
+        hr0 = (jnp.zeros((), jnp.int32) if home_rows is None
+               else home_rows[0, 0].astype(jnp.int32))
+        idx2 = jnp.clip(exp2 - hr0, 0, R - 1)     # (2, TILE_R) block rows
+        px_b = jnp.pad(jnp.take(px, idx2.ravel(), axis=0),
+                       ((0, 0), (0, nx_t - nx)),
+                       mode="edge").reshape(2, TILE_R, nx_t)
+        py_b = jnp.pad(jnp.take(py, idx2.ravel(), axis=0),
+                       ((0, 0), (0, nx_t - nx)),
+                       mode="edge").reshape(2, TILE_R, nx_t)
+        if home_rows is None:
+            hr_b = idx2
         else:
-            pole_rows = sorted(set(int(r) for r in pole_tile_rows))
+            hr_b = jnp.take(home_rows[:, 0].astype(jnp.int32),
+                            idx2.ravel()).reshape(2, TILE_R)
+        mask_b = (hr_b == exp2).astype(px_b.dtype)
+
         ny_tf = _cdiv(ny, TILE_R) * TILE_R     # field-side row tiling
         pad_rows = ny_tf + 8 - ny
-        raw_p = jnp.pad(raw, ((0, 0), (0, pad_rows), (0, nx_t + 128 - nx)))
         ny_p = ny + pad_rows
-        nxp_r = nx_t + 128
-        wy_p = min(max(wyc, 16), ((ny_p) // 8) * 8)
-        wx_p = min(512, (nxp_r // 128) * 128)
-        # direct-index spans over the raw field, from the TRUE positions
-        # (the spline path's yi/xi are pole-row-substituted; the pole path
-        # is exactly the consumer of the real pole-row positions).  The
-        # clip runs in float BEFORE the int cast so unbounded pole-row
-        # excursions cannot overflow int32.
-        yi_t = ny * (pyt_true - y_min) / (y_max - y_min)
-        xi_t = nx * (pxt_true - x_min) / (x_max - x_min)
-        y0f = jnp.clip(jnp.floor(yi_t), 0, ny - 2).astype(jnp.int32)
-        x0f = jnp.clip(jnp.floor(xi_t), 0, nx - 2).astype(jnp.int32)
+        raw_p = jnp.pad(raw, ((0, 0), (0, pad_rows), (0, nx_t - nx)))
+        wy_p = min(max(wyc, 16), (ny_p // 8) * 8)
+        wy_p2 = min(3 * wy_p, (ny_p // 8) * 8)
 
-        def dir_minmax(a):
-            t = a.reshape(gy, TILE_R, gx, TILE_C)
-            return t.min(axis=(1, 3)), t.max(axis=(1, 3))
+        # masked direct-index y spans per (side, column tile), +-1-cell
+        # conservative (1-ulp floor concern, _fits) and clipped — the
+        # direct indices saturate at [0, ny-2] identically in this
+        # routing pass and in the kernel, so the bounds cannot flip.
+        # Non-pole candidate rows are masked out of the spans; their
+        # (possibly clamping) values are discarded by the is_pole scatter
+        # and their in-kernel flags are masked off.
+        yi_b = ny * (py_b - y_min) / (y_max - y_min)
+        y0f = jnp.clip(jnp.floor(jnp.clip(yi_b, 0.0, float(ny - 1))),
+                       0, ny - 2).astype(jnp.int32)
+        y0t = y0f.reshape(2, TILE_R, gx, TILE_C)
+        mrow = (mask_b > 0)[:, :, None, None]
+        kymn = jnp.clip(
+            jnp.min(jnp.where(mrow, y0t, ny), axis=(1, 3)) - 1, 0, ny - 2)
+        kymx = jnp.clip(
+            jnp.max(jnp.where(mrow, y0t, -1), axis=(1, 3)) + 1, 0, ny - 2)
+        kymn = jnp.minimum(kymn, kymx)            # (2, gx)
 
-        pymn, pymx = dir_minmax(y0f)
-        pxmn, pxmx = dir_minmax(x0f)
-        # +-1-cell conservative bounds (same 1-ulp floor concern as
-        # _fits), themselves clipped: the direct indices saturate at
-        # [0, n-2] identically in the routing pass and the kernel, so the
-        # hard boundaries cannot flip
-        kymn = jnp.maximum(pymn - 1, 0)
-        kymx = jnp.minimum(pymx + 1, ny - 2)
-        kxmn = jnp.maximum(pxmn - 1, 0)
-        kxmx = jnp.minimum(pxmx + 1, nx - 2)
-        rows = jnp.asarray(np.asarray(pole_rows, np.int32))
-        pymn_s, pymx_s = kymn[rows], kymx[rows]
-        pxmn_s, pxmx_s = kxmn[rows], kxmx[rows]
-        ysP = jnp.clip((pymn_s // 8) * 8, 0, max(ny_p - wy_p, 0))
-        xsP = jnp.clip((pxmn_s // 128) * 128, 0,
-                       max(nxp_r - wx_p, 0))
-        fitP = ((pymx_s + 1) <= ysP + wy_p - 1) & \
-               ((pxmx_s + 1) <= xsP + wx_p - 1) & (pymn_s >= ysP) & \
-               (pxmn_s >= xsP)
+        mask_blk = jnp.broadcast_to(mask_b[:, :, None],
+                                    (2, TILE_R, TILE_C))
         pcommon = dict(ny=ny, nx=nx, y_min=float(y_min),
                        y_max=float(y_max), x_min=float(x_min),
                        x_max=float(x_max))
-        pbody = partial(_pole_tile_body)
 
-        n_pole = len(pole_rows)
-        # windowed pole pass: 2-D grid (pole tile rows x gx), gated to fits
-        kernP = partial(_pole_grid_kernel, body=pbody, F=F, WY=wy_p,
-                        WX=wx_p, YPAD=0, XPAD=0, x_full=False,
+        def pole_fit(wy_):
+            ys = jnp.clip((kymn // 8) * 8, 0, max(ny_p - wy_, 0))
+            return (kymn >= ys) & (kymx + 1 <= ys + wy_ - 1), ys
+
+        fit1, ys1 = pole_fit(wy_p)                # (2, gx) each
+        kern1 = partial(_pole_grid_kernel, F=F, WY=wy_p, WXS=nx_t,
                         common=pcommon)
-
-        gridP = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
-            grid=(n_pole, gx),
+        grid1 = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(2, gx),
             in_specs=[
                 pl.BlockSpec((1, TILE_R, TILE_C),
-                             lambda i, j, lv, y0r, x0r, rs: (0, rs[i], j),
+                             lambda i, j, y0r: (i, 0, j),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, TILE_R, TILE_C),
-                             lambda i, j, lv, y0r, x0r, rs: (0, rs[i], j),
+                             lambda i, j, y0r: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TILE_R, TILE_C),
+                             lambda i, j, y0r: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((pl.Element(F), pl.Element(wy_p),
-                              pl.Element(wx_p)),
-                             lambda i, j, lv, y0r, x0r, rs:
-                             (0, pl.multiple_of(y0r[i, j], 8),
-                              pl.multiple_of(x0r[i, j], 128)),
+                              pl.Element(nx_t)),
+                             lambda i, j, y0r:
+                             (0, pl.multiple_of(y0r[i, j], 8), 0),
                              memory_space=pltpu.VMEM)],
             out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
-                                    lambda i, j, lv, y0r, x0r, rs:
-                                    (0, rs[i], j),
+                                    lambda i, j, y0r: (0, i, j),
                                     memory_space=pltpu.VMEM),
-                       pl.BlockSpec((n_pole, gx), lambda i, j, *_: (0, 0),
+                       pl.BlockSpec((2, gx), lambda i, j, *_: (0, 0),
                                     memory_space=pltpu.SMEM)],
         )
-        # every pole tile runs the windowed pass (unfit tiles clamp — the
-        # fallback-of-last-resort is approximate-but-finite, never garbage)
-        liveP = jnp.ones((n_pole, gx), jnp.int32)
-        pole_out, pflags = pl.pallas_call(
-            kernP, grid_spec=gridP,
-            out_shape=[jax.ShapeDtypeStruct((F, ny_t, nx_t), dtype),
-                       jax.ShapeDtypeStruct((n_pole, gx), jnp.int32)],
+        blk1, pflags1 = pl.pallas_call(
+            kern1, grid_spec=grid1,
+            out_shape=[jax.ShapeDtypeStruct((F, 2 * TILE_R, nx_t), dtype),
+                       jax.ShapeDtypeStruct((2, gx), jnp.int32)],
             interpret=interpret,
             compiler_params=_CPARAMS,
-        )(liveP, ysP, xsP, rows, pyt_true[None], pxt_true[None], raw_p)
+        )(ys1, py_b, px_b, mask_blk, raw_p)
 
-        # full-x fallback ladder for pole tiles whose taps exceed the
-        # window — pole parcels drift O(100) rows over an 8-day window AND
-        # whirl the full circle, so two y-heights are tiered (dead slots
-        # are gated off; the fallback only costs what the flow whirls).
-        # run_tier operates in the pole path's RAW index space: pads 0.
-        unfitP = jnp.zeros((gy, gx), bool).at[rows].set(~fitP)
-        pole_vals = pole_out
-        covP = jnp.zeros((gy, gx), bool)
-        residP = jnp.zeros((), jnp.int32)
-        for wy_pf in (wy_p, min(3 * wy_p, (ny_p // 8) * 8)):
-            ysPF = jnp.clip((kymn // 8) * 8, 0, max(ny_p - wy_pf, 0))
-            fitPF = ((kymx + 1) <= ysPF + wy_pf - 1) & (kymn >= ysPF)
-            wantPF = unfitP & (~covP) & fitPF
-            out_pf, cov_pf, resid_pf, _, _pfm = run_tier(
-                wantPF, n_pole * gx, wy_pf, nxp_r, ysPF, None,
-                True, pbody, pcommon, raw_p, 0, 0, pyt_true, pxt_true)
-            covP = covP | cov_pf
-            residP = residP | resid_pf
-            mask_pf = jnp.repeat(jnp.repeat(cov_pf, TILE_R, 0), TILE_C, 1)
-            pole_vals = jnp.where(mask_pf[None], out_pf[:, :ny_t],
-                                  pole_vals)
-        # windowed-pass clamp flags only count where no fallback level
-        # superseded the clamped values
-        pole_flag = (jnp.max(pflags * (1 - covP[rows].astype(jnp.int32)))
-                     << 3) | (residP << 4)
+        # level 2: taller slab over the compacted unfit-(side, tile) list
+        # (rare — pole-row y drift is slow); beyond wy_p2 clamps+flags
+        fit2, ys2 = pole_fit(wy_p2)
+        cap2 = 2 * gx
+        flat2 = (~fit1).ravel().astype(jnp.int32)
+        sel2 = jnp.argsort(-flat2)[:cap2].astype(jnp.int32)
+        count2 = jnp.minimum(jnp.sum(flat2), cap2)
+        live2 = jnp.arange(cap2) < count2
+        iy_s = sel2 // gx
+        jx_s = sel2 - gx * iy_s
+        iy2 = jnp.where(live2, iy_s, iy_s[0])
+        jx2 = jnp.where(live2, jx_s, jx_s[0])
+        iy_out2 = jnp.where(live2, iy2, 2)    # dead → garbage row block
+        y02 = jnp.where(live2, ys2[iy2, jx2], ys2[iy2[0], jx2[0]])
+        n2 = jnp.full((1,), count2, jnp.int32)
+        kern2 = partial(_pole_list_kernel, F=F, WY=wy_p2, WXS=nx_t,
+                        common=pcommon)
+        grid2 = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(cap2,),
+            in_specs=[
+                pl.BlockSpec((1, TILE_R, TILE_C),
+                             lambda i, nl, iyr, jxr, iyo, y0r:
+                             (iyr[i], 0, jxr[i]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TILE_R, TILE_C),
+                             lambda i, nl, iyr, jxr, iyo, y0r:
+                             (iyr[i], 0, jxr[i]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TILE_R, TILE_C),
+                             lambda i, nl, iyr, jxr, iyo, y0r:
+                             (iyr[i], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pl.Element(F), pl.Element(wy_p2),
+                              pl.Element(nx_t)),
+                             lambda i, nl, iyr, jxr, iyo, y0r:
+                             (0, pl.multiple_of(y0r[i], 8), 0),
+                             memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
+                                    lambda i, nl, iyr, jxr, iyo, y0r:
+                                    (0, iyo[i], jxr[i]),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((cap2, 1), lambda i, *_: (0, 0),
+                                    memory_space=pltpu.SMEM)],
+        )
+        def go2(n2, iy2, jx2, iy_out2, y02):
+            return pl.pallas_call(
+                kern2, grid_spec=grid2,
+                out_shape=[
+                    jax.ShapeDtypeStruct((F, 3 * TILE_R, nx_t), dtype),
+                    jax.ShapeDtypeStruct((cap2, 1), jnp.int32)],
+                interpret=interpret,
+                compiler_params=_CPARAMS,
+            )(n2, iy2, jx2, iy_out2, y02, py_b, px_b, mask_blk, raw_p)
+
+        def skip2(n2, iy2, jx2, iy_out2, y02):
+            return (jnp.zeros((F, 3 * TILE_R, nx_t), dtype),
+                    jnp.zeros((cap2, 1), jnp.int32))
+
+        blk2, pflags2 = jax.lax.cond(count2 > 0, go2, skip2,
+                                     n2, iy2, jx2, iy_out2, y02)
+
+        cov2 = jnp.zeros((3, gx), jnp.int32).at[iy_out2, jx2].max(
+            live2.astype(jnp.int32))[:2] > 0      # (2, gx)
+        colmask = jnp.repeat(cov2, TILE_C, axis=1)  # (2, nx_t)
+        b1 = blk1.reshape(F, 2, TILE_R, nx_t)
+        b2 = blk2[:, :2 * TILE_R].reshape(F, 2, TILE_R, nx_t)
+        blk_vals = jnp.where(colmask[None, :, None, :], b2, b1)
+        pole_flag = \
+            (jnp.max(pflags1 * (1 - cov2.astype(jnp.int32))) << 3) \
+            | (jnp.max(pflags2[:, 0] * live2.astype(jnp.int32)) << 4)
+
+        # scatter the block rows back to their block positions (duplicate
+        # candidate rows carry identical values, so overlap is benign)
+        pole_vals = out_arr.at[:, idx2.ravel()].set(
+            blk_vals.reshape(F, 2 * TILE_R, nx_t))
         if home_rows is None:
             row = jax.lax.broadcasted_iota(jnp.int32, (ny_t, nx_t), 0)
             is_pole = (row < order) | ((row >= ny - order) & (row < ny))
@@ -842,10 +1008,13 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             overflow=overflow,
             tiles_escalated=jnp.sum(~fitA),
             uncovered=jnp.sum((~fitA) & (~covered)),
-            tierA_resid=jnp.max(flagsA * liveA),
+            _uncov_map=(~fitA) & (~covered),
+            _spans=(ymn, ymx, xmn, xmx),
+            _edge=edge_t,
+            tierA_resid=jnp.max(flagsA * (liveA > 0).astype(jnp.int32)),
             pole_flag=pole_flag,
             _tier_fmaps=tier_fmaps,
-            _pflags=pflags if order > 0 else None,
-            _fitP=fitP if order > 0 else None,
-            _covP=covP[rows] if order > 0 else None)
+            _pflags=pflags1 if order > 0 else None,
+            _pfit=fit1 if order > 0 else None,
+            _pcov=cov2 if order > 0 else None)
     return out, overflow

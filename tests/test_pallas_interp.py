@@ -70,6 +70,15 @@ class TestPallasParity:
         assert flag == 0
         np.testing.assert_allclose(out, ref, atol=1e-11)
 
+    def test_tall_grid_pole_blocks_fit(self):
+        """ny far larger than the pole slab heights: the north and south
+        pole candidate rows must be routed as SEPARATE blocks — a combined
+        block's direct y span covers the whole field and can never fit a
+        window (caught only at flagship scale on real TPU otherwise)."""
+        out, flag, ref = run_case(241, 256, 3, 2, band=2, retry=8)
+        assert flag == 0
+        np.testing.assert_allclose(out, ref, atol=1e-11)
+
 
 class TestPallasInScan:
     def test_propagation_pallas_matches_xla(self):
