@@ -27,7 +27,7 @@ __all__ = ["ftle_pipeline"]
 def ftle_pipeline(u: jax.Array, v: jax.Array, timestep, grid: Grid, *,
                   settls_order: int = 0, interp_order: int = 3,
                   sigma=None, compat: bool = True, kernel: str = "xla",
-                  pallas_wy: int = 32, pallas_wx: int = 384,
+                  pallas_wy: int = 32, pallas_wx: int = 256,
                   pallas_polar_band: int = 2, pallas_retry_tiles: int = 256,
                   pallas_retry_wy: int = 64,
                   return_overflow: bool = False):

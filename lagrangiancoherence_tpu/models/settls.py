@@ -53,7 +53,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 settls_order: int, interp_order: int, return_traj: bool,
                 row_offset=0, home_rows=None, kernel: str = "xla",
                 debug_per_step: bool = False,
-                pallas_wy: int = 32, pallas_wx: int = 384,
+                pallas_wy: int = 32, pallas_wx: int = 256,
                 pallas_polar_band: int = 2, pallas_retry_tiles: int = 256,
                 pallas_retry_wy: int = 64):
     """The SETTLS time loop as one ``lax.scan`` over a position *block*.
@@ -90,7 +90,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
         from ..ops.pallas_interp import (TILE_R, pad_coeffs_for_pallas,
                                          pallas_interp_multi)
         WT = W                                  # (T, 2, ny, nx) raw
-        CWP = pad_coeffs_for_pallas(CW)         # (T, 2, nyp, nxp)
+        CWP = pad_coeffs_for_pallas(CW)         # (C, T, 2, nyp, nxp-128)
         ny, nx = grid.shape
 
         # sharded blocks: window routing is position-only; the pole-row
@@ -118,7 +118,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
 
         def slices(t):
             return (jax.lax.dynamic_index_in_dim(WT, t, 0, keepdims=False),
-                    jax.lax.dynamic_index_in_dim(CWP, t, 0, keepdims=False))
+                    jax.lax.dynamic_index_in_dim(CWP, t, 1, keepdims=False))
     else:
         def interp_multi(fields_coeffs_0, fields_coeffs_1, px, py):
             out = interp_at_parcels_multi(
@@ -150,8 +150,11 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
         # SETTLS fixed-point iterations, cumulative form (Q3)
         # (/root/reference/LCS/trajectory.py:100-124)
         if settls_order:
+            # field axis: 0 for raw/XLA operands, 1 for the pallas padded
+            # coefficients (leading axis = lane-shifted copies)
+            b_ax = 1 if kernel == "pallas" else 0
             A_tn = jnp.concatenate([A_t, A_n], axis=0)
-            B_tn = jnp.concatenate([B_t, B_n], axis=0)
+            B_tn = jnp.concatenate([B_t, B_n], axis=b_ax)
         for _ in range(settls_order):
             dep, fl = interp_multi(A_tn, B_tn, px, py)
             flag = flag | fl
@@ -191,7 +194,7 @@ def parcel_propagation_core(u: jax.Array, v: jax.Array, timestep,
                             interp_order: int = 3,
                             return_traj: bool = False,
                             kernel: str = "xla", pallas_wy: int = 32,
-                            pallas_wx: int = 384,
+                            pallas_wx: int = 256,
                             pallas_polar_band: int = 2,
                             pallas_retry_tiles: int = 256,
                             pallas_retry_wy: int = 64,

@@ -78,18 +78,27 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def pad_coeffs_for_pallas(coeffs: jax.Array):
-    """Wrap-pad the coefficient field for the kernels' windows.
+X_COPIES = 4    # lane-shifted field copies: x window starts at 128/4=32
+X_GRAN = 128 // X_COPIES
 
-    ``coeffs``: (..., ny, nx) → (..., nyp, nxp), both axes padded
-    periodically **with period n** (index j holds row/col ``j mod n``).
-    Pad widths are ``n//2`` (the unwrap's maximum excursion) plus
-    (8, 128)-alignment slop plus tap margins, so a window start can never
-    be clipped away from its tile's taps.  Both pads are themselves
-    multiples of the respective alignment (8 rows, 128 lanes): window
-    starts are computed in padded element space and asserted
-    ``pl.multiple_of(..., 8 | 128)`` in the index maps, so a misaligned
-    pad would be undefined behaviour for Mosaic's Element-indexed DMA.
+
+def pad_coeffs_for_pallas(coeffs: jax.Array):
+    """Wrap-pad the coefficient field and build the lane-shifted copies.
+
+    ``coeffs``: (..., ny, nx) → (X_COPIES, ..., nyp, nxp-128).  Both axes
+    are padded periodically **with period n** (index j holds row/col
+    ``j mod n``); pad widths are ``n//2`` (the unwrap's maximum
+    excursion) plus alignment slop plus tap margins, so a window start
+    can never be clipped away from its tile's taps.
+
+    The leading axis holds X_COPIES copies, copy ``c`` shifted left by
+    ``c*X_GRAN`` lanes.  Mosaic requires window starts on the lane axis
+    to be PROVABLY 128-aligned (finer Element starts fail to compile), so
+    a logical 32-granular start ``s`` is realised as the 128-aligned
+    start ``(s//128)*128`` in copy ``(s%128)//32`` — buying 4x finer
+    effective window placement, which shrinks the base tier from
+    (32, 384) to (32, 256) and every escalation tier accordingly.  The
+    128-lane trim keeps every copy's window in-bounds.
     """
     ny, nx = coeffs.shape[-2], coeffs.shape[-1]
     ypad = -(-(ny // 2 + 16) // 8) * 8
@@ -101,7 +110,9 @@ def pad_coeffs_for_pallas(coeffs: jax.Array):
 
     t = wrap_pad(coeffs, coeffs.ndim - 2, ypad, ny)
     t = wrap_pad(t, coeffs.ndim - 1, xpad, nx)
-    return t
+    nxp_c = nx + 2 * xpad - 128
+    return jnp.stack([t[..., c * X_GRAN: c * X_GRAN + nxp_c]
+                      for c in range(X_COPIES)], axis=0)
 
 
 def _fold(x, n):
@@ -215,7 +226,7 @@ def _onehot_basis(offs, ws, iota, W):
 # Whole-tile kernel bodies
 # ---------------------------------------------------------------------------
 
-def _spline_tile_body(fy, fx, win_ref, out_ref, write_flag, y0, x0, *,
+def _spline_tile_body(fyx, win_ref, out_ref, write_flag, y0, x0, *,
                       F, ny, nx, WY, WX, order, x_full, edge=None):
     """Evaluate one (TILE_R, TILE_C) tile: whole-tile one-hot contraction.
 
@@ -238,9 +249,9 @@ def _spline_tile_body(fy, fx, win_ref, out_ref, write_flag, y0, x0, *,
     remaps.  ``pl.when`` branches on the scalar, so only one path runs.
     """
     dtype = out_ref.dtype
-    cdt = fy.dtype
-    yfold = fy
-    xfold = fx
+    cdt = fyx.dtype
+    yfold = fyx[0]
+    xfold = fyx[1]
     yu = _unwrap(yfold, yfold[0, 0], ny)
     xu = xfold if x_full else _unwrap(xfold, xfold[0, 0], nx)
 
@@ -311,24 +322,21 @@ def _spline_tile_body(fy, fx, win_ref, out_ref, write_flag, y0, x0, *,
         onehot_path()
 
 
-def _pole_block_body(py, px, mask, win_ref, out_ref, write_flag, y0, *,
-                     F, ny, nx, y_min, y_max, x_min, x_max, WY, WXS):
+def _pole_block_body(yc, xc, vmask, mask, win_ref, out_ref, write_flag,
+                     y0, *, F, ny, nx, WY, WXS):
     """Order-1 mode='constant' evaluation for the compact pole-row block
     (/root/reference/LCS/tools.py:31-39): direct (unfolded) indices on the
-    RAW field, out-of-range → 0.  The x window is always the full slab
-    (``WXS`` >= nx), so only the y window can clamp; ``mask`` (TR, TC)
-    selects the block rows that are real pole home rows — only their
-    clamps raise the flag (padding/non-pole candidate rows are discarded
-    by the caller's ``is_pole`` scatter)."""
+    RAW field, out-of-range → 0.  ``yc``/``xc`` are the CLIPPED direct
+    float indices and ``vmask`` the in-range value mask, all computed
+    ONCE by the XLA routing pass (recomputing them here from raw
+    positions can slip a floor vs the routing spans — the same
+    excess-precision hazard as the spline path).  The x window is always
+    the full slab (``WXS`` >= nx), so only the y window can clamp;
+    ``mask`` (TR, TC) selects the block rows that are real pole home rows
+    — only their clamps raise the flag (padding/non-pole candidate rows
+    are discarded by the caller's ``is_pole`` scatter)."""
     dtype = out_ref.dtype
-    cdt = py.dtype
-    yi = ny * (py - y_min) / (y_max - y_min)
-    xi = nx * (px - x_min) / (x_max - x_min)
-    in_range = (yi >= 0) & (yi <= ny - 1) & (xi >= 0) & (xi <= nx - 1)
-    # clip into the grid: out-of-range values are masked to 0 below, and
-    # the in-range extremes (yi == ny-1) evaluate exactly under the tent
-    yc = jnp.clip(yi, 0.0, float(ny - 1))
-    xc = jnp.clip(xi, 0.0, float(nx - 1))
+    cdt = yc.dtype
 
     oy = jnp.clip(jnp.floor(yc), 0, ny - 2).astype(jnp.int32) - y0
     bad = (oy < 0) | (oy > WY - 2)
@@ -339,6 +347,7 @@ def _pole_block_body(py, px, mask, win_ref, out_ref, write_flag, y0, *,
     xpos = jnp.clip(xc, 0.0, WXS - 1.0)
     i3y = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C, WY), 2)
     ohy = _basis_direct(ypos, i3y, 1)
+    in_range = vmask > 0
 
     w2 = win_ref[...].reshape(F * WY, WXS).astype(cdt)
     g = jnp.zeros((_M, F * WY), cdt)
@@ -361,7 +370,7 @@ def _pole_block_body(py, px, mask, win_ref, out_ref, write_flag, y0, *,
         out_ref[f] = jnp.where(in_range, val, 0.0).astype(dtype)
 
 
-def _grid_kernel(live_s, y0s, x0s, py_ref, px_ref, win_ref, out_ref,
+def _grid_kernel(live_s, y0s, x0s, pos_ref, win_ref, out_ref,
                  flag_ref, *, body, F, WY, WX, YPAD, XPAD, x_full, common):
     """Tier-A kernel: 2-D grid over all tiles in place, gated to the tiles
     routed to this tier (plus unrouted overflow tiles, which clamp).
@@ -379,13 +388,13 @@ def _grid_kernel(live_s, y0s, x0s, py_ref, px_ref, win_ref, out_ref,
         def write_flag(v):
             flag_ref[i, j] = v
 
-        body(py_ref[0], px_ref[0], win_ref, out_ref, write_flag, y0, x0,
+        body(pos_ref, win_ref, out_ref, write_flag, y0, x0,
              F=F, WY=WY, WX=WX, x_full=x_full, edge=live_s[i, j] >> 1,
              **common)
 
 
-def _pole_grid_kernel(y0s, py_ref, px_ref, mask_ref, win_ref, out_ref,
-                      flag_ref, *, F, WY, WXS, common):
+def _pole_grid_kernel(y0s, pk_ref, win_ref, out_ref, flag_ref, *,
+                      F, WY, WXS, common):
     """Pole level-1 pass: (2, gx) grid — north / south candidate blocks x
     column tiles, every tile live.  The two pole sides are SEPARATE
     blocks: their direct y indices sit at opposite ends of the field, so
@@ -396,13 +405,13 @@ def _pole_grid_kernel(y0s, py_ref, px_ref, mask_ref, win_ref, out_ref,
     def write_flag(v):
         flag_ref[i, j] = v
 
-    _pole_block_body(py_ref[0], px_ref[0], mask_ref[0], win_ref, out_ref,
-                     write_flag, y0s[i, j], F=F, WY=WY, WXS=WXS, **common)
+    _pole_block_body(pk_ref[0, 0], pk_ref[1, 0], pk_ref[2, 0],
+                     pk_ref[3, 0], win_ref, out_ref, write_flag,
+                     y0s[i, j], F=F, WY=WY, WXS=WXS, **common)
 
 
-def _pole_list_kernel(n_live, iy, jx, iy_out, y0s, py_ref, px_ref,
-                      mask_ref, win_ref, out_ref, flag_ref, *, F, WY, WXS,
-                      common):
+def _pole_list_kernel(n_live, iy, jx, iy_out, y0s, pk_ref, win_ref,
+                      out_ref, flag_ref, *, F, WY, WXS, common):
     """Pole level-2 pass over a compacted (side, column-tile) list; dead
     slots repeat slot 0's blocks and write the garbage row block."""
     i = pl.program_id(0)
@@ -413,12 +422,12 @@ def _pole_list_kernel(n_live, iy, jx, iy_out, y0s, py_ref, px_ref,
         def write_flag(v):
             flag_ref[i, 0] = v
 
-        _pole_block_body(py_ref[0], px_ref[0], mask_ref[0], win_ref,
-                         out_ref, write_flag, y0s[i], F=F, WY=WY, WXS=WXS,
-                         **common)
+        _pole_block_body(pk_ref[0, 0], pk_ref[1, 0], pk_ref[2, 0],
+                         pk_ref[3, 0], win_ref, out_ref, write_flag,
+                         y0s[i], F=F, WY=WY, WXS=WXS, **common)
 
 
-def _list_kernel(n_live, iy, jx, iy_out, y0s, x0s, edges, py_ref, px_ref,
+def _list_kernel(n_live, iy, jx, iy_out, y0s, x0s, edges, pos_ref,
                  win_ref, out_ref, flag_ref, *, body, F, WY, WX, YPAD,
                  XPAD, x_full, common):
     """Escalation-tier kernel: 1-D grid over a compacted tile list; slots
@@ -435,7 +444,7 @@ def _list_kernel(n_live, iy, jx, iy_out, y0s, x0s, edges, py_ref, px_ref,
         def write_flag(v):
             flag_ref[i, 0] = v
 
-        body(py_ref[0], px_ref[0], win_ref, out_ref, write_flag, y0, x0,
+        body(pos_ref, win_ref, out_ref, write_flag, y0, x0,
              F=F, WY=WY, WX=WX, x_full=x_full, edge=edges[i], **common)
 
 
@@ -469,7 +478,9 @@ def _starts(mn, n, pad, w, align, slop=4):
     polar rows).  Interior tiles (no fold jump possible) use slop=2.
     """
     s = ((mn - slop + pad) // align) * align
-    return jnp.clip(s, 0, n + 2 * pad - w)
+    # the upper clip must itself be align-granular or a clipped start
+    # breaks the alignment contract of the realised window
+    return jnp.clip(s, 0, ((n + 2 * pad - w) // align) * align)
 
 
 def _fits(mn, mx, s_pad, pad, w, margin, ulp=2):
@@ -496,18 +507,19 @@ def _fits(mn, mx, s_pad, pad, w, margin, ulp=2):
 def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                         px: jax.Array, py: jax.Array, *,
                         ny: int, nx: int, y_min, y_max, x_min, x_max,
-                        order: int = 3, wy: int = 32, wx: int = 384,
+                        order: int = 3, wy: int = 32, wx: int = 256,
                         wyc: int = 64, polar_band: int = 2,
                         retry_tiles: int = 256, retry_wy: int = 64,
-                        retry_wx: int = 768,
+                        retry_wx: int = 512,
                         home_rows=None, pole_tile_rows=None,
                         interpret: bool = False,
                         debug_flags: bool = False):
     """Evaluate F stacked fields at parcel positions — the TPU fast path.
 
-    ``raw``: (F, ny, nx) raw fields (pole-home path); ``cw_pad``: padded
-    coefficients from :func:`pad_coeffs_for_pallas` (pass padded raw fields
-    for order 1); ``px``/``py``: (ny, nx) positions.
+    ``raw``: (F, ny, nx) raw fields (pole-home path); ``cw_pad``:
+    (X_COPIES, F, nyp, nxp) lane-shifted padded coefficients from
+    :func:`pad_coeffs_for_pallas` (pass padded raw fields for order 1);
+    ``px``/``py``: (ny, nx) positions.
 
     Tier A — window ``(wy, wx)``, a 2-D grid over all tiles, gated to the
     tiles whose taps provably fit — is followed by an escalation ladder of
@@ -540,11 +552,15 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     gy, gx = ny_t // TILE_R, nx_t // TILE_C
     n_tiles = gy * gx
     dtype = raw.dtype
+    assert cw_pad.ndim == raw.ndim + 1 and cw_pad.shape[0] == X_COPIES, \
+        (cw_pad.shape, raw.shape)
     ypad = (cw_pad.shape[-2] - ny) // 2
-    xpad = (cw_pad.shape[-1] - nx) // 2
-    if ny + 2 * ypad < wy or nx + 2 * xpad < wx:
+    # copies are trimmed by 128 lanes (pad_coeffs_for_pallas)
+    xpad = (cw_pad.shape[-1] + 128 - nx) // 2
+    nxp_c = cw_pad.shape[-1]
+    if ny + 2 * ypad < wy or nxp_c < wx:
         raise ValueError(f"window ({wy},{wx}) exceeds padded field "
-                         f"({ny + 2 * ypad},{nx + 2 * xpad})")
+                         f"({ny + 2 * ypad},{nxp_c})")
     wx_full = nx_t + 128   # full-x slab: covers folded taps up to nx+1
 
     def pad_pos(p):
@@ -581,6 +597,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     xfold = _fold(xi, nx)
     ymn, ymx = _tile_minmax(yfold, ny)
     xmn, xmx = _tile_minmax(xfold, nx)
+    folds = jnp.stack([yfold, xfold])      # one packed position operand
 
     # conservative mirror-edge flag per tile: folded floors within one
     # cell of the remap zones (fold < 1 / floor >= n-2, _tap_offsets) —
@@ -602,18 +619,20 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     # of tiles (polar) genuinely spanning the whole circle.  MXU passes per
     # tile = 8*ceil(WX/128)*ceil(F*WY/128)*3, so tiers separate y- and
     # x-escalations to keep ceil products minimal.
-    # NOTE on tier-A width: window starts are 128-lane-aligned, so a tier
-    # holds x spans up to wx - 133 in the worst alignment.  The HOME mesh
-    # itself spans ~128.1 cells per tile (the quirk-Q4 N/(N-1) stretch),
-    # so the base tier must be >= 384 wide or every tile escalates on the
-    # early, compact steps.
+    # NOTE on tier-A width: logical window starts are X_GRAN(=32)-aligned
+    # via the lane-shifted copies, so a tier holds x spans up to
+    # wx - home(129) - taps - 31.  The HOME mesh itself spans ~128.1
+    # cells per tile (the quirk-Q4 N/(N-1) stretch), so (32, 256) is the
+    # narrowest viable base tier.
     wy_cap = ((ny + 2 * ypad) // 8) * 8
-    wx_cap = ((nx + 2 * xpad) // 128) * 128
+    wx_cap = (nxp_c // 128) * 128
     ladder = [
         (min(64, wy_cap), min(wx, wx_cap), 384),     # y-stretched
-        (min(32, wy_cap), min(retry_wx, wx_cap), 256),   # x-stretched
-        (min(retry_wy, wy_cap), min(retry_wx, wx_cap), 256),  # both
-        (min(128, wy_cap), min(1024, wx_cap), 96),   # violent
+        (min(32, wy_cap), min(384, wx_cap), 384),    # x-stretched mild
+        (min(64, wy_cap), min(384, wx_cap), 256),    # both mild
+        (min(32, wy_cap), min(retry_wx, wx_cap), 192),   # x-stretched
+        (min(retry_wy, wy_cap), min(retry_wx, wx_cap), 192),  # both
+        (min(128, wy_cap), min(768, wx_cap), 96),    # violent
         (min(32, wy_cap), None, 256),                # polar full-circle
         (min(64, wy_cap), None, 96),
         (min(192, wy_cap), None, 32),                # polar + tall (rare)
@@ -635,7 +654,11 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         ys = _starts(ymn, ny, ypad, wy_, 8, slop=slop_t)
         if wx_ is None:
             return _fits(ymn, ymx, ys, ypad, wy_, m, ulp=ulp_t), ys, None
-        xs = _starts(xmn, nx, xpad, wx_, 128, slop=slop_t)
+        # X_GRAN-aligned logical starts; the copy realisation trims 128
+        # lanes off the padded field, hence the tighter clip
+        xs = _starts(xmn, nx, xpad, wx_, X_GRAN, slop=slop_t)
+        xs = jnp.minimum(
+            xs, ((nx + 2 * xpad - 128 - wx_) // X_GRAN) * X_GRAN)
         return (_fits(ymn, ymx, ys, ypad, wy_, m, ulp=ulp_t)
                 & _fits(xmn, xmx, xs, xpad, wx_, m, ulp=ulp_t), ys, xs)
 
@@ -675,24 +698,23 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
 
         def wmap(i, nl, iyr, jxr, iyo, y0r, x0r, edr):
             if x_full:
-                # full-x slab starts at unpadded col 0 (= padded xpad_t);
-                # folded x offsets are then overflow-free by construction
-                return (0, pl.multiple_of(y0r[i], 8), xpad_t)
-            return (0, pl.multiple_of(y0r[i], 8),
-                    pl.multiple_of(x0r[i], 128))
+                # full-x slab starts at unpadded col 0 (= padded xpad_t,
+                # copy 0); folded x offsets are then overflow-free
+                return (0, 0, pl.multiple_of(y0r[i], 8), xpad_t)
+            x = x0r[i]
+            # logical X_GRAN-aligned start -> (copy, 128-aligned start)
+            return ((x % 128) // X_GRAN, 0, pl.multiple_of(y0r[i], 8),
+                    pl.multiple_of((x // 128) * 128, 128))
 
         gridspec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=7,
             grid=(cap,),
             in_specs=[
-                pl.BlockSpec((1, TILE_R, TILE_C),
+                pl.BlockSpec((2, TILE_R, TILE_C),
                              lambda i, nl, iyr, jxr, iyo, y0r, x0r, edr:
                              (0, iyr[i], jxr[i]), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TILE_R, TILE_C),
-                             lambda i, nl, iyr, jxr, iyo, y0r, x0r, edr:
-                             (0, iyr[i], jxr[i]), memory_space=pltpu.VMEM),
-                pl.BlockSpec((pl.Element(F), pl.Element(wy_),
-                              pl.Element(wx_)), wmap,
+                pl.BlockSpec((pl.Element(1), pl.Element(F),
+                              pl.Element(wy_), pl.Element(wx_)), wmap,
                              memory_space=pltpu.VMEM)],
             out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
                                     lambda i, nl, iyr, jxr, iyo, y0r, x0r,
@@ -708,7 +730,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             interpret=interpret,
             compiler_params=_CPARAMS,
         )(n_live, iy_d, jx_d, iy_out, y0sel, x0sel, edge_sel,
-          yfold[None], xfold[None], operand)
+          folds, operand)
         covered = jnp.zeros((gy + 1, gx), jnp.int32).at[iy_out, jx_d].max(
             live.astype(jnp.int32))[:gy] > 0
         live_flags = flags_t[:, 0] * live.astype(jnp.int32)
@@ -754,16 +776,15 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         num_scalar_prefetch=3,
         grid=(gy, gx),
         in_specs=[
-            pl.BlockSpec((1, TILE_R, TILE_C),
+            pl.BlockSpec((2, TILE_R, TILE_C),
                          lambda i, j, *_: (0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_R, TILE_C),
-                         lambda i, j, *_: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((pl.Element(F), pl.Element(wy), pl.Element(wx)),
+            pl.BlockSpec((pl.Element(1), pl.Element(F), pl.Element(wy),
+                          pl.Element(wx)),
                          lambda i, j, lv, y0r, x0r:
-                         (0, pl.multiple_of(y0r[i, j], 8),
-                          pl.multiple_of(x0r[i, j], 128)),
+                         ((x0r[i, j] % 128) // X_GRAN, 0,
+                          pl.multiple_of(y0r[i, j], 8),
+                          pl.multiple_of((x0r[i, j] // 128) * 128, 128)),
                          memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
                                 lambda i, j, *_: (0, i, j),
@@ -777,7 +798,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                    jax.ShapeDtypeStruct((gy, gx), jnp.int32)],
         interpret=interpret,
             compiler_params=_CPARAMS,
-    )(liveA, y0A, x0A, yfold[None], xfold[None], cw_pad)
+    )(liveA, y0A, x0A, folds, cw_pad)
     overflow = overflow | \
         (jnp.max(flagsA * (liveA > 0).astype(jnp.int32)) << 2)
 
@@ -861,8 +882,14 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         # (possibly clamping) values are discarded by the is_pole scatter
         # and their in-kernel flags are masked off.
         yi_b = ny * (py_b - y_min) / (y_max - y_min)
-        y0f = jnp.clip(jnp.floor(jnp.clip(yi_b, 0.0, float(ny - 1))),
-                       0, ny - 2).astype(jnp.int32)
+        xi_b = nx * (px_b - x_min) / (x_max - x_min)
+        # clipped direct float indices + in-range value mask, computed
+        # once here and handed to the kernels (no Mosaic recomputation)
+        yc_b = jnp.clip(yi_b, 0.0, float(ny - 1))
+        xc_b = jnp.clip(xi_b, 0.0, float(nx - 1))
+        vm_b = ((yi_b >= 0) & (yi_b <= ny - 1)
+                & (xi_b >= 0) & (xi_b <= nx - 1)).astype(px_b.dtype)
+        y0f = jnp.clip(jnp.floor(yc_b), 0, ny - 2).astype(jnp.int32)
         y0t = y0f.reshape(2, TILE_R, gx, TILE_C)
         mrow = (mask_b > 0)[:, :, None, None]
         kymn = jnp.clip(
@@ -871,11 +898,11 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             jnp.max(jnp.where(mrow, y0t, -1), axis=(1, 3)) + 1, 0, ny - 2)
         kymn = jnp.minimum(kymn, kymx)            # (2, gx)
 
-        mask_blk = jnp.broadcast_to(mask_b[:, :, None],
-                                    (2, TILE_R, TILE_C))
-        pcommon = dict(ny=ny, nx=nx, y_min=float(y_min),
-                       y_max=float(y_max), x_min=float(x_min),
-                       x_max=float(x_max))
+        # one packed operand: clipped direct indices, value mask, and
+        # the pole-row flag mask — a single DMA per pole tile
+        mask_w = jnp.broadcast_to(mask_b[:, :, None], (2, TILE_R, nx_t))
+        pole_pack = jnp.stack([yc_b, xc_b, vm_b, mask_w])
+        pcommon = dict(ny=ny, nx=nx)
 
         def pole_fit(wy_):
             ys = jnp.clip((kymn // 8) * 8, 0, max(ny_p - wy_, 0))
@@ -888,14 +915,8 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             num_scalar_prefetch=1,
             grid=(2, gx),
             in_specs=[
-                pl.BlockSpec((1, TILE_R, TILE_C),
-                             lambda i, j, y0r: (i, 0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TILE_R, TILE_C),
-                             lambda i, j, y0r: (i, 0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TILE_R, TILE_C),
-                             lambda i, j, y0r: (i, 0, 0),
+                pl.BlockSpec((4, 1, TILE_R, TILE_C),
+                             lambda i, j, y0r: (0, i, 0, j),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((pl.Element(F), pl.Element(wy_p),
                               pl.Element(nx_t)),
@@ -914,7 +935,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                        jax.ShapeDtypeStruct((2, gx), jnp.int32)],
             interpret=interpret,
             compiler_params=_CPARAMS,
-        )(ys1, py_b, px_b, mask_blk, raw_p)
+        )(ys1, pole_pack, raw_p)
 
         # level 2: taller slab over the compacted unfit-(side, tile) list
         # (rare — pole-row y drift is slow); beyond wy_p2 clamps+flags
@@ -937,17 +958,9 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             num_scalar_prefetch=5,
             grid=(cap2,),
             in_specs=[
-                pl.BlockSpec((1, TILE_R, TILE_C),
+                pl.BlockSpec((4, 1, TILE_R, TILE_C),
                              lambda i, nl, iyr, jxr, iyo, y0r:
-                             (iyr[i], 0, jxr[i]),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TILE_R, TILE_C),
-                             lambda i, nl, iyr, jxr, iyo, y0r:
-                             (iyr[i], 0, jxr[i]),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TILE_R, TILE_C),
-                             lambda i, nl, iyr, jxr, iyo, y0r:
-                             (iyr[i], 0, 0),
+                             (0, iyr[i], 0, jxr[i]),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((pl.Element(F), pl.Element(wy_p2),
                               pl.Element(nx_t)),
@@ -969,7 +982,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                     jax.ShapeDtypeStruct((cap2, 1), jnp.int32)],
                 interpret=interpret,
                 compiler_params=_CPARAMS,
-            )(n2, iy2, jx2, iy_out2, y02, py_b, px_b, mask_blk, raw_p)
+            )(n2, iy2, jx2, iy_out2, y02, pole_pack, raw_p)
 
         def skip2(n2, iy2, jx2, iy_out2, y02):
             return (jnp.zeros((F, 3 * TILE_R, nx_t), dtype),
@@ -1009,6 +1022,8 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             tiles_escalated=jnp.sum(~fitA),
             uncovered=jnp.sum((~fitA) & (~covered)),
             _uncov_map=(~fitA) & (~covered),
+            _fitA=fitA,
+            _tier_taken=[t[0] for t in tier_plan],
             _spans=(ymn, ymx, xmn, xmx),
             _edge=edge_t,
             tierA_resid=jnp.max(flagsA * (liveA > 0).astype(jnp.int32)),
