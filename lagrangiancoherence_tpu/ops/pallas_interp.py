@@ -203,6 +203,26 @@ def _tap_weights(u, order):
     return list(_cubic_w(t))
 
 
+def _finish_y(g3, build_y, out_ref, F, WY, dtype, in_range=None):
+    """Finish the tensor-product spline: per-field y reduction WITHOUT
+    WY-lane slices.  Slicing ``g3[..., f*WY:(f+1)*WY]`` relayouts the
+    vregs (measured ~5 us/tile at F*WY=128); instead the y basis is
+    evaluated on the f-repeated mod-WY iota — a compile-time-constant
+    lane pattern — and each field's contribution isolated by a constant
+    lane mask, so every op is a full-(F*WY)-lane elementwise or a plain
+    lane reduction."""
+    F_WY = F * WY
+    i3e = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C, F_WY), 2)
+    yl = i3e % WY
+    P = g3 * build_y(yl)
+    fl = i3e // WY
+    for f in range(F):
+        val = jnp.sum(jnp.where(fl == f, P, 0.0), axis=2)
+        if in_range is not None:
+            val = jnp.where(in_range, val, 0.0)
+        out_ref[f] = val.astype(dtype)
+
+
 def _onehot_basis(offs, ws, iota, W):
     """Weighted one-hot basis (TR, TC, W): B = sum_k w_k * [lane == off_k].
 
@@ -273,9 +293,6 @@ def _spline_tile_body(fyx, win_ref, out_ref, write_flag, y0, x0, *,
     write_flag(over)
 
     def eval_pipeline(build_y, build_x):
-        i3y = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C, WY), 2)
-        ohy = build_y(i3y)
-
         # MXU contraction over x, in <=512-lane chunks so the
         # materialised x basis stays within the scoped-VMEM budget for
         # full-longitude windows.  (F, WY, WX) -> (F*WY, WX) and
@@ -295,9 +312,7 @@ def _spline_tile_body(fyx, win_ref, out_ref, write_flag, y0, x0, *,
                 preferred_element_type=cdt, precision=_HIGH)
             c0 += xc
         g3 = g.reshape(TILE_R, TILE_C, F * WY)
-        for f in range(F):
-            out_ref[f] = jnp.sum(g3[..., f * WY:(f + 1) * WY] * ohy,
-                                 axis=2).astype(dtype)
+        _finish_y(g3, build_y, out_ref, F, WY, dtype)
 
     def onehot_path():
         eval_pipeline(lambda i3: _onehot_basis(offs_y, ws_y, i3, WY),
@@ -345,8 +360,6 @@ def _pole_block_body(yc, xc, vmask, mask, win_ref, out_ref, write_flag,
 
     ypos = jnp.clip(yc - y0, 0.0, WY - 1.0)
     xpos = jnp.clip(xc, 0.0, WXS - 1.0)
-    i3y = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C, WY), 2)
-    ohy = _basis_direct(ypos, i3y, 1)
     in_range = vmask > 0
 
     w2 = win_ref[...].reshape(F * WY, WXS).astype(cdt)
@@ -365,9 +378,8 @@ def _pole_block_body(yc, xc, vmask, mask, win_ref, out_ref, write_flag,
                                     precision=_HIGH)
         c0 += xck
     g3 = g.reshape(TILE_R, TILE_C, F * WY)
-    for f in range(F):
-        val = jnp.sum(g3[..., f * WY:(f + 1) * WY] * ohy, axis=2)
-        out_ref[f] = jnp.where(in_range, val, 0.0).astype(dtype)
+    _finish_y(g3, lambda i3: _basis_direct(ypos, i3, 1), out_ref,
+              F, WY, dtype, in_range=in_range)
 
 
 def _grid_kernel(live_s, y0s, x0s, pos_ref, win_ref, out_ref,
