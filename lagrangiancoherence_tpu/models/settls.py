@@ -106,11 +106,16 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
             ptr = tuple(sorted({0, max(gy_loc - 2, 0), gy_loc - 1}))
 
         def interp_multi(raw_t, cw_pad, px, py):
+            # the MXU contraction's N dim is F*WY, quantised at 128: the
+            # F=2 Euler gathers get WY=64 base windows for free, halving
+            # their y-escalations
+            F_ = raw_t.shape[0]
+            wy_eff = max(pallas_wy, 128 // max(F_, 1))
             return pallas_interp_multi(
                 raw_t, cw_pad, px, py, ny=ny, nx=nx,
                 y_min=grid.y_min, y_max=grid.y_max,
                 x_min=grid.x_min, x_max=grid.x_max,
-                order=interp_order, wy=pallas_wy, wx=pallas_wx,
+                order=interp_order, wy=wy_eff, wx=pallas_wx,
                 polar_band=pallas_polar_band,
                 retry_tiles=pallas_retry_tiles,
                 retry_wy=pallas_retry_wy,

@@ -10,48 +10,50 @@ MXU**:
 
 * parcels are processed in (8, 128) home-grid tiles; departure positions of
   a tile cluster spatially (smooth flow), so the tile's spline taps fit a
-  (WY, WX) window of a wrap-padded copy of the field;
-* per-tile tap spans are **computed exactly in XLA** (vectorised
-  fold/unwrap/min/max over tiles) and every tile is routed to the smallest
-  window tier that provably holds its taps — escalating through wider
-  windows up to a full-longitude slab for polar tiles whose zonal taps span
-  the whole circle (1/cos(lat) metric amplification,
-  /root/reference/LCS/trajectory.py:56).  Routing is exact, so the
-  ``overflow`` flag only raises when a tier's *capacity* is exceeded;
-* each tile is evaluated **whole** (one MXU contraction per tile): the
-  B-spline basis is materialised at every window lane,
-  ``G = OneHot_x(1024, WX) @ Win(F*WY, WX)^T`` contracts the x axis for all
-  8 rows x 128 lanes x F fields at once, and a lane reduction against the
-  y basis finishes the tensor-product spline.  Per-tile cost is
-  ``8*ceil(WX/128)*ceil(F*WY/128)`` MXU passes (x3 for f32-faithful
-  ``Precision.HIGHEST``) — measured pass-bound on v5e, which is why the
-  tier ladder starts at (32, 384);
-* scipy's ``mode='wrap'`` fold (period n-1, SURVEY.md quirk Q4) plus
-  mirror-at-edge tap semantics are reproduced exactly: positions are
-  unwrapped mod n around each tile's anchor (wrap-straddling tiles stay
-  compact; aliasing is harmless because the padded operand repeats with
-  period n), and the mirrored edge-tap collisions are fixed by predicated
-  basis corrections;
+  (WY, WX) window of a wrap-padded copy of the field.  The padded field is
+  stored as X_COPIES lane-shifted copies so logical window starts are
+  32-granular despite Mosaic's hard 128-lane start-alignment requirement
+  — which is what makes a 256-lane base window possible;
+* positions are scaled and FOLDED once, in XLA routing, and the kernels
+  receive the folded coordinates (recomputing them in Mosaic can slip a
+  floor by an excess-precision ulp — across the period-(n-1) fold jump,
+  by the whole period); per-tile tap spans route every tile to the
+  smallest window tier that provably holds its taps, escalating up to
+  full-longitude slabs for whirl-band tiles (1/cos(lat) metric
+  amplification, /root/reference/LCS/trajectory.py:56).  The cascade is
+  decided entirely in routing, so empty tiers are lax.cond-skipped and
+  the ``overflow`` bitmask only raises when a tile is left windowless;
+* each tile is evaluated **whole**: an x basis matrix is materialised at
+  every window lane (direct piecewise-B3 evaluation for interior tiles; a
+  per-tap one-hot carrying the exact mirror-at-edge offset remaps for
+  tiles near the domain edges, selected per tile by ``pl.when``),
+  ``G = B(1024, WX) @ Win(F*WY, WX)^T`` contracts the x axis on the MXU
+  for all 8 rows x 128 lanes x F fields at once, and a masked full-lane
+  reduction against the y basis on the f-repeated mod-WY iota finishes
+  the tensor product (never WY-lane slices — those relayout vregs at
+  ~5 us/tile);
 * tier passes run over **compacted tile lists** (scalar-prefetched
   indices); dead capacity slots are ``pl.when``-gated off and their block
   index maps repeat the previous slot, so Mosaic skips both the compute and
   the window DMA — escalation costs scale with the *actual* number of
-  stretched tiles per step, which grows from ~0 (early scan, compact
-  parcels) to a few hundred (late scan, chaotic shear).
+  stretched tiles per step.
 
 The order-1/'constant' pole-home-row path (/root/reference/LCS/tools.py:
-31-39) — the ``order`` home rows nearest each pole — runs through the same
-whole-tile body in a direct-index variant (no fold, tent weights,
-out-of-range-to-zero masking), with its own windowed tier + full-x
-fallback.
+31-39) — the ``order`` home rows nearest each pole, whose positions are
+decorrelated garbage after the reference's 1/cos(lat) conversion — is
+evaluated as two compact north/south candidate blocks under a 2-level
+full-longitude y-ladder, from clipped direct indices precomputed in
+routing, with per-row-masked flags.
 
-Numerics: weights/taps match ops/interp.py exactly; the contraction runs at
-``Precision.HIGHEST`` (default-precision bf16 rounding of the one-hot
-weights costs ~1e-2 absolute; a manual 3-pass hi/lo split still compounds
-to ~0.06 p99 log-FTLE over a full integration — both measured; HIGHEST
+Numerics: weights/taps match ops/interp.py exactly; the contraction runs
+at ``Precision.HIGHEST`` (measured ~5-6x DEFAULT at compute-bound sizes —
+default bf16 rounds the weights to ~1e-2 and a manual 3-pass hi/lo split
+still compounds to ~0.06 p99 log-FTLE over a full integration; HIGHEST
 restores the XLA-f32 error class).  Agrees with the jnp path to 1e-11 in
 f64 interpret mode (tests/test_pallas_interp.py) and to f32 rounding on
-real TPU (bench.py emits the measured max|pallas-xla| each run).
+real TPU (bench.py emits the measured max|pallas-xla| each run).  See
+docs/source/kernel.rst for the design rationale and measured cost
+anatomy.
 """
 from __future__ import annotations
 
