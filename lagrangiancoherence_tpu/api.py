@@ -201,6 +201,13 @@ def parcel_propagation(U, V, timestep: float = 1, propdim: str = "time",
 
     coords2d = {"latitude": lats, "longitude": lons}
     if return_traj:
+        # 360-day-calendar guard (/root/reference/LCS/trajectory.py:129-130):
+        # pd.to_datetime cannot represent cftime.Datetime360Day labels, so
+        # trajectories cannot carry them (type-name check — cftime is an
+        # optional dependency and may not be installed)
+        assert type(times[0]).__name__ != "Datetime360Day", (
+            "Cannot return trajectories with time coordinates "
+            "cftime.Datetime360Day.")
         tcoord = np.asarray(pd.to_datetime(times))
         dims = (propdim, "latitude", "longitude")
         fx = Field(px, dims, {**coords2d, propdim: tcoord}, name="positions_x")

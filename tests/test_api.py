@@ -181,6 +181,23 @@ class TestParcelPropagationFacade:
         with pytest.raises(TypeError):
             parcel_propagation(np.zeros((3, 4, 5)), np.zeros((3, 4, 5)))
 
+    def test_traj_rejects_360day_calendar(self):
+        """Trajectories cannot carry cftime.Datetime360Day labels
+        (/root/reference/LCS/trajectory.py:129-130) — matched by type
+        name so cftime stays an optional dependency."""
+        class Datetime360Day:       # stand-in for cftime.Datetime360Day
+            pass
+
+        U, V, _, _, times = make_uv()
+        t360 = np.array([Datetime360Day() for _ in times], dtype=object)
+        U2 = Field(np.asarray(U.data), U.dims,
+                   {**{k: U.coords[k] for k in ("latitude", "longitude")},
+                    "time": t360}, name="u")
+        V2 = Field(np.asarray(V.data), V.dims, dict(U2.coords), name="v")
+        with pytest.raises(AssertionError, match="Datetime360Day"):
+            parcel_propagation(U2, V2, timestep=6 * 3600, verbose=False,
+                               return_traj=True, cyclic_xboundary=True)
+
 
 class TestIsGlobal:
     def test_isglobal_regrids_and_truncates(self):
