@@ -87,7 +87,7 @@ X_GRAN = 128 // X_COPIES
 def pad_coeffs_for_pallas(coeffs: jax.Array):
     """Wrap-pad the coefficient field and build the lane-shifted copies.
 
-    ``coeffs``: (..., ny, nx) → (X_COPIES, ..., nyp, nxp-128).  Both axes
+    ``coeffs``: (..., ny, nx) → (X_COPIES+1, ..., nyp, nxp-128).  Both axes
     are padded periodically **with period n** (index j holds row/col
     ``j mod n``); pad widths are ``n//2`` (the unwrap's maximum
     excursion) plus alignment slop plus tap margins, so a window start
@@ -101,6 +101,16 @@ def pad_coeffs_for_pallas(coeffs: jax.Array):
     effective window placement, which shrinks the base tier from
     (32, 384) to (32, 256) and every escalation tier accordingly.  The
     128-lane trim keeps every copy's window in-bounds.
+
+    A final extra copy holds the **mirror-baked full-longitude slab**: in
+    direct folded-x space every lane position is unique (no periodic
+    aliasing), so scipy's mirror-at-edge tap semantics can be encoded in
+    the data itself — lane ``l`` holds the sample for fold position
+    ``l-1``: lane 0 = col 1 (the fold<1 tap -1 mirror), lanes 1..n =
+    cols 0..n-1, lane n+1 = col n-2 and lane n+2 = col n-3 (the
+    floor>=n-2 mirrors of positions n and n+1).  Full-x tiles evaluate a
+    direct B-spline basis at ``fold+1`` against this slab and need no
+    one-hot mirror handling at all.
     """
     ny, nx = coeffs.shape[-2], coeffs.shape[-1]
     ypad = -(-(ny // 2 + 16) // 8) * 8
@@ -113,8 +123,12 @@ def pad_coeffs_for_pallas(coeffs: jax.Array):
     t = wrap_pad(coeffs, coeffs.ndim - 2, ypad, ny)
     t = wrap_pad(t, coeffs.ndim - 1, xpad, nx)
     nxp_c = nx + 2 * xpad - 128
-    return jnp.stack([t[..., c * X_GRAN: c * X_GRAN + nxp_c]
-                      for c in range(X_COPIES)], axis=0)
+    copies = [t[..., c * X_GRAN: c * X_GRAN + nxp_c]
+              for c in range(X_COPIES)]
+    mir_idx = np.r_[1, 0:nx, nx - 2, nx - 3]          # baked mirrors
+    mir_idx = np.pad(mir_idx, (0, nxp_c - mir_idx.size), mode="edge")
+    mir = jnp.take(t[..., xpad:xpad + nx], jnp.asarray(mir_idx), axis=-1)
+    return jnp.stack(copies + [mir], axis=0)
 
 
 def _fold(x, n):
@@ -275,14 +289,18 @@ def _spline_tile_body(fyx, win_ref, out_ref, write_flag, y0, x0, *,
     yfold = fyx[0]
     xfold = fyx[1]
     yu = _unwrap(yfold, yfold[0, 0], ny)
-    xu = xfold if x_full else _unwrap(xfold, xfold[0, 0], nx)
+    # full-x tiles evaluate against the mirror-baked slab (lane = fold+1,
+    # see pad_coeffs_for_pallas) — mirrors are in the data, so x always
+    # takes the direct basis there
+    xu = xfold + 1.0 if x_full else _unwrap(xfold, xfold[0, 0], nx)
 
     # tap offsets (window-relative, mirror-remapped) and weights — tiny
     # (TR, TC) arrays; only the basis builds below touch (TR, TC, W)
     offs_y = _tap_offsets(yfold, yu, y0, ny, order)
-    offs_x = _tap_offsets(xfold, xu, x0, nx, order)
     ws_y = _tap_weights(yu, order)
-    ws_x = _tap_weights(xu, order)
+    if not x_full:
+        offs_x = _tap_offsets(xfold, xu, x0, nx, order)
+        ws_x = _tap_weights(xu, order)
 
     # safety flag: exact routing makes this 0; capacity overflow and
     # mis-routed tiles clamp and raise it
@@ -316,18 +334,23 @@ def _spline_tile_body(fyx, win_ref, out_ref, write_flag, y0, x0, *,
         g3 = g.reshape(TILE_R, TILE_C, F * WY)
         _finish_y(g3, build_y, out_ref, F, WY, dtype)
 
-    def onehot_path():
-        eval_pipeline(lambda i3: _onehot_basis(offs_y, ws_y, i3, WY),
-                      lambda i3: _onehot_basis(offs_x, ws_x, i3, WX))
-
-    if edge is None:
-        onehot_path()
-        return
-
     # window-relative positions for the direct evaluation, clamped so a
     # mis-routed tile still evaluates in-range (flagged above)
     ypos = jnp.clip(yu - y0, 0.0, WY - 1.0)
     xpos = jnp.clip(xu - x0, 0.0, WX - 1.0)
+
+    if x_full:
+        bx_edge = lambda i3: _basis_direct(xpos, i3, order)
+    else:
+        bx_edge = lambda i3: _onehot_basis(offs_x, ws_x, i3, WX)
+
+    def onehot_path():
+        eval_pipeline(lambda i3: _onehot_basis(offs_y, ws_y, i3, WY),
+                      bx_edge)
+
+    if edge is None:
+        onehot_path()
+        return
 
     @pl.when(edge == 0)
     def _interior():
@@ -566,8 +589,8 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     gy, gx = ny_t // TILE_R, nx_t // TILE_C
     n_tiles = gy * gx
     dtype = raw.dtype
-    assert cw_pad.ndim == raw.ndim + 1 and cw_pad.shape[0] == X_COPIES, \
-        (cw_pad.shape, raw.shape)
+    assert cw_pad.ndim == raw.ndim + 1 and \
+        cw_pad.shape[0] == X_COPIES + 1, (cw_pad.shape, raw.shape)
     ypad = (cw_pad.shape[-2] - ny) // 2
     # copies are trimmed by 128 lanes (pad_coeffs_for_pallas)
     xpad = (cw_pad.shape[-1] + 128 - nx) // 2
@@ -624,7 +647,8 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
 
     yfmn, yfmx = _fold_floor_mm(yfold, ny)
     xfmn, xfmx = _fold_floor_mm(xfold, nx)
-    edge_t = ((yfmn <= 1) | (yfmx >= ny - 3)
+    edge_y_t = ((yfmn <= 1) | (yfmx >= ny - 3)).astype(jnp.int32)
+    edge_t = (edge_y_t
               | (xfmn <= 1) | (xfmx >= nx - 3)).astype(jnp.int32)
 
     # ---- escalation ladder: (wy, wx or None=full-x, capacity) ----
@@ -684,6 +708,9 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     # ---- escalation tiers over compacted tile lists ----
     def run_tier(want, cap, wy_, wx_, ys_full, xs, x_full, tbody, tcommon,
                  operand, ypad_t, xpad_t):
+        # full-x tiles use the mirror-baked slab, so only the Y axis can
+        # need the one-hot mirror path
+        edge_src = edge_y_t if x_full else edge_t
         """Run one escalation tier; returns (out+garbage-row, covered mask,
         residual in-kernel flag, capacity-exceeded flag)."""
         cap = min(cap, n_tiles)
@@ -703,7 +730,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             x0sel = jnp.zeros((cap,), jnp.int32)
         else:
             x0sel = jnp.where(live, xs[iy, jx], xs[iy[0], jx[0]])
-        edge_sel = edge_t[iy_d, jx_d]
+        edge_sel = edge_src[iy_d, jx_d]
         n_live = jnp.full((1,), count, jnp.int32)
 
         kern = partial(_list_kernel, body=tbody, F=F, WY=wy_, WX=wx_,
@@ -712,9 +739,8 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
 
         def wmap(i, nl, iyr, jxr, iyo, y0r, x0r, edr):
             if x_full:
-                # full-x slab starts at unpadded col 0 (= padded xpad_t,
-                # copy 0); folded x offsets are then overflow-free
-                return (0, 0, pl.multiple_of(y0r[i], 8), xpad_t)
+                # mirror-baked slab (last copy), lane = fold+1, start 0
+                return (X_COPIES, 0, pl.multiple_of(y0r[i], 8), 0)
             x = x0r[i]
             # logical X_GRAN-aligned start -> (copy, 128-aligned start)
             return ((x % 128) // X_GRAN, 0, pl.multiple_of(y0r[i], 8),

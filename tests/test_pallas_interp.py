@@ -24,6 +24,12 @@ def run_case(ny, nx, order, F, band, retry, wy=48, wx=256, seed=0,
     if displacement == "smooth":
         px = px0 + 15 * np.sin(py0 / 30) + 3
         py = np.clip(py0 + 10 * np.cos(px0 / 40), -90, 90)
+    elif displacement == "whirl":
+        # full-circle zonal decorrelation (the flagship's polar whirl
+        # band): x spans the whole period -> full-longitude slab tiers,
+        # with plenty of parcels landing in the mirror-remap edge zones
+        px = px0 + 700 * np.sin(py0 / 7) * np.cos(px0 / 11)
+        py = np.clip(py0 + 4 * np.sin(px0 / 20), -90, 90)
     else:  # violent shear: exercises the retry pass
         px = px0 + 120 * np.sin(py0 / 10) * np.cos(px0 / 15)
         py = np.clip(py0 + 60 * np.sin(px0 / 20), -90, 90)
@@ -67,6 +73,15 @@ class TestPallasParity:
 
     def test_single_tile_grid(self):
         out, flag, ref = run_case(16, 128, 3, 2, band=1, retry=4)
+        assert flag == 0
+        np.testing.assert_allclose(out, ref, atol=1e-11)
+
+    def test_full_circle_whirl_exact(self):
+        """Tiles whose zonal taps span the whole period route to the
+        full-longitude slab tiers, which read the mirror-baked copy —
+        must stay exact, including parcels in the mirror edge zones."""
+        out, flag, ref = run_case(73, 144, 3, 2, band=2, retry=256,
+                                  displacement="whirl", wy=32, wx=256)
         assert flag == 0
         np.testing.assert_allclose(out, ref, atol=1e-11)
 
