@@ -72,7 +72,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
     ``kernel`` selects the gather implementation: ``"xla"`` (plain
     ``jnp.take`` gathers — exact, fast on CPU, slow on TPU) or ``"pallas"``
     (ops/pallas_interp.py windowed one-hot-matmul kernel; TPU fast path;
-    requires ``home_rows is None`` and full-grid positions).
+    works on full grids and on sharded latitude blocks via ``home_rows``).
 
     Returns ``(positions..., overflow)`` where ``overflow`` is an int32
     scalar — nonzero when the pallas windows clamped any tap (always 0 for
@@ -87,23 +87,15 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
     CW = jnp.stack([cu, cv], axis=1)
 
     if kernel == "pallas":
-        from ..ops.pallas_interp import (TILE_R, pad_coeffs_for_pallas,
+        from ..ops.pallas_interp import (pad_coeffs_for_pallas,
                                          pallas_interp_multi)
         WT = W                                  # (T, 2, ny, nx) raw
         CWP = pad_coeffs_for_pallas(CW)         # (C, T, 2, nyp, nxp-128)
         ny, nx = grid.shape
 
         # sharded blocks: window routing is position-only; the pole-row
-        # special case keys on GLOBAL home rows, so pass them through with
-        # a static superset of block tile rows that may hold pole rows
-        # (first tile of shard 0's block, last two tiles of the last
-        # shard's block — a uniform superset keeps shard_map's single
-        # program valid on every shard; extra tiles are masked out).
-        if home_rows is None:
-            ptr = None
-        else:
-            gy_loc = -(-px0.shape[0] // TILE_R)
-            ptr = tuple(sorted({0, max(gy_loc - 2, 0), gy_loc - 1}))
+        # special case locates its candidate rows from the traced GLOBAL
+        # home rows directly (see pallas_interp_multi).
 
         def interp_multi(raw_t, cw_pad, px, py):
             # the MXU contraction's N dim is F*WY, quantised at 128: the
@@ -119,7 +111,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 polar_band=pallas_polar_band,
                 retry_tiles=pallas_retry_tiles,
                 retry_wy=pallas_retry_wy,
-                home_rows=home_rows, pole_tile_rows=ptr)
+                home_rows=home_rows)
 
         def slices(t):
             return (jax.lax.dynamic_index_in_dim(WT, t, 0, keepdims=False),
