@@ -41,9 +41,9 @@ MXU**:
 The order-1/'constant' pole-home-row path (/root/reference/LCS/tools.py:
 31-39) — the ``order`` home rows nearest each pole, whose positions are
 decorrelated garbage after the reference's 1/cos(lat) conversion — is
-evaluated as two compact north/south candidate blocks under a 2-level
-full-longitude y-ladder, from clipped direct indices precomputed in
-routing, with per-row-masked flags.
+evaluated as two compact north/south candidate blocks under a 3-level
+full-longitude y-ladder (wyc, 3*wyc, 9*wyc rows), from clipped direct
+indices precomputed in routing, with per-row-masked flags.
 
 Numerics: weights/taps match ops/interp.py exactly; the contraction runs
 at ``Precision.HIGHEST`` (measured ~5-6x DEFAULT at compute-bound sizes —
@@ -545,7 +545,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                         px: jax.Array, py: jax.Array, *,
                         ny: int, nx: int, y_min, y_max, x_min, x_max,
                         order: int = 3, wy: int = 32, wx: int = 256,
-                        wyc: int = 64, polar_band: int = 2,
+                        wyc: int = 32, polar_band: int = 2,
                         retry_tiles: int = 256, retry_wy: int = 64,
                         retry_wx: int = 512,
                         home_rows=None, pole_tile_rows=None,
@@ -911,8 +911,10 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         pad_rows = ny_tf + 8 - ny
         ny_p = ny + pad_rows
         raw_p = jnp.pad(raw, ((0, 0), (0, pad_rows), (0, nx_t - nx)))
-        wy_p = min(max(wyc, 16), (ny_p // 8) * 8)
-        wy_p2 = min(3 * wy_p, (ny_p // 8) * 8)
+        ycapP = (ny_p // 8) * 8
+        wy_p = min(max(wyc, 16), ycapP)
+        wy_p2 = min(3 * wy_p, ycapP)
+        wy_p3 = min(9 * wy_p, ycapP)
 
         # masked direct-index y spans per (side, column tile), +-1-cell
         # conservative (1-ulp floor concern, _fits) and clipped — the
@@ -977,69 +979,86 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             compiler_params=_CPARAMS,
         )(ys1, pole_pack, raw_p)
 
-        # level 2: taller slab over the compacted unfit-(side, tile) list
-        # (rare — pole-row y drift is slow); beyond wy_p2 clamps+flags
-        fit2, ys2 = pole_fit(wy_p2)
+        # escalation levels: taller slabs over compacted unfit-(side,
+        # tile) lists (rare — pole-row y drift is slow); beyond the last
+        # level clamps+flags
+        blk_vals = blk1.reshape(F, 2, TILE_R, nx_t)
+        covP = fit1                               # level-1 values valid
+        residP = jnp.zeros((), jnp.int32)
         cap2 = 2 * gx
-        flat2 = (~fit1).ravel().astype(jnp.int32)
-        sel2 = jnp.argsort(-flat2)[:cap2].astype(jnp.int32)
-        count2 = jnp.minimum(jnp.sum(flat2), cap2)
-        live2 = jnp.arange(cap2) < count2
-        iy_s = sel2 // gx
-        jx_s = sel2 - gx * iy_s
-        iy2 = jnp.where(live2, iy_s, iy_s[0])
-        jx2 = jnp.where(live2, jx_s, jx_s[0])
-        iy_out2 = jnp.where(live2, iy2, 2)    # dead → garbage row block
-        y02 = jnp.where(live2, ys2[iy2, jx2], ys2[iy2[0], jx2[0]])
-        n2 = jnp.full((1,), count2, jnp.int32)
-        kern2 = partial(_pole_list_kernel, F=F, WY=wy_p2, WXS=nx_t,
-                        common=pcommon)
-        grid2 = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
-            grid=(cap2,),
-            in_specs=[
-                pl.BlockSpec((4, 1, TILE_R, TILE_C),
-                             lambda i, nl, iyr, jxr, iyo, y0r:
-                             (0, iyr[i], 0, jxr[i]),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((pl.Element(F), pl.Element(wy_p2),
-                              pl.Element(nx_t)),
-                             lambda i, nl, iyr, jxr, iyo, y0r:
-                             (0, pl.multiple_of(y0r[i], 8), 0),
-                             memory_space=pltpu.VMEM)],
-            out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
-                                    lambda i, nl, iyr, jxr, iyo, y0r:
-                                    (0, iyo[i], jxr[i]),
-                                    memory_space=pltpu.VMEM),
-                       pl.BlockSpec((cap2, 1), lambda i, *_: (0, 0),
-                                    memory_space=pltpu.SMEM)],
-        )
-        def go2(n2, iy2, jx2, iy_out2, y02):
-            return pl.pallas_call(
-                kern2, grid_spec=grid2,
-                out_shape=[
-                    jax.ShapeDtypeStruct((F, 3 * TILE_R, nx_t), dtype),
-                    jax.ShapeDtypeStruct((cap2, 1), jnp.int32)],
-                interpret=interpret,
-                compiler_params=_CPARAMS,
-            )(n2, iy2, jx2, iy_out2, y02, pole_pack, raw_p)
+        levels = [lv for lv in (wy_p2, wy_p3) if lv > wy_p]
+        levels = levels or [wy_p2]
+        for lv_i, wy_lvl in enumerate(levels):
+            fitL, ysL = pole_fit(wy_lvl)
+            # intermediate levels take only the tiles they provably hold;
+            # the LAST level runs every leftover (clamp + flag)
+            wantL = (~covP) if lv_i == len(levels) - 1 else (~covP) & fitL
+            flatL = wantL.ravel().astype(jnp.int32)
+            selL = jnp.argsort(-flatL)[:cap2].astype(jnp.int32)
+            countL = jnp.minimum(jnp.sum(flatL), cap2)
+            liveL = jnp.arange(cap2) < countL
+            iy_s = selL // gx
+            jx_s = selL - gx * iy_s
+            iyL = jnp.where(liveL, iy_s, iy_s[0])
+            jxL = jnp.where(liveL, jx_s, jx_s[0])
+            iy_outL = jnp.where(liveL, iyL, 2)  # dead → garbage block
+            y0L = jnp.where(liveL, ysL[iyL, jxL], ysL[iyL[0], jxL[0]])
+            nL = jnp.full((1,), countL, jnp.int32)
+            kernL = partial(_pole_list_kernel, F=F, WY=wy_lvl, WXS=nx_t,
+                            common=pcommon)
+            gridL = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(cap2,),
+                in_specs=[
+                    pl.BlockSpec((4, 1, TILE_R, TILE_C),
+                                 lambda i, nl, iyr, jxr, iyo, y0r:
+                                 (0, iyr[i], 0, jxr[i]),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((pl.Element(F), pl.Element(wy_lvl),
+                                  pl.Element(nx_t)),
+                                 lambda i, nl, iyr, jxr, iyo, y0r:
+                                 (0, pl.multiple_of(y0r[i], 8), 0),
+                                 memory_space=pltpu.VMEM)],
+                out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
+                                        lambda i, nl, iyr, jxr, iyo, y0r:
+                                        (0, iyo[i], jxr[i]),
+                                        memory_space=pltpu.VMEM),
+                           pl.BlockSpec((cap2, 1), lambda i, *_: (0, 0),
+                                        memory_space=pltpu.SMEM)],
+            )
 
-        def skip2(n2, iy2, jx2, iy_out2, y02):
-            return (jnp.zeros((F, 3 * TILE_R, nx_t), dtype),
-                    jnp.zeros((cap2, 1), jnp.int32))
+            def goL(nL, iyL, jxL, iy_outL, y0L, kernL=kernL, gridL=gridL):
+                return pl.pallas_call(
+                    kernL, grid_spec=gridL,
+                    out_shape=[
+                        jax.ShapeDtypeStruct((F, 3 * TILE_R, nx_t), dtype),
+                        jax.ShapeDtypeStruct((cap2, 1), jnp.int32)],
+                    interpret=interpret,
+                    compiler_params=_CPARAMS,
+                )(nL, iyL, jxL, iy_outL, y0L, pole_pack, raw_p)
 
-        blk2, pflags2 = jax.lax.cond(count2 > 0, go2, skip2,
-                                     n2, iy2, jx2, iy_out2, y02)
+            def skipL(nL, iyL, jxL, iy_outL, y0L):
+                return (jnp.zeros((F, 3 * TILE_R, nx_t), dtype),
+                        jnp.zeros((cap2, 1), jnp.int32))
 
-        cov2 = jnp.zeros((3, gx), jnp.int32).at[iy_out2, jx2].max(
-            live2.astype(jnp.int32))[:2] > 0      # (2, gx)
-        colmask = jnp.repeat(cov2, TILE_C, axis=1)  # (2, nx_t)
-        b1 = blk1.reshape(F, 2, TILE_R, nx_t)
-        b2 = blk2[:, :2 * TILE_R].reshape(F, 2, TILE_R, nx_t)
-        blk_vals = jnp.where(colmask[None, :, None, :], b2, b1)
+            blkL, pflagsL = jax.lax.cond(countL > 0, goL, skipL,
+                                         nL, iyL, jxL, iy_outL, y0L)
+            # intermediate levels cover a tile when it ran live AND its
+            # window provably fit; the LAST level's values are taken for
+            # every tile it ran — even clamped (flagged) ones, whose
+            # tallest-window values are the closest available
+            ranL = jnp.zeros((3, gx), jnp.int32).at[iy_outL, jxL].max(
+                liveL.astype(jnp.int32))[:2] > 0
+            covL = ranL if lv_i == len(levels) - 1 else (ranL & fitL)
+            colmask = jnp.repeat(covL, TILE_C, axis=1)   # (2, nx_t)
+            bL = blkL[:, :2 * TILE_R].reshape(F, 2, TILE_R, nx_t)
+            blk_vals = jnp.where(colmask[None, :, None, :], bL, blk_vals)
+            covP = covP | covL
+            residP = residP | jnp.max(pflagsL[:, 0]
+                                      * liveL.astype(jnp.int32))
         pole_flag = \
-            (jnp.max(pflags1 * (1 - cov2.astype(jnp.int32))) << 3) \
-            | (jnp.max(pflags2[:, 0] * live2.astype(jnp.int32)) << 4)
+            (jnp.max(pflags1 * (1 - covP.astype(jnp.int32))) << 3) \
+            | (residP << 4)
 
         # scatter the block rows back to their block positions (duplicate
         # candidate rows carry identical values, so overlap is benign)
