@@ -36,6 +36,57 @@ from ..ops.interp import interp_at_parcels_multi, prefilter
 __all__ = ["parcel_propagation_core", "settls_scan"]
 
 
+_REBIN_GRAN = 32   # pallas kernel x-window start granularity (X_GRAN)
+
+
+def _rebin_delta(px, nx, x_min, x_max, gran):
+    """Per-row slot shift re-centring each row's parcels on their storage
+    lanes.
+
+    At high latitudes the reference's m/s→deg/s conversion amplifies zonal
+    drift by 1/cos(lat) (/root/reference/LCS/trajectory.py:56) — polar
+    parcel rows whirl multiple full circles per step, which forces the
+    pallas gather kernel into its full-longitude escalation slabs.  The
+    row-mean drift is a per-row constant, so re-binning (a cyclic per-row
+    layout roll) removes it without touching any position value.
+
+    The deviation mean is circular (resultant angle of the per-parcel
+    index deviations) because post-wrap deviations straddle the period;
+    rows whose parcels are spread uniformly get an arbitrary — harmless —
+    shift.  Quantised to ``gran`` so window starts stay aligned.
+    """
+    dtype = px.dtype
+    w = 2.0 * np.pi / nx
+    sxw = jnp.asarray(nx / (x_max - x_min) * w, dtype)
+    lane = jnp.arange(nx, dtype=dtype) * jnp.asarray(w, dtype)
+    theta = (px - x_min) * sxw - lane
+    m = jnp.arctan2(jnp.mean(jnp.sin(theta), axis=-1),
+                    jnp.mean(jnp.cos(theta), axis=-1)) * (nx / (2 * np.pi))
+    delta = jnp.round(m / gran).astype(jnp.int32) * gran
+    # pole-home rows carry unbounded-garbage positions; their delta is
+    # arbitrary but must be finite so the carried shift stays invertible
+    return jnp.where(jnp.isfinite(m), delta, 0)
+
+
+def _roll_rows(arrs, delta, nx, gran):
+    """``new[..., i, j] = old[..., i, (j - delta[..., i]) % nx]``.
+
+    Neither XLA-on-TPU nor Mosaic has a fast per-row lane gather, so the
+    per-row cyclic roll is a conditional-roll barrel: one static
+    ``jnp.roll`` per bit of ``delta/gran``, selected per row.  ``delta``
+    must be a multiple of ``gran`` and ``nx`` divisible by ``gran`` (rolls
+    compose mod nx, which preserves the granularity).
+    """
+    q = jnp.mod(delta, nx) // gran
+    nbits = max(1, int(np.ceil(np.log2(nx // gran))))
+    out = list(arrs)
+    for k in range(nbits):
+        bit = (((q >> k) & 1) == 1)[..., None]
+        sh = gran << k
+        out = [jnp.where(bit, jnp.roll(a, sh, axis=-1), a) for a in out]
+    return tuple(out)
+
+
 def _clamp_wrap(px, py, *, y_min, y_max, x_min, x_max, cyclic_x):
     """Boundary handling per /root/reference/LCS/trajectory.py:89-97."""
     py = jnp.where(py > y_min, py, y_min)
@@ -52,7 +103,7 @@ def _clamp_wrap(px, py, *, y_min, y_max, x_min, x_max, cyclic_x):
 def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 settls_order: int, interp_order: int, return_traj: bool,
                 row_offset=0, home_rows=None, kernel: str = "xla",
-                debug_per_step: bool = False,
+                debug_per_step: bool = False, rebin="auto",
                 pallas_wy: int = 32, pallas_wx: int = 256,
                 pallas_polar_band: int = 2, pallas_retry_tiles: int = 256,
                 pallas_retry_wy: int = 64):
@@ -82,6 +133,28 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
     conv_y = jnp.asarray(180.0 / (EARTH_RADIUS * np.pi), dtype=dtype)
     bounds = dict(y_min=grid.y_min, y_max=grid.y_max,
                   x_min=grid.x_min, x_max=grid.x_max, cyclic_x=grid.cyclic_x)
+
+    # Row re-binning (see _rebin_delta): a pure per-row layout permutation
+    # that keeps parcels near their storage lanes so the pallas kernel's
+    # per-tile windows stay narrow.  Every per-step op is either a
+    # position-VALUE-based gather or elementwise over (row, lane), and
+    # conv_x is per-row, so the permutation is invisible to the math; it
+    # is inverted on scan exit.  Only worthwhile for the pallas kernel
+    # (XLA gather cost is locality-independent), only meaningful on
+    # cyclic full-longitude position blocks.
+    # NOTE: "auto" currently resolves to OFF.  Measured on the flagship
+    # (tools/probe_rebin.py): full per-row compaction converts the cheap
+    # x-escalations into *y*-escalations — the 8 rows of a tile get
+    # shifts differing by hundreds of lanes, so a tile mixes longitude
+    # segments with decorrelated meridional displacement and its y span
+    # blows past the ladder (scan 1899 -> 2137 ms, overflow raised).
+    # Kept (tested, layout-invariant to 3e-14) for explicit use and as
+    # the substrate for shift-smoothed variants.
+    nx_g = grid.shape[1]
+    if rebin == "auto":
+        rebin = False
+    rebin = bool(rebin) and px0.shape[-1] == nx_g
+    gran = _REBIN_GRAN if nx_g % _REBIN_GRAN == 0 else 1
 
     W = jnp.stack([u, v], axis=1)      # (T, 2, ny, nx)
     CW = jnp.stack([cu, cv], axis=1)
@@ -131,7 +204,10 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                     jax.lax.dynamic_index_in_dim(CW, t, 0, keepdims=False))
 
     def step(carry, t):
-        px, py, flag = carry
+        if rebin:
+            px, py, shift, flag = carry
+        else:
+            px, py, flag = carry
         A_t, B_t = slices(t)
         A_n, B_n = slices(t + 1)
 
@@ -143,6 +219,15 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
         py = py + dt * conv_y * va
         px = px + dt * conv_x * ua
         px, py = _clamp_wrap(px, py, **bounds)
+
+        # re-bin right after the Euler displacement (the bulk of the
+        # step's drift) so every SETTLS-iteration gather sees the compact
+        # layout; ua/va are reused below, so they ride the same roll
+        if rebin:
+            delta = _rebin_delta(px, nx_g, grid.x_min, grid.x_max, gran)
+            px, py, ua, va = _roll_rows((px, py, ua, va), delta,
+                                        nx_g, gran)
+            shift = jnp.mod(shift + delta, nx_g)
 
         # SETTLS fixed-point iterations, cumulative form (Q3)
         # (/root/reference/LCS/trajectory.py:100-124)
@@ -160,29 +245,51 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
             px = px + 0.5 * dt * conv_x * (ua + 2.0 * u_t_d - u_n_d)
             px, py = _clamp_wrap(px, py, **bounds)
 
-        if debug_per_step:
-            out = (px, py, flag) if return_traj else flag
+        if return_traj:
+            out = (px, py, flag) if debug_per_step else (px, py)
+            if rebin:
+                out = out + (shift,)
         else:
-            out = (px, py) if return_traj else None
-        return (px, py, flag), out
+            out = flag if debug_per_step else None
+        carry = (px, py, shift, flag) if rebin else (px, py, flag)
+        return carry, out
 
     nsteps = u.shape[0] - 1
     flag0 = jnp.zeros((), jnp.int32)
-    (px, py, flag), traj = jax.lax.scan(step, (px0, py0, flag0),
-                                        jnp.arange(nsteps))
+    carry0 = (px0, py0, flag0)
+    if rebin:
+        shift0 = jnp.zeros((py0.shape[0],), jnp.int32)
+        carry0 = (px0, py0, shift0, flag0)
+    carry, traj = jax.lax.scan(step, carry0, jnp.arange(nsteps))
+    if rebin:
+        px, py, shift, flag = carry
+    else:
+        px, py, flag = carry
     if debug_per_step and not return_traj:
+        if rebin:
+            px, py = _roll_rows((px, py), -shift, nx_g, gran)
         return px, py, traj  # (nsteps,) cumulative per-step flags
 
     if return_traj:
-        traj_x, traj_y = traj
+        if rebin:
+            *traj, shifts = traj
+            # each stored step is in that step's re-binned layout; undo
+            # with the step's cumulative shift (positions only — flags
+            # in the debug variant are scalars)
+            traj = (_roll_rows(traj[:2], -shifts, nx_g, gran)
+                    + tuple(traj[2:]))
+        traj_x, traj_y = traj[0], traj[1]
         traj_x = jnp.concatenate([px0[None], traj_x], axis=0)
         traj_y = jnp.concatenate([py0[None], traj_y], axis=0)
         return traj_x, traj_y, flag
+    if rebin:
+        px, py = _roll_rows((px, py), -shift, nx_g, gran)
     return px, py, flag
 
 
 @partial(jax.jit, static_argnames=("grid", "settls_order", "interp_order",
-                                   "return_traj", "kernel", "pallas_wy",
+                                   "return_traj", "kernel", "rebin",
+                                   "pallas_wy",
                                    "pallas_wx", "pallas_polar_band",
                                    "pallas_retry_tiles", "pallas_retry_wy",
                                    "return_overflow"))
@@ -190,7 +297,8 @@ def parcel_propagation_core(u: jax.Array, v: jax.Array, timestep,
                             grid: Grid, *, settls_order: int = 0,
                             interp_order: int = 3,
                             return_traj: bool = False,
-                            kernel: str = "xla", pallas_wy: int = 32,
+                            kernel: str = "xla", rebin="auto",
+                            pallas_wy: int = 32,
                             pallas_wx: int = 256,
                             pallas_polar_band: int = 2,
                             pallas_retry_tiles: int = 256,
@@ -232,7 +340,7 @@ def parcel_propagation_core(u: jax.Array, v: jax.Array, timestep,
 
     out = settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid,
                       settls_order=settls_order, interp_order=interp_order,
-                      return_traj=return_traj, kernel=kernel,
+                      return_traj=return_traj, kernel=kernel, rebin=rebin,
                       pallas_wy=pallas_wy, pallas_wx=pallas_wx,
                       pallas_polar_band=pallas_polar_band,
                       pallas_retry_tiles=pallas_retry_tiles,

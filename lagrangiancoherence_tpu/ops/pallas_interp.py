@@ -1090,5 +1090,5 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             _tier_fmaps=tier_fmaps,
             _pflags=pflags1 if order > 0 else None,
             _pfit=fit1 if order > 0 else None,
-            _pcov=cov2 if order > 0 else None)
+            _pcov=covP if order > 0 else None)
     return out, overflow

@@ -128,6 +128,67 @@ class TestPallasInScan:
                                    atol=1e-11)
 
 
+class TestRebin:
+    def test_rebin_is_layout_invariant(self):
+        """Row re-binning (models/settls.py _rebin_delta/_roll_rows) is a
+        pure layout permutation: the scan with rebin=True must reproduce
+        rebin=False to f64 rounding — final positions AND trajectories —
+        on a polar-whirl flow where the permutation actually engages
+        (zonal jet up to the poles, 1/cos(lat) drift of many cells/step,
+        /root/reference/LCS/trajectory.py:56)."""
+        from lagrangiancoherence_tpu.grid import Grid
+        from lagrangiancoherence_tpu.models.settls import \
+            parcel_propagation_core
+        import lagrangiancoherence_tpu.ops.pallas_interp as PI
+
+        ny, nx = 33, 96
+        lats = np.linspace(-90.0, 90.0, ny)
+        lons = np.linspace(-180.0, 180.0 - 360.0 / nx, nx)
+        grid = Grid(lats=lats, lons=lons, cyclic_x=True)
+        LON, LAT = np.meshgrid(np.deg2rad(lons), np.deg2rad(lats))
+        nt = 3
+        t = np.arange(nt)[:, None, None]
+        u = jnp.asarray((20.0 * np.cos(LAT) + 2.0 * np.cos(3 * LON)
+                         * np.sin(2 * LAT))[None] * (1 + 0.05 * np.sin(t)))
+        v = jnp.asarray((2.0 * np.sin(3 * LON) * np.cos(2 * LAT))[None]
+                        * (1 + 0.05 * np.cos(t)))
+
+        orig = PI.pallas_interp_multi
+        PI.pallas_interp_multi = \
+            lambda *a, **k: orig(*a, **{**k, "interpret": True})
+        try:
+            res = {}
+            for rb in (True, False):
+                res[rb] = parcel_propagation_core(
+                    u, v, -6 * 3600.0, grid, settls_order=1,
+                    kernel="pallas", rebin=rb, return_traj=True,
+                    return_overflow=True)
+        finally:
+            PI.pallas_interp_multi = orig
+        tx_r, ty_r, fl_r = res[True]
+        tx_n, ty_n, _ = res[False]
+        np.testing.assert_allclose(np.asarray(tx_r), np.asarray(tx_n),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(ty_r), np.asarray(ty_n),
+                                   atol=1e-12)
+
+    def test_roll_rows_inverts(self):
+        """_roll_rows(-delta) exactly inverts _roll_rows(delta), including
+        garbage-scale deltas (pole rows) and batched (per-step) shapes."""
+        from lagrangiancoherence_tpu.models.settls import _roll_rows
+
+        rng = np.random.RandomState(3)
+        nx = 96
+        a = jnp.asarray(rng.randn(4, 7, nx))
+        delta = jnp.asarray(
+            rng.randint(-6 * 10**7, 6 * 10**7, size=(4, 7)) * 32,
+            jnp.int32)
+        (b,) = _roll_rows((a,), delta, nx, 32)
+        (c,) = _roll_rows((b,), -delta, nx, 32)
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(a))
+        assert float(jnp.max(jnp.abs(b - a))) > 0  # the roll did move rows
+
+
 class TestRegionalGrid:
     def test_non_global_domain_exact(self):
         """Regional (non-cyclic-physics) grid: the scipy wrap-fold semantics
