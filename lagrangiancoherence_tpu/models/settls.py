@@ -160,35 +160,41 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
     CW = jnp.stack([cu, cv], axis=1)
 
     if kernel == "pallas":
-        from ..ops.pallas_interp import (pad_coeffs_for_pallas,
+        from ..ops.pallas_interp import (TILE_C, TILE_R,
+                                         pad_coeffs_for_pallas,
                                          pallas_interp_multi)
-        WT = W                                  # (T, 2, ny, nx) raw
-        CWP = pad_coeffs_for_pallas(CW)         # (C, T, 2, nyp, nxp-128)
         ny, nx = grid.shape
+        T = u.shape[0]
+        # resident stacks, windowed by TIME inside the kernels' block
+        # specs (f0 = first field index = 2*t): no per-step dynamic
+        # slicing/concat of the ~200 MB padded coefficients — formerly
+        # ~100 ms/field of pure HBM copying on the flagship.
+        CWP = pad_coeffs_for_pallas(CW)         # (C, T, 2, nyp, nxp-128)
+        CWP = CWP.reshape(CWP.shape[0], T * 2, *CWP.shape[3:])
+        ny_tf = -(-ny // TILE_R) * TILE_R       # pole-path raw padding
+        nx_t = -(-nx // TILE_C) * TILE_C
+        W_p = jnp.pad(W.reshape(T * 2, ny, nx),
+                      ((0, 0), (0, ny_tf + 8 - ny), (0, nx_t - nx)))
 
         # sharded blocks: window routing is position-only; the pole-row
         # special case locates its candidate rows from the traced GLOBAL
         # home rows directly (see pallas_interp_multi).
 
-        def interp_multi(raw_t, cw_pad, px, py):
+        def pallas_gather(t, px, py, nf):
             # the MXU contraction's N dim is F*WY, quantised at 128: the
             # F=2 Euler gathers get WY=64 base windows for free, halving
             # their y-escalations
-            F_ = raw_t.shape[0]
-            wy_eff = max(pallas_wy, 128 // max(F_, 1))
+            wy_eff = max(pallas_wy, 128 // nf)
             return pallas_interp_multi(
-                raw_t, cw_pad, px, py, ny=ny, nx=nx,
+                W_p, CWP, px, py, ny=ny, nx=nx,
                 y_min=grid.y_min, y_max=grid.y_max,
                 x_min=grid.x_min, x_max=grid.x_max,
                 order=interp_order, wy=wy_eff, wx=pallas_wx,
                 polar_band=pallas_polar_band,
                 retry_tiles=pallas_retry_tiles,
                 retry_wy=pallas_retry_wy,
-                home_rows=home_rows)
-
-        def slices(t):
-            return (jax.lax.dynamic_index_in_dim(WT, t, 0, keepdims=False),
-                    jax.lax.dynamic_index_in_dim(CWP, t, 1, keepdims=False))
+                home_rows=home_rows,
+                f0=2 * t, nf=nf, raw_prepadded=True)
     else:
         def interp_multi(fields_coeffs_0, fields_coeffs_1, px, py):
             out = interp_at_parcels_multi(
@@ -208,12 +214,14 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
             px, py, shift, flag = carry
         else:
             px, py, flag = carry
-        A_t, B_t = slices(t)
-        A_n, B_n = slices(t + 1)
-
         # Euler first guess from winds at the current positions
         # (/root/reference/LCS/trajectory.py:82-87)
-        arr, fl = interp_multi(A_t, B_t, px, py)
+        if kernel == "pallas":
+            arr, fl = pallas_gather(t, px, py, 2)
+        else:
+            A_t, B_t = slices(t)
+            A_n, B_n = slices(t + 1)
+            arr, fl = interp_multi(A_t, B_t, px, py)
         flag = flag | fl
         ua, va = arr[0], arr[1]
         py = py + dt * conv_y * va
@@ -231,14 +239,16 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
 
         # SETTLS fixed-point iterations, cumulative form (Q3)
         # (/root/reference/LCS/trajectory.py:100-124)
-        if settls_order:
-            # field axis: 0 for raw/XLA operands, 1 for the pallas padded
-            # coefficients (leading axis = lane-shifted copies)
-            b_ax = 1 if kernel == "pallas" else 0
+        if settls_order and kernel != "pallas":
             A_tn = jnp.concatenate([A_t, A_n], axis=0)
-            B_tn = jnp.concatenate([B_t, B_n], axis=b_ax)
+            B_tn = jnp.concatenate([B_t, B_n], axis=0)
         for _ in range(settls_order):
-            dep, fl = interp_multi(A_tn, B_tn, px, py)
+            if kernel == "pallas":
+                # the (u, v) pairs at t and t+1 are adjacent in the
+                # resident (T*2, ...) stacks: one 4-field window at 2*t
+                dep, fl = pallas_gather(t, px, py, 4)
+            else:
+                dep, fl = interp_multi(A_tn, B_tn, px, py)
             flag = flag | fl
             u_t_d, v_t_d, u_n_d, v_n_d = dep[0], dep[1], dep[2], dep[3]
             py = py + 0.5 * dt * conv_y * (va + 2.0 * v_t_d - v_n_d)

@@ -407,7 +407,7 @@ def _pole_block_body(yc, xc, vmask, mask, win_ref, out_ref, write_flag,
               F, WY, dtype, in_range=in_range)
 
 
-def _grid_kernel(live_s, y0s, x0s, pos_ref, win_ref, out_ref,
+def _grid_kernel(live_s, y0s, x0s, f0s, pos_ref, win_ref, out_ref,
                  flag_ref, *, body, F, WY, WX, YPAD, XPAD, x_full, common):
     """Tier-A kernel: 2-D grid over all tiles in place, gated to the tiles
     routed to this tier (plus unrouted overflow tiles, which clamp).
@@ -430,7 +430,7 @@ def _grid_kernel(live_s, y0s, x0s, pos_ref, win_ref, out_ref,
              **common)
 
 
-def _pole_grid_kernel(y0s, pk_ref, win_ref, out_ref, flag_ref, *,
+def _pole_grid_kernel(y0s, f0s, pk_ref, win_ref, out_ref, flag_ref, *,
                       F, WY, WXS, common):
     """Pole level-1 pass: (2, gx) grid — north / south candidate blocks x
     column tiles, every tile live.  The two pole sides are SEPARATE
@@ -447,7 +447,7 @@ def _pole_grid_kernel(y0s, pk_ref, win_ref, out_ref, flag_ref, *,
                      y0s[i, j], F=F, WY=WY, WXS=WXS, **common)
 
 
-def _pole_list_kernel(n_live, iy, jx, iy_out, y0s, pk_ref, win_ref,
+def _pole_list_kernel(n_live, iy, jx, iy_out, y0s, f0s, pk_ref, win_ref,
                       out_ref, flag_ref, *, F, WY, WXS, common):
     """Pole level-2 pass over a compacted (side, column-tile) list; dead
     slots repeat slot 0's blocks and write the garbage row block."""
@@ -464,7 +464,7 @@ def _pole_list_kernel(n_live, iy, jx, iy_out, y0s, pk_ref, win_ref,
                          y0s[i], F=F, WY=WY, WXS=WXS, **common)
 
 
-def _list_kernel(n_live, iy, jx, iy_out, y0s, x0s, edges, pos_ref,
+def _list_kernel(n_live, iy, jx, iy_out, y0s, x0s, edges, f0s, pos_ref,
                  win_ref, out_ref, flag_ref, *, body, F, WY, WX, YPAD,
                  XPAD, x_full, common):
     """Escalation-tier kernel: 1-D grid over a compacted tile list; slots
@@ -549,6 +549,8 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                         retry_tiles: int = 256, retry_wy: int = 64,
                         retry_wx: int = 512,
                         home_rows=None, pole_tile_rows=None,
+                        f0=None, nf: int | None = None,
+                        raw_prepadded: bool = False,
                         interpret: bool = False,
                         debug_flags: bool = False):
     """Evaluate F stacked fields at parcel positions — the TPU fast path.
@@ -580,9 +582,20 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     is needed (``pole_tile_rows`` is accepted and ignored for backward
     compatibility).  Window routing itself is position-only.
 
+    Scan fast path: ``f0``/``nf``/``raw_prepadded`` let the SETTLS scan
+    keep the WHOLE padded coefficient stack resident and window it by
+    time directly in the block specs — ``cw_pad`` is then
+    (X_COPIES+1, T*2, nyp, nxp), ``raw`` the (T*2, ny_p, nx_t)
+    pole-padded raw stack, ``f0`` the traced first-field index (2*t) and
+    ``nf`` the static field count.  This removes the former per-step
+    ~200 MB dynamic-slice+concat of the padded coefficients (measured
+    ~100 ms/field of pure HBM copying on the flagship).
+
     Returns ``(out (F, rows, nx), overflow int32 scalar)``.
     """
-    F = raw.shape[0]
+    F = int(nf) if nf is not None else raw.shape[0]
+    f0_arr = (jnp.zeros((1,), jnp.int32) if f0 is None
+              else jnp.asarray(f0, jnp.int32).reshape(1))
     R = py.shape[0]
     ny_t = _cdiv(R, TILE_R) * TILE_R          # position-block tiling
     nx_t = _cdiv(nx, TILE_C) * TILE_C
@@ -591,6 +604,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     dtype = raw.dtype
     assert cw_pad.ndim == raw.ndim + 1 and \
         cw_pad.shape[0] == X_COPIES + 1, (cw_pad.shape, raw.shape)
+    assert cw_pad.shape[1] == raw.shape[0], (cw_pad.shape, raw.shape)
     ypad = (cw_pad.shape[-2] - ny) // 2
     # copies are trimmed by 128 lanes (pad_coeffs_for_pallas)
     xpad = (cw_pad.shape[-1] + 128 - nx) // 2
@@ -737,28 +751,30 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                        YPAD=ypad_t, XPAD=xpad_t, x_full=x_full,
                        common=tcommon)
 
-        def wmap(i, nl, iyr, jxr, iyo, y0r, x0r, edr):
+        def wmap(i, nl, iyr, jxr, iyo, y0r, x0r, edr, f0r):
             if x_full:
                 # mirror-baked slab (last copy), lane = fold+1, start 0
-                return (X_COPIES, 0, pl.multiple_of(y0r[i], 8), 0)
+                return (X_COPIES, f0r[0], pl.multiple_of(y0r[i], 8), 0)
             x = x0r[i]
             # logical X_GRAN-aligned start -> (copy, 128-aligned start)
-            return ((x % 128) // X_GRAN, 0, pl.multiple_of(y0r[i], 8),
+            return ((x % 128) // X_GRAN, f0r[0],
+                    pl.multiple_of(y0r[i], 8),
                     pl.multiple_of((x // 128) * 128, 128))
 
         gridspec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
+            num_scalar_prefetch=8,
             grid=(cap,),
             in_specs=[
                 pl.BlockSpec((2, TILE_R, TILE_C),
-                             lambda i, nl, iyr, jxr, iyo, y0r, x0r, edr:
-                             (0, iyr[i], jxr[i]), memory_space=pltpu.VMEM),
+                             lambda i, nl, iyr, jxr, iyo, y0r, x0r, edr,
+                             f0r: (0, iyr[i], jxr[i]),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((pl.Element(1), pl.Element(F),
                               pl.Element(wy_), pl.Element(wx_)), wmap,
                              memory_space=pltpu.VMEM)],
             out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
                                     lambda i, nl, iyr, jxr, iyo, y0r, x0r,
-                                    edr: (0, iyo[i], jxr[i]),
+                                    edr, f0r: (0, iyo[i], jxr[i]),
                                     memory_space=pltpu.VMEM),
                        pl.BlockSpec((cap, 1), lambda i, *_: (0, 0),
                                     memory_space=pltpu.SMEM)],
@@ -769,7 +785,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                        jax.ShapeDtypeStruct((cap, 1), jnp.int32)],
             interpret=interpret,
             compiler_params=_CPARAMS,
-        )(n_live, iy_d, jx_d, iy_out, y0sel, x0sel, edge_sel,
+        )(n_live, iy_d, jx_d, iy_out, y0sel, x0sel, edge_sel, f0_arr,
           folds, operand)
         covered = jnp.zeros((gy + 1, gx), jnp.int32).at[iy_out, jx_d].max(
             live.astype(jnp.int32))[:gy] > 0
@@ -813,7 +829,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     kernA = partial(_grid_kernel, body=body, F=F, WY=wy, WX=wx,
                     YPAD=ypad, XPAD=xpad, x_full=False, common=common)
     gridA = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(gy, gx),
         in_specs=[
             pl.BlockSpec((2, TILE_R, TILE_C),
@@ -821,8 +837,8 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((pl.Element(1), pl.Element(F), pl.Element(wy),
                           pl.Element(wx)),
-                         lambda i, j, lv, y0r, x0r:
-                         ((x0r[i, j] % 128) // X_GRAN, 0,
+                         lambda i, j, lv, y0r, x0r, f0r:
+                         ((x0r[i, j] % 128) // X_GRAN, f0r[0],
                           pl.multiple_of(y0r[i, j], 8),
                           pl.multiple_of((x0r[i, j] // 128) * 128, 128)),
                          memory_space=pltpu.VMEM)],
@@ -838,7 +854,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                    jax.ShapeDtypeStruct((gy, gx), jnp.int32)],
         interpret=interpret,
             compiler_params=_CPARAMS,
-    )(liveA, y0A, x0A, folds, cw_pad)
+    )(liveA, y0A, x0A, f0_arr, folds, cw_pad)
     overflow = overflow | \
         (jnp.max(flagsA * (liveA > 0).astype(jnp.int32)) << 2)
 
@@ -910,7 +926,11 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         ny_tf = _cdiv(ny, TILE_R) * TILE_R     # field-side row tiling
         pad_rows = ny_tf + 8 - ny
         ny_p = ny + pad_rows
-        raw_p = jnp.pad(raw, ((0, 0), (0, pad_rows), (0, nx_t - nx)))
+        if raw_prepadded:
+            assert raw.shape[-2:] == (ny_p, nx_t), (raw.shape, ny_p, nx_t)
+            raw_p = raw
+        else:
+            raw_p = jnp.pad(raw, ((0, 0), (0, pad_rows), (0, nx_t - nx)))
         ycapP = (ny_p // 8) * 8
         wy_p = min(max(wyc, 16), ycapP)
         wy_p2 = min(3 * wy_p, ycapP)
@@ -954,19 +974,19 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         kern1 = partial(_pole_grid_kernel, F=F, WY=wy_p, WXS=nx_t,
                         common=pcommon)
         grid1 = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(2, gx),
             in_specs=[
                 pl.BlockSpec((4, 1, TILE_R, TILE_C),
-                             lambda i, j, y0r: (0, i, 0, j),
+                             lambda i, j, y0r, f0r: (0, i, 0, j),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((pl.Element(F), pl.Element(wy_p),
                               pl.Element(nx_t)),
-                             lambda i, j, y0r:
-                             (0, pl.multiple_of(y0r[i, j], 8), 0),
+                             lambda i, j, y0r, f0r:
+                             (f0r[0], pl.multiple_of(y0r[i, j], 8), 0),
                              memory_space=pltpu.VMEM)],
             out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
-                                    lambda i, j, y0r: (0, i, j),
+                                    lambda i, j, y0r, f0r: (0, i, j),
                                     memory_space=pltpu.VMEM),
                        pl.BlockSpec((2, gx), lambda i, j, *_: (0, 0),
                                     memory_space=pltpu.SMEM)],
@@ -977,7 +997,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                        jax.ShapeDtypeStruct((2, gx), jnp.int32)],
             interpret=interpret,
             compiler_params=_CPARAMS,
-        )(ys1, pole_pack, raw_p)
+        )(ys1, f0_arr, pole_pack, raw_p)
 
         # escalation levels: taller slabs over compacted unfit-(side,
         # tile) lists (rare — pole-row y drift is slow); beyond the last
@@ -1007,21 +1027,21 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             kernL = partial(_pole_list_kernel, F=F, WY=wy_lvl, WXS=nx_t,
                             common=pcommon)
             gridL = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=5,
+                num_scalar_prefetch=6,
                 grid=(cap2,),
                 in_specs=[
                     pl.BlockSpec((4, 1, TILE_R, TILE_C),
-                                 lambda i, nl, iyr, jxr, iyo, y0r:
+                                 lambda i, nl, iyr, jxr, iyo, y0r, f0r:
                                  (0, iyr[i], 0, jxr[i]),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((pl.Element(F), pl.Element(wy_lvl),
                                   pl.Element(nx_t)),
-                                 lambda i, nl, iyr, jxr, iyo, y0r:
-                                 (0, pl.multiple_of(y0r[i], 8), 0),
+                                 lambda i, nl, iyr, jxr, iyo, y0r, f0r:
+                                 (f0r[0], pl.multiple_of(y0r[i], 8), 0),
                                  memory_space=pltpu.VMEM)],
                 out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
-                                        lambda i, nl, iyr, jxr, iyo, y0r:
-                                        (0, iyo[i], jxr[i]),
+                                        lambda i, nl, iyr, jxr, iyo, y0r,
+                                        f0r: (0, iyo[i], jxr[i]),
                                         memory_space=pltpu.VMEM),
                            pl.BlockSpec((cap2, 1), lambda i, *_: (0, 0),
                                         memory_space=pltpu.SMEM)],
@@ -1035,7 +1055,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                         jax.ShapeDtypeStruct((cap2, 1), jnp.int32)],
                     interpret=interpret,
                     compiler_params=_CPARAMS,
-                )(nL, iyL, jxL, iy_outL, y0L, pole_pack, raw_p)
+                )(nL, iyL, jxL, iy_outL, y0L, f0_arr, pole_pack, raw_p)
 
             def skipL(nL, iyL, jxL, iy_outL, y0L):
                 return (jnp.zeros((F, 3 * TILE_R, nx_t), dtype),
