@@ -87,6 +87,92 @@ def _roll_rows(arrs, delta, nx, gran):
     return tuple(out)
 
 
+_SORT_LAT = 60.0   # |lat| >= this: rows whirl (1/cos metric) -> sort-bin
+_SORT_K = 2        # re-bin every K steps
+_SORT_BX = 32      # spatial key block width (cells)
+
+
+def _sort_bands(grid: Grid, order: int):
+    """Static (row0, nrows) of the south/north sort-binned latitude bands.
+
+    Rows with ``|lat| >= _SORT_LAT`` excluding the ``order`` pole-home rows
+    (which must stay pinned for the order-1/'constant' pole path — the
+    pallas and XLA kernels key that path on storage row position), each
+    band truncated to a multiple of TILE_R(=8) rows so sorted ranks map
+    onto whole (8, 128) kernel tiles."""
+    lat = np.asarray(grid.lats)
+    ny = lat.shape[0]
+    polar = np.abs(lat) >= _SORT_LAT
+    bands = []
+    s_hi = int(np.searchsorted(lat, -_SORT_LAT, side="right"))
+    n_lo = int(np.searchsorted(lat, _SORT_LAT, side="left"))
+    r_s = ((s_hi - order) // 8) * 8
+    if polar[0] and r_s >= 8:
+        bands.append((order, r_s))
+    r_n = ((ny - order - n_lo) // 8) * 8
+    if polar[-1] and r_n >= 8:
+        bands.append((ny - order - r_n, r_n))
+    return bands
+
+
+def _to_tile_storage(flat, nrows, nx):
+    """Rank-ordered flat array -> (nrows, nx) storage such that each
+    kernel tile ((8, 128) home block, the last x tile possibly partial)
+    holds CONSECUTIVE ranks — pure reshape/transpose, no gather."""
+    gy = nrows // 8
+    nxc = nx // 128
+    rem = nx - nxc * 128
+    a2 = flat.reshape(gy, 8 * nx)
+    main = (a2[:, :nxc * 1024].reshape(gy, nxc, 8, 128)
+            .transpose(0, 2, 1, 3).reshape(gy, 8, nxc * 128))
+    if rem:
+        tail = a2[:, nxc * 1024:].reshape(gy, 8, rem)
+        main = jnp.concatenate([main, tail], axis=-1)
+    return main.reshape(nrows, nx)
+
+
+def _sort_bin_bands(arrs, px, py, bands, grid: Grid):
+    """Sort each band's parcels into spatial-tile storage order.
+
+    ``arrs``: tuple of (ny, nx) arrays to permute identically (positions,
+    per-parcel conv factor, the int32 un-sort permutation).  The key is
+    the (8-row, _SORT_BX-col) spatial block of the CURRENT position, so a
+    storage tile (1024 consecutive ranks) holds a compact run of blocks —
+    narrow tap windows for the pallas kernel regardless of how far the
+    whirl has smeared the parcels from their home cells."""
+    ny, nx = grid.shape
+    sy = ny / (grid.y_max - grid.y_min)
+    sx = nx / (grid.x_max - grid.x_min)
+    nbx = -(-nx // _SORT_BX)
+    out = list(arrs)
+    for r0, nr in bands:
+        sl = slice(r0, r0 + nr)
+        yi = jnp.clip(sy * (py[sl] - grid.y_min), 0, ny - 1)
+        xi = jnp.mod(jnp.floor(sx * (px[sl] - grid.x_min)), nx)
+        key = ((yi.astype(jnp.int32) // 8) * nbx
+               + xi.astype(jnp.int32) // _SORT_BX).ravel()
+        segs = [a[sl].ravel() for a in out]
+        sorted_ = jax.lax.sort([key] + segs, num_keys=1, is_stable=True)
+        for i, s in enumerate(sorted_[1:]):
+            out[i] = out[i].at[sl].set(_to_tile_storage(s, nr, nx))
+    return tuple(out)
+
+
+def _unsort_bands(arrs, perm, bands, grid: Grid):
+    """Invert the cumulative sort-binning: per band, sort by the carried
+    original-linear-index payload."""
+    ny, nx = grid.shape
+    out = list(arrs)
+    for r0, nr in bands:
+        sl = slice(r0, r0 + nr)
+        segs = [a[sl].ravel() for a in out]
+        sorted_ = jax.lax.sort([perm[sl].ravel()] + segs, num_keys=1,
+                               is_stable=True)
+        for i, s in enumerate(sorted_[1:]):
+            out[i] = out[i].at[sl].set(s.reshape(nr, nx))
+    return tuple(out)
+
+
 def _clamp_wrap(px, py, *, y_min, y_max, x_min, x_max, cyclic_x):
     """Boundary handling per /root/reference/LCS/trajectory.py:89-97."""
     py = jnp.where(py > y_min, py, y_min)
@@ -151,9 +237,25 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
     # Kept (tested, layout-invariant to 3e-14) for explicit use and as
     # the substrate for shift-smoothed variants.
     nx_g = grid.shape[1]
+    # sort-binning (see _sort_bin_bands): periodically re-sort the polar
+    # bands' parcels into spatial-tile storage order.  Collapses the
+    # full-longitude escalation tiers the whirl band otherwise forces
+    # (measured: full-x tiles 116 -> ~33 at the flagship's final steps,
+    # tools/census_binned.py).  Single-chip pallas full-grid final-
+    # positions path only; the un-sort permutation rides the carry.
+    sort_ok = (kernel == "pallas" and home_rows is None
+               and px0.shape == grid.shape and not return_traj
+               and not debug_per_step)
+    sort_bands = _sort_bands(grid, interp_order) if sort_ok else []
     if rebin == "auto":
+        rebin = False      # flipped to "sort" pending TPU A/B validation
+    sort_mode = rebin == "sort" and sort_ok and bool(sort_bands)
+    if rebin == "sort" and not sort_mode:
         rebin = False
-    rebin = bool(rebin) and px0.shape[-1] == nx_g
+    if sort_mode:
+        rebin = False
+    else:
+        rebin = rebin is True and px0.shape[-1] == nx_g
     gran = _REBIN_GRAN if nx_g % _REBIN_GRAN == 0 else 1
 
     W = jnp.stack([u, v], axis=1)      # (T, 2, ny, nx)
@@ -210,10 +312,30 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                     jax.lax.dynamic_index_in_dim(CW, t, 0, keepdims=False))
 
     def step(carry, t):
-        if rebin:
+        if sort_mode:
+            px, py, cvx, perm, flag = carry
+        elif rebin:
             px, py, shift, flag = carry
         else:
             px, py, flag = carry
+
+        if sort_mode:
+            # periodic re-bin BEFORE the step's gathers: every gather of
+            # this step then sees at most K-step-stale storage locality
+            def do_sort(px, py, cvx, perm):
+                return _sort_bin_bands((px, py, cvx, perm), px, py,
+                                       sort_bands, grid)
+
+            def no_sort(px, py, cvx, perm):
+                return (px, py, cvx, perm)
+
+            px, py, cvx, perm = jax.lax.cond(
+                jnp.mod(t, _SORT_K) == 0, do_sort, no_sort,
+                px, py, cvx, perm)
+            cx = cvx
+        else:
+            cx = conv_x
+
         # Euler first guess from winds at the current positions
         # (/root/reference/LCS/trajectory.py:82-87)
         if kernel == "pallas":
@@ -225,7 +347,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
         flag = flag | fl
         ua, va = arr[0], arr[1]
         py = py + dt * conv_y * va
-        px = px + dt * conv_x * ua
+        px = px + dt * cx * ua
         px, py = _clamp_wrap(px, py, **bounds)
 
         # re-bin right after the Euler displacement (the bulk of the
@@ -252,7 +374,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
             flag = flag | fl
             u_t_d, v_t_d, u_n_d, v_n_d = dep[0], dep[1], dep[2], dep[3]
             py = py + 0.5 * dt * conv_y * (va + 2.0 * v_t_d - v_n_d)
-            px = px + 0.5 * dt * conv_x * (ua + 2.0 * u_t_d - u_n_d)
+            px = px + 0.5 * dt * cx * (ua + 2.0 * u_t_d - u_n_d)
             px, py = _clamp_wrap(px, py, **bounds)
 
         if return_traj:
@@ -261,17 +383,31 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 out = out + (shift,)
         else:
             out = flag if debug_per_step else None
-        carry = (px, py, shift, flag) if rebin else (px, py, flag)
+        if sort_mode:
+            carry = (px, py, cvx, perm, flag)
+        elif rebin:
+            carry = (px, py, shift, flag)
+        else:
+            carry = (px, py, flag)
         return carry, out
 
     nsteps = u.shape[0] - 1
     flag0 = jnp.zeros((), jnp.int32)
     carry0 = (px0, py0, flag0)
-    if rebin:
+    if sort_mode:
+        ny_g = grid.shape[0]
+        conv_pc = jnp.broadcast_to(conv_x, (ny_g, nx_g)).astype(dtype)
+        perm0 = jax.lax.broadcasted_iota(jnp.int32, (ny_g, nx_g), 0) \
+            * nx_g + jax.lax.broadcasted_iota(jnp.int32, (ny_g, nx_g), 1)
+        carry0 = (px0, py0, conv_pc, perm0, flag0)
+    elif rebin:
         shift0 = jnp.zeros((py0.shape[0],), jnp.int32)
         carry0 = (px0, py0, shift0, flag0)
     carry, traj = jax.lax.scan(step, carry0, jnp.arange(nsteps))
-    if rebin:
+    if sort_mode:
+        px, py, _cvx, perm, flag = carry
+        px, py = _unsort_bands((px, py), perm, sort_bands, grid)
+    elif rebin:
         px, py, shift, flag = carry
     else:
         px, py, flag = carry

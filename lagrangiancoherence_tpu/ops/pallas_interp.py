@@ -729,7 +729,10 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         residual in-kernel flag, capacity-exceeded flag)."""
         cap = min(cap, n_tiles)
         flat = want.ravel().astype(jnp.int32)
-        sel = jnp.argsort(-flat)[:cap]
+        # compact the wanted-tile list: nonzero (cumsum + scatter) is much
+        # cheaper than the former argsort(-flat) full sort and preserves
+        # the same stable index order
+        sel = jnp.nonzero(flat, size=cap, fill_value=0)[0].astype(jnp.int32)
         count = jnp.minimum(jnp.sum(flat), cap)
         slot = jnp.arange(cap)
         live = slot < count
@@ -1014,7 +1017,8 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             # the LAST level runs every leftover (clamp + flag)
             wantL = (~covP) if lv_i == len(levels) - 1 else (~covP) & fitL
             flatL = wantL.ravel().astype(jnp.int32)
-            selL = jnp.argsort(-flatL)[:cap2].astype(jnp.int32)
+            selL = jnp.nonzero(flatL, size=cap2,
+                               fill_value=0)[0].astype(jnp.int32)
             countL = jnp.minimum(jnp.sum(flatL), cap2)
             liveL = jnp.arange(cap2) < countL
             iy_s = selL // gx

@@ -222,3 +222,65 @@ def run_case_grid(lats, lons, order, F, seed=0):
         x_min=lons.min(), x_max=lons.max(), order=order,
         wy=48, wx=384, polar_band=1, retry_tiles=8, interpret=True)
     return np.asarray(out), int(flag), ref
+
+
+class TestSortBinning:
+    def test_sort_mode_is_layout_invariant(self):
+        """Polar sort-binning (models/settls.py _sort_bin_bands) is a pure
+        storage permutation carried through the scan and inverted on exit:
+        final positions must match the unbinned scan to f64 rounding on a
+        polar-whirl flow that engages the bands."""
+        from lagrangiancoherence_tpu.grid import Grid
+        from lagrangiancoherence_tpu.models import settls
+        from lagrangiancoherence_tpu.models.settls import \
+            parcel_propagation_core
+        import lagrangiancoherence_tpu.ops.pallas_interp as PI
+
+        ny, nx = 65, 128
+        lats = np.linspace(-90.0, 90.0, ny)
+        lons = np.linspace(-180.0, 180.0 - 360.0 / nx, nx)
+        grid = Grid(lats=lats, lons=lons, cyclic_x=True)
+        assert settls._sort_bands(grid, 3), "test grid must have bands"
+        LON, LAT = np.meshgrid(np.deg2rad(lons), np.deg2rad(lats))
+        nt = 4
+        t = np.arange(nt)[:, None, None]
+        u = jnp.asarray((20.0 * np.cos(LAT) + 2.0 * np.cos(3 * LON)
+                         * np.sin(2 * LAT))[None] * (1 + 0.05 * np.sin(t)))
+        v = jnp.asarray((2.0 * np.sin(3 * LON) * np.cos(2 * LAT))[None]
+                        * (1 + 0.05 * np.cos(t)))
+
+        orig = PI.pallas_interp_multi
+        PI.pallas_interp_multi = \
+            lambda *a, **k: orig(*a, **{**k, "interpret": True})
+        try:
+            res = {}
+            for rb in ("sort", False):
+                res[rb] = parcel_propagation_core(
+                    u, v, -6 * 3600.0, grid, settls_order=1,
+                    kernel="pallas", rebin=rb, return_traj=False,
+                    return_overflow=True)
+        finally:
+            PI.pallas_interp_multi = orig
+        px_s, py_s, fl_s = res["sort"]
+        px_n, py_n, fl_n = res[False]
+        np.testing.assert_allclose(np.asarray(px_s), np.asarray(px_n),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(py_s), np.asarray(py_n),
+                                   atol=1e-12)
+        assert int(fl_s) == 0 and int(fl_n) == 0
+
+    def test_to_tile_storage_tiles_hold_consecutive_ranks(self):
+        """_to_tile_storage maps rank r to storage so that every kernel
+        tile ((8,128) block of the (rows, nx) grid, last x-tile partial)
+        holds one consecutive rank run — the property the sort-binning
+        locality argument rests on."""
+        from lagrangiancoherence_tpu.models.settls import _to_tile_storage
+
+        nr, nx = 16, 320   # 2 tile rows, x tiles: 128,128,64(partial)
+        flat = jnp.arange(nr * nx, dtype=jnp.int32)
+        st = np.asarray(_to_tile_storage(flat, nr, nx))
+        assert sorted(st.ravel().tolist()) == list(range(nr * nx))
+        for i in range(nr // 8):
+            for j, (c0, c1) in enumerate([(0, 128), (128, 256), (256, 320)]):
+                blk = st[8 * i:8 * i + 8, c0:c1].ravel()
+                assert blk.max() - blk.min() == blk.size - 1, (i, j)

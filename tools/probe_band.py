@@ -98,7 +98,7 @@ def band_body(pos_ref, win_ref, out_ref, *, BAND, roll_mode):
             cur = w2r[:, :TILE_C]
             w2r = pltpu.roll(w2r, WX - 1, axis=1)
         else:                                  # static slice per j
-            cur = jax.lax.dynamic_slice(w2r, (0, j), (F * WY, TILE_C))
+            cur = jax.lax.slice(w2r, (0, j), (F * WY, j + TILE_C))
         bx = _bspline3(xrel - j)               # (TR, TC)
         H = H + bx[:, None, :] * cur[None]
     yl = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, F * WY, TILE_C), 1) % WY
@@ -170,10 +170,14 @@ def main():
     o_cur = run(cur_body, "current (B3+MXU HIGHEST)")
     for band in (16, 24, 32):
         for mode in ("inc", "slice"):
-            o_b = run(partial(band_body, BAND=band, roll_mode=mode),
-                      f"banded B={band} {mode}")
-            d = float(jnp.max(jnp.abs(o_b - o_cur)))
-            print(f"    max|band-cur| = {d:.3e}")
+            try:
+                o_b = run(partial(band_body, BAND=band, roll_mode=mode),
+                          f"banded B={band} {mode}")
+                d = float(jnp.max(jnp.abs(o_b - o_cur)))
+                print(f"    max|band-cur| = {d:.3e}", flush=True)
+            except Exception as e:
+                print(f"banded B={band} {mode}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
 
 
 if __name__ == "__main__":

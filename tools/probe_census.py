@@ -3,6 +3,7 @@ flagship trajectory (which escalation tiers cost what)."""
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -35,11 +36,17 @@ def main():
     v = jnp.asarray((base_v[None] * (1.0 + 0.05 * np.cos(2 * np.pi * t / nt))
                      ).astype(np.float32))
 
-    tx, ty = parcel_propagation_core(u, v, -6.0 * 3600.0, grid,
-                                     settls_order=4, interp_order=3,
-                                     return_traj=True, kernel="pallas")
-    tx = np.asarray(tx)
-    ty = np.asarray(ty)
+    CACHE = "/tmp/flagship_traj.npz"
+    if os.path.exists(CACHE):
+        d = np.load(CACHE)
+        tx, ty = d["tx"], d["ty"]
+    else:
+        tx, ty = parcel_propagation_core(u, v, -6.0 * 3600.0, grid,
+                                         settls_order=4, interp_order=3,
+                                         return_traj=True, kernel="pallas")
+        tx = np.asarray(tx)
+        ty = np.asarray(ty)
+        np.savez_compressed(CACHE, tx=tx, ty=ty)
     print("traj done", tx.shape, flush=True)
 
     raw = jnp.stack([u[0], v[0], u[1], v[1]])
@@ -48,12 +55,13 @@ def main():
     bounds = dict(y_min=grid.y_min, y_max=grid.y_max,
                   x_min=grid.x_min, x_max=grid.x_max)
 
-    dbg = jax.jit(lambda px, py: pallas_interp_multi(
-        raw, cwp, px, py, ny=ny, nx=nx, order=3, **bounds,
+    dbg = jax.jit(lambda r, c, px, py: pallas_interp_multi(
+        r, c, px, py, ny=ny, nx=nx, order=3, **bounds,
         debug_flags=True)[1])
+    dbg = partial(dbg, raw, cwp)
 
     print("step  escal  uncov  per-tier-taken", flush=True)
-    for s in range(0, 33, 4):
+    for s in ([] if os.environ.get("SKIP_DBG") else range(0, 33, 4)):
         px = jnp.asarray(tx[s])
         py = jnp.asarray(ty[s])
         d = dbg(px, py)
@@ -62,16 +70,22 @@ def main():
               f"{int(np.asarray(d['uncovered'])):5d}  {taken}", flush=True)
 
     # isolated gather-group timings at early/mid/late positions
-    full = jax.jit(lambda px, py: pallas_interp_multi(
-        raw, cwp, px, py, ny=ny, nx=nx, order=3, **bounds)[0])
-    tier_a = jax.jit(lambda px, py: pallas_interp_multi(
-        raw, cwp, px, py, ny=ny, nx=nx, order=3, **bounds,
+    full = jax.jit(lambda r, c, px, py: pallas_interp_multi(
+        r, c, px, py, ny=ny, nx=nx, order=3, **bounds)[0])
+    full = partial(full, raw, cwp)
+    tier_a = jax.jit(lambda r, c, px, py: pallas_interp_multi(
+        r, c, px, py, ny=ny, nx=nx, order=3, **bounds,
         retry_tiles=0)[0])
+    tier_a = partial(tier_a, raw, cwp)
     for s in (0, 16, 32):
         px = jnp.asarray(tx[s])
         py = jnp.asarray(ty[s])
         for name, fn in (("full", full), ("tierA+pole", tier_a)):
-            o = fn(px, py)
+            try:
+                o = fn(px, py)
+            except Exception as e:
+                print(f"step {s} {name}: FAILED {str(e)[:120]}", flush=True)
+                continue
             o.block_until_ready()
             t0 = time.perf_counter()
             for _ in range(20):

@@ -1,0 +1,62 @@
+"""A/B the polar sort-binning mode on the real flagship scan:
+scan time and final-position agreement, rebin="sort" vs rebin=False.
+
+Run: python tools/probe_sort.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from lagrangiancoherence_tpu.grid import global_quarter_degree_grid
+from lagrangiancoherence_tpu.models.settls import parcel_propagation_core
+
+
+def flagship_winds(grid, nt=33):
+    LON, LAT = np.meshgrid(np.deg2rad(grid.lons), np.deg2rad(grid.lats))
+    base_u = 25.0 * np.cos(LAT) + 3.0 * np.cos(3 * LON) * np.sin(2 * LAT)
+    base_v = 3.0 * np.sin(3 * LON) * np.cos(2 * LAT)
+    t = np.arange(nt)[:, None, None]
+    u = (base_u[None] * (1.0 + 0.05 * np.sin(2 * np.pi * t / nt))
+         ).astype(np.float32)
+    v = (base_v[None] * (1.0 + 0.05 * np.cos(2 * np.pi * t / nt))
+         ).astype(np.float32)
+    return jnp.asarray(u), jnp.asarray(v)
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    grid = global_quarter_degree_grid()
+    u, v = flagship_winds(grid)
+    res = {}
+    for rb in (False, "sort"):
+        fn = jax.jit(lambda u, v, rb=rb: parcel_propagation_core(
+            u, v, -6.0 * 3600.0, grid, settls_order=4, interp_order=3,
+            kernel="pallas", rebin=rb, return_overflow=True))
+        px, py, fl = fn(u, v)
+        np.asarray(px)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            px, py, fl = fn(u, v)
+        np.asarray(px)
+        dt = (time.perf_counter() - t0) / 3
+        print(f"rebin={rb!r:8} scan {dt*1e3:8.1f} ms  flag={int(fl):#x}",
+              flush=True)
+        res[rb] = (np.asarray(px), np.asarray(py))
+    dx = np.max(np.abs(res["sort"][0] - res[False][0]))
+    dy = np.max(np.abs(res["sort"][1] - res[False][1]))
+    print(f"max|sort-off| dx={dx:.3e} dy={dy:.3e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,9 +1,11 @@
 """Capture a jax.profiler trace of one flagship FTLE field and print the
-op-level self-time breakdown (where the 1.86 s/field actually goes)."""
-import glob
+op-level self-time breakdown (where the time actually goes), parsed
+in-process with jax.profiler.ProfileData (the tensorboard plugin
+converter is incompatible with the installed TF)."""
 import os
 import sys
 import time
+from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -49,16 +51,33 @@ def main():
     with jax.profiler.trace(TRACE_DIR):
         np.asarray(run())
 
-    # ---- parse the xplane ----
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-    xs = glob.glob(TRACE_DIR + "/**/*.xplane.pb", recursive=True)
-    print("xplanes:", xs, flush=True)
-    data, _ = rtd.xspace_to_tool_data(xs, "framework_op_stats", {})
-    import gzip, io, csv
-    # tool data may be csv text
-    open("/tmp/opstats.out", "wb").write(
-        data if isinstance(data, bytes) else data.encode())
-    print("wrote /tmp/opstats.out", len(data))
+    import glob
+    xs = sorted(glob.glob(TRACE_DIR + "/**/*.xplane.pb", recursive=True))
+    print("parsing", xs[-1], flush=True)
+    pd = jax.profiler.ProfileData.from_file(xs[-1])
+    for plane in pd.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name:
+            continue
+        print("== plane:", plane.name)
+        agg = defaultdict(lambda: [0.0, 0])
+        for line in plane.lines:
+            lname = line.name
+            if "XLA Ops" not in lname and "Ops" not in lname \
+                    and "step" not in lname.lower():
+                pass
+            for ev in line.events:
+                # group fusion instances: strip trailing .N digits
+                name = ev.name
+                base = name.rstrip("0123456789").rstrip(".")
+                a = agg[(lname, base)]
+                a[0] += ev.duration_ns / 1e6
+                a[1] += 1
+        rows = sorted(agg.items(), key=lambda kv: -kv[1][0])[:45]
+        tot = sum(v[0] for v in agg.values())
+        print(f"   total accounted: {tot:.1f} ms (all lines)")
+        for (lname, base), (ms, n) in rows:
+            print(f"   {ms:9.2f} ms  n={n:6d}  [{lname[:16]:16s}] "
+                  f"{base[:90]}")
 
 
 if __name__ == "__main__":
