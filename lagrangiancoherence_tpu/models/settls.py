@@ -90,6 +90,13 @@ def _roll_rows(arrs, delta, nx, gran):
 _SORT_LAT = 60.0   # |lat| >= this: rows whirl (1/cos metric) -> sort-bin
 _SORT_K = 2        # re-bin every K steps
 _SORT_BX = 32      # spatial key block width (cells)
+# consolidated escalation ladder for sort-binned runs: group-pinned
+# x-sorting leaves y spans as-stored (<=~50) and collapses x spans, so a
+# cheap y-tier plus small-cap wide/full-x tiers cover everything — the
+# default 9-tier ladder's ~1900 capacity slots cost DMA/grid machinery
+# per slot even when dead (tools/probe_deadslot.py)
+_SORT_LADDER = ((64, 256, 128), (32, 512, 64), (64, 512, 96),
+                (32, None, 24), (64, None, 32), (192, None, 8))
 
 
 def _sort_bands(grid: Grid, order: int):
@@ -135,22 +142,23 @@ def _sort_bin_bands(arrs, px, py, bands, grid: Grid):
     """Sort each band's parcels into spatial-tile storage order.
 
     ``arrs``: tuple of (ny, nx) arrays to permute identically (positions,
-    per-parcel conv factor, the int32 un-sort permutation).  The key is
-    the (8-row, _SORT_BX-col) spatial block of the CURRENT position, so a
-    storage tile (1024 consecutive ranks) holds a compact run of blocks —
-    narrow tap windows for the pallas kernel regardless of how far the
-    whirl has smeared the parcels from their home cells."""
+    per-parcel conv factor, the int32 un-sort permutation).  Parcels are
+    PINNED to their 8-row storage group (so tile y spans never exceed the
+    as-stored drift the ladder already handles, and parcels that wander
+    out of the band in latitude cannot poison a tile's y window) and
+    sorted within the group by the _SORT_BX-cell longitude block of the
+    CURRENT position — a storage tile (1024 consecutive ranks of one
+    group) then holds one narrow longitude range regardless of how far
+    the whirl has smeared the group around the circle."""
     ny, nx = grid.shape
-    sy = ny / (grid.y_max - grid.y_min)
     sx = nx / (grid.x_max - grid.x_min)
     nbx = -(-nx // _SORT_BX)
     out = list(arrs)
     for r0, nr in bands:
         sl = slice(r0, r0 + nr)
-        yi = jnp.clip(sy * (py[sl] - grid.y_min), 0, ny - 1)
         xi = jnp.mod(jnp.floor(sx * (px[sl] - grid.x_min)), nx)
-        key = ((yi.astype(jnp.int32) // 8) * nbx
-               + xi.astype(jnp.int32) // _SORT_BX).ravel()
+        group = jax.lax.broadcasted_iota(jnp.int32, (nr, nx), 0) // 8
+        key = (group * nbx + xi.astype(jnp.int32) // _SORT_BX).ravel()
         segs = [a[sl].ravel() for a in out]
         sorted_ = jax.lax.sort([key] + segs, num_keys=1, is_stable=True)
         for i, s in enumerate(sorted_[1:]):
@@ -296,6 +304,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 retry_tiles=pallas_retry_tiles,
                 retry_wy=pallas_retry_wy,
                 home_rows=home_rows,
+                ladder=_SORT_LADDER if sort_mode else None,
                 f0=2 * t, nf=nf, raw_prepadded=True)
     else:
         def interp_multi(fields_coeffs_0, fields_coeffs_1, px, py):

@@ -551,6 +551,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                         home_rows=None, pole_tile_rows=None,
                         f0=None, nf: int | None = None,
                         raw_prepadded: bool = False,
+                        ladder=None,
                         interpret: bool = False,
                         debug_flags: bool = False):
     """Evaluate F stacked fields at parcel positions — the TPU fast path.
@@ -678,17 +679,21 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     # narrowest viable base tier.
     wy_cap = ((ny + 2 * ypad) // 8) * 8
     wx_cap = (nxp_c // 128) * 128
-    ladder = [
-        (min(64, wy_cap), min(wx, wx_cap), 384),     # y-stretched
-        (min(32, wy_cap), min(384, wx_cap), 384),    # x-stretched mild
-        (min(64, wy_cap), min(384, wx_cap), 256),    # both mild
-        (min(32, wy_cap), min(retry_wx, wx_cap), 192),   # x-stretched
-        (min(retry_wy, wy_cap), min(retry_wx, wx_cap), 192),  # both
-        (min(128, wy_cap), min(768, wx_cap), 96),    # violent
-        (min(32, wy_cap), None, 256),                # polar full-circle
-        (min(64, wy_cap), None, 96),
-        (min(192, wy_cap), None, 32),                # polar + tall (rare)
-    ]
+    if ladder is None:
+        ladder = [
+            (64, wx, 384),          # y-stretched
+            (32, 384, 384),         # x-stretched mild
+            (64, 384, 256),         # both mild
+            (32, retry_wx, 192),    # x-stretched
+            (retry_wy, retry_wx, 192),  # both
+            (128, 768, 96),         # violent
+            (32, None, 256),        # polar full-circle
+            (64, None, 96),
+            (192, None, 32),        # polar + tall (rare)
+        ]
+    ladder = [(min(wy_, wy_cap),
+               None if wx_ is None else min(wx_, wx_cap), cap)
+              for wy_, wx_, cap in ladder]
 
     # lowest tap offset after mirror remaps is mn-2 (order 3, fold >= n-1
     # case of _tap_offsets) / mn-1 (order 1); highest is mx+2

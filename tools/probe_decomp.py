@@ -86,29 +86,50 @@ def main():
     raw = jnp.asarray(np.stack([base_u, 0.3 * base_u, 1.1 * base_u,
                                 0.7 * base_u]).astype(np.float32))
     cw = prefilter(raw, order=3)
-    cwp = pad_coeffs_for_pallas(cw)
+    # NOTE: pad_coeffs_for_pallas must run INSIDE the jit: a ~400 MB
+    # padded stack as an entry argument blows the axon remote-compile
+    # request limit (HTTP 413); as an intermediate it compiles fine.
     bounds = dict(y_min=grid.y_min, y_max=grid.y_max,
                   x_min=grid.x_min, x_max=grid.x_max)
 
     def timed(fn, px, py, name):
         try:
-            o, _ = fn(jnp.asarray(px.astype(np.float32)),
-                      jnp.asarray(py.astype(np.float32)))
+            px = np.float32(px); py = np.float32(py)
+            o, _ = fn(jnp.asarray(px), jnp.asarray(py))
             o.block_until_ready()
+            pxj = jnp.asarray(px); pyj = jnp.asarray(py)
             t0 = time.perf_counter()
             for _ in range(20):
-                o, _ = fn(jnp.asarray(px.astype(np.float32)),
-                          jnp.asarray(py.astype(np.float32)))
+                o, _ = fn(pxj, pyj)
             o.block_until_ready()
             print(f"  {name:22s} {(time.perf_counter()-t0)/20*1e3:7.3f} "
                   f"ms/group", flush=True)
         except Exception as e:
             print(f"  {name:22s} FAILED {str(e)[:100]}", flush=True)
 
-    full = jax.jit(lambda px, py: pallas_interp_multi(
-        raw, cwp, px, py, ny=ny, nx=nx, order=3, **bounds))
-    tiera = jax.jit(lambda px, py: pallas_interp_multi(
-        raw, cwp, px, py, ny=ny, nx=nx, order=3, **bounds, retry_tiles=0))
+    from functools import partial
+
+    # the axon remote compiler 413s on the standalone gather program but
+    # accepts the (larger) scan program -- wrap in a 1-step lax.scan to
+    # match the accepted shape and see whether that is really the trigger
+    def scan_wrap(retry):
+        def g(r, c, px, py):
+            cp = pad_coeffs_for_pallas(c)
+
+            def body(carry, _):
+                px, py = carry
+                o, fl = pallas_interp_multi(
+                    r, cp, px, py, ny=ny, nx=nx, order=3, **bounds,
+                    retry_tiles=retry)
+                # keep the gather live through the carry
+                return (px + 0.0 * o[0], py), fl
+
+            (px2, py2), fls = jax.lax.scan(body, (px, py), None, length=1)
+            return px2, fls[0]
+        return partial(jax.jit(g), raw, cw)
+
+    full = scan_wrap(256)
+    tiera = scan_wrap(0)
 
     px0, py0 = grid.mesh_xy
     print("home mesh (floor):", flush=True)
