@@ -362,6 +362,73 @@ def _spline_tile_body(fyx, win_ref, out_ref, write_flag, y0, x0, *,
         onehot_path()
 
 
+def _half_tile_body(fyx, win0_ref, win1_ref, out_ref, write_flag, y0,
+                    x00, x01, *, F, ny, nx, WY, order):
+    """Interior-tile fast path (tier A-half): each 64-lane half of the
+    tile contracts against its own (F, WY, 128) window.
+
+    The windowed one-hot contraction costs M*WX*(F*WY) MXU flops; the
+    home mesh alone spans ~128.1 cells (quirk-Q4 stretch), so whole-tile
+    windows can never go below WX=256.  A 64-lane half spans ~64.05
+    cells, so when each half's taps fit a 128-lane window (dev spread
+    <= ~25 cells after the X_GRAN alignment tax — the majority of
+    interior tiles), the contraction runs as two (512, 128) @ (128,
+    F*WY) dots: HALF the MXU flops and half the basis-build area of the
+    (32, 256) tier.  Routing guarantees interior (no mirror remaps) and
+    per-half fits; the in-kernel span check still guards the flag
+    contract."""
+    dtype = out_ref.dtype
+    cdt = fyx.dtype
+    yfold = fyx[0]
+    yu = _unwrap(yfold, yfold[0, 0], ny)
+    ypos = jnp.clip(yu - y0, 0.0, WY - 1.0)
+    oy0 = jnp.floor(yu).astype(jnp.int32) - y0
+    over = (jnp.any((oy0 - 1 < 0) | (oy0 + 2 >= WY)) if order == 3
+            else jnp.any((oy0 < 0) | (oy0 + 1 >= WY))).astype(jnp.int32)
+
+    gs = []
+    for h, (win_ref_h, x0h) in enumerate(((win0_ref, x00),
+                                          (win1_ref, x01))):
+        xfold_h = fyx[1, :, 64 * h:64 * h + 64]
+        xu = _unwrap(xfold_h, xfold_h[0, 0], nx)
+        ox0 = jnp.floor(xu).astype(jnp.int32) - x0h
+        bad = ((ox0 - 1 < 0) | (ox0 + 2 >= 128) if order == 3
+               else (ox0 < 0) | (ox0 + 1 >= 128))
+        over = over | jnp.any(bad).astype(jnp.int32)
+        xpos = jnp.clip(xu - x0h, 0.0, 127.0)
+        i3 = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, 64, 128), 2)
+        bh = _basis_direct(xpos, i3, order)
+        w2 = win_ref_h[...].reshape(F * WY, 128).astype(cdt)
+        gh = jax.lax.dot_general(bh.reshape(TILE_R * 64, 128), w2,
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=cdt,
+                                 precision=_HIGH)
+        gs.append(gh.reshape(TILE_R, 64, F * WY))
+    write_flag(over)
+    g3 = jnp.concatenate(gs, axis=1)
+    _finish_y(g3, lambda i3: _basis_direct(ypos, i3, order), out_ref,
+              F, WY, dtype)
+
+
+def _half_grid_kernel(live_s, y0s, x0s0, x0s1, f0s, pos_ref, win0_ref,
+                      win1_ref, out_ref, flag_ref, *, F, WY, YPAD, XPAD,
+                      common):
+    """Tier A-half kernel: 2-D grid over all tiles, gated to the
+    interior tiles whose halves provably fit their 128-lane windows."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    flag_ref[i, j] = jnp.int32(0)
+
+    @pl.when(live_s[i, j] > 0)
+    def _():
+        def write_flag(v):
+            flag_ref[i, j] = v
+
+        _half_tile_body(pos_ref, win0_ref, win1_ref, out_ref, write_flag,
+                        y0s[i, j] - YPAD, x0s0[i, j] - XPAD,
+                        x0s1[i, j] - XPAD, F=F, WY=WY, **common)
+
+
 def _pole_block_body(yc, xc, vmask, mask, win_ref, out_ref, write_flag,
                      y0, *, F, ny, nx, WY, WXS):
     """Order-1 mode='constant' evaluation for the compact pole-row block
@@ -551,7 +618,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                         home_rows=None, pole_tile_rows=None,
                         f0=None, nf: int | None = None,
                         raw_prepadded: bool = False,
-                        ladder=None,
+                        ladder=None, half_tile: bool = True,
                         interpret: bool = False,
                         debug_flags: bool = False):
     """Evaluate F stacked fields at parcel positions — the TPU fast path.
@@ -707,19 +774,53 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     ulp_t = jnp.where(edge_t > 0, 2, 1)
     slop_t = m + ulp_t
 
-    def fit(wy_, wx_):
-        ys = _starts(ymn, ny, ypad, wy_, 8, slop=slop_t)
-        if wx_ is None:
-            return _fits(ymn, ymx, ys, ypad, wy_, m, ulp=ulp_t), ys, None
-        # X_GRAN-aligned logical starts; the copy realisation trims 128
-        # lanes off the padded field, hence the tighter clip
-        xs = _starts(xmn, nx, xpad, wx_, X_GRAN, slop=slop_t)
-        xs = jnp.minimum(
-            xs, ((nx + 2 * xpad - 128 - wx_) // X_GRAN) * X_GRAN)
-        return (_fits(ymn, ymx, ys, ypad, wy_, m, ulp=ulp_t)
-                & _fits(xmn, xmx, xs, xpad, wx_, m, ulp=ulp_t), ys, xs)
+    def fit_many(specs):
+        """Batched window routing for all (wy, wx) tier specs at once:
+        one (T, gy, gx) op chain instead of a per-tier chain — the
+        routing runs 5x per step, so per-op launch overhead adds up."""
+        wy_a = jnp.asarray([s[0] for s in specs]).reshape(-1, 1, 1)
+        ysb = jnp.clip(((ymn[None] - slop_t[None] + ypad) // 8) * 8, 0,
+                       ((ny + 2 * ypad - wy_a) // 8) * 8)
+        oky = (((ymn[None] - m - ulp_t[None]) >= ysb - ypad)
+               & ((ymx[None] + 2 + ulp_t[None]) <= ysb - ypad + wy_a - 1))
+        has_x = [s[1] is not None for s in specs]
+        wx_a = jnp.asarray([s[1] if h else wx for s, h in
+                            zip(specs, has_x)]).reshape(-1, 1, 1)
+        xsb = jnp.clip(((xmn[None] - slop_t[None] + xpad) // X_GRAN)
+                       * X_GRAN, 0,
+                       ((nx + 2 * xpad - 128 - wx_a) // X_GRAN) * X_GRAN)
+        okx = (((xmn[None] - m - ulp_t[None]) >= xsb - xpad)
+               & ((xmx[None] + 2 + ulp_t[None]) <= xsb - xpad + wx_a - 1))
+        return [(oky[i] & okx[i] if h else oky[i], ysb[i],
+                 xsb[i] if h else None)
+                for i, h in enumerate(has_x)]
 
-    fitA, y0A, x0A = fit(wy, wx)
+    all_fits = fit_many([(wy, wx)] + [(t[0], t[1]) for t in ladder]
+                        if retry_tiles > 0 else [(wy, wx)])
+    fitA, y0A, x0A = all_fits[0]
+
+    # ---- tier A-half routing: per-64-lane-half tap spans and (wy, 128)
+    # window starts (see _half_tile_body).  Only interior tiles (no
+    # mirror remaps) qualify; y uses tier A's window/starts. ----
+    fitA2 = jnp.zeros((gy, gx), bool)
+    if half_tile:
+        xt = xfold.reshape(gy, TILE_R, gx, 2, 64)
+        anchor2 = xt[:, :1, :, :, :1]
+        u2 = _unwrap(xt, anchor2, nx)
+        f2 = jnp.floor(u2)
+        xmn2 = jnp.min(f2, axis=(1, 4)).astype(jnp.int32)  # (gy, gx, 2)
+        xmx2 = jnp.max(f2, axis=(1, 4)).astype(jnp.int32)
+        slop2 = slop_t[..., None]
+        ulp2 = ulp_t[..., None]
+        xs2 = jnp.clip(((xmn2 - slop2 + xpad) // X_GRAN) * X_GRAN, 0,
+                       ((nx + 2 * xpad - 128 - 128) // X_GRAN) * X_GRAN)
+        okx2 = (((xmn2 - m - ulp2) >= xs2 - xpad)
+                & ((xmx2 + 2 + ulp2) <= xs2 - xpad + 128 - 1))
+        oky_A = (((ymn - m - ulp_t) >= y0A - ypad)
+                 & ((ymx + 2 + ulp_t) <= y0A - ypad + wy - 1))
+        fitA2 = (oky_A & okx2[..., 0] & okx2[..., 1] & (edge_t == 0))
+        xs2_0 = xs2[..., 0]
+        xs2_1 = xs2[..., 1]
 
     common = dict(ny=ny, nx=nx, order=order)
     body = partial(_spline_tile_body)
@@ -815,10 +916,10 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     overflow = jnp.zeros((), jnp.int32)
     tier_plan = []
     covered = jnp.zeros((gy, gx), bool)
+    fit_base = fitA | fitA2
     if retry_tiles > 0:
-        for wy_, wx_, cap in ladder:
-            fitT, ysT, xsT = fit(wy_, wx_)
-            want = (~fitA) & (~covered) & fitT
+        for (wy_, wx_, cap), (fitT, ysT, xsT) in zip(ladder, all_fits[1:]):
+            want = (~fit_base) & (~covered) & fitT
             rank = jnp.cumsum(want.ravel().astype(jnp.int32)) - 1
             taken = want & (rank < min(cap, n_tiles)).reshape(gy, gx)
             tier_plan.append((taken, ysT, xsT, wy_, wx_,
@@ -827,13 +928,15 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         # bit 1: some tile fit no tier (or every holding tier was full) —
         # it keeps tier-A clamped values.  The overflow word is a
         # diagnostic bitmask; callers test nonzero.
-        uncovered = jnp.sum((~fitA) & (~covered))
+        uncovered = jnp.sum((~fit_base) & (~covered))
         overflow = overflow | ((uncovered > 0).astype(jnp.int32) << 1)
 
     # ---- tier A: 2-D grid over all tiles; unrouted/uncovered tiles also
     # run here (clamped windows, flag raised by the in-kernel check).
-    # Bit 1 of liveA carries the per-tile mirror-edge flag. ----
-    liveA = (fitA | ~covered).astype(jnp.int32) * (1 + 2 * edge_t)
+    # Bit 1 of liveA carries the per-tile mirror-edge flag.  Tiles taken
+    # by the cheaper A-half tier are excluded. ----
+    liveA = ((fitA | ~covered) & ~fitA2).astype(jnp.int32) \
+        * (1 + 2 * edge_t)
     kernA = partial(_grid_kernel, body=body, F=F, WY=wy, WX=wx,
                     YPAD=ypad, XPAD=xpad, x_full=False, common=common)
     gridA = pltpu.PrefetchScalarGridSpec(
@@ -865,9 +968,55 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     )(liveA, y0A, x0A, f0_arr, folds, cw_pad)
     overflow = overflow | \
         (jnp.max(flagsA * (liveA > 0).astype(jnp.int32)) << 2)
+    out_arr = outA
+
+    # ---- tier A-half: 2-D grid over all tiles, gated to fitA2 ----
+    if half_tile:
+        live2 = fitA2.astype(jnp.int32)
+        kern2 = partial(_half_grid_kernel, F=F, WY=wy, YPAD=ypad,
+                        XPAD=xpad,
+                        common=dict(ny=ny, nx=nx, order=order))
+
+        def wmap2(xsel):
+            return (lambda i, j, lv, y0r, x0a, x0b, f0r:
+                    ((xsel(x0a, x0b)[i, j] % 128) // X_GRAN, f0r[0],
+                     pl.multiple_of(y0r[i, j], 8),
+                     pl.multiple_of(
+                         (xsel(x0a, x0b)[i, j] // 128) * 128, 128)))
+
+        grid2 = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(gy, gx),
+            in_specs=[
+                pl.BlockSpec((2, TILE_R, TILE_C),
+                             lambda i, j, *_: (0, i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pl.Element(1), pl.Element(F),
+                              pl.Element(wy), pl.Element(128)),
+                             wmap2(lambda a, b: a),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pl.Element(1), pl.Element(F),
+                              pl.Element(wy), pl.Element(128)),
+                             wmap2(lambda a, b: b),
+                             memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
+                                    lambda i, j, *_: (0, i, j),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((gy, gx), lambda i, j, *_: (0, 0),
+                                    memory_space=pltpu.SMEM)],
+        )
+        outA2, flagsA2 = pl.pallas_call(
+            kern2, grid_spec=grid2,
+            out_shape=[jax.ShapeDtypeStruct((F, ny_t, nx_t), dtype),
+                       jax.ShapeDtypeStruct((gy, gx), jnp.int32)],
+            interpret=interpret,
+            compiler_params=_CPARAMS,
+        )(live2, y0A, xs2_0, xs2_1, f0_arr, folds, cw_pad, cw_pad)
+        mask2 = jnp.repeat(jnp.repeat(fitA2, TILE_R, 0), TILE_C, 1)
+        out_arr = jnp.where(mask2[None], outA2, out_arr)
+        overflow = overflow | (jnp.max(flagsA2 * live2) << 2)
 
     # ---- escalation tiers: launch + merge under cond, empty → skip ----
-    out_arr = outA
     tier_fmaps = []
     for t_i, (taken, ysT, xsT, wy_, wx_, cap) in enumerate(tier_plan):
         xsT_c = jnp.zeros((gy, gx), jnp.int32) if xsT is None else xsT
