@@ -20,14 +20,14 @@ __all__ = ["ftle_pipeline"]
 
 
 @partial(jax.jit, static_argnames=("grid", "settls_order", "interp_order",
-                                   "sigma", "compat", "kernel", "pallas_wy",
+                                   "sigma", "compat", "kernel", "rebin", "pallas_wy",
                                    "pallas_wx", "pallas_polar_band",
                                    "pallas_retry_tiles", "pallas_retry_wy",
                                    "return_overflow"))
 def ftle_pipeline(u: jax.Array, v: jax.Array, timestep, grid: Grid, *,
                   settls_order: int = 0, interp_order: int = 3,
                   sigma=None, compat: bool = True, kernel: str = "xla",
-                  pallas_wy: int = 32, pallas_wx: int = 256,
+                  rebin="auto", pallas_wy: int = 32, pallas_wx: int = 256,
                   pallas_polar_band: int = 2, pallas_retry_tiles: int = 256,
                   pallas_retry_wy: int = 64,
                   return_overflow: bool = False):
@@ -43,6 +43,7 @@ def ftle_pipeline(u: jax.Array, v: jax.Array, timestep, grid: Grid, *,
                                   settls_order=settls_order,
                                   interp_order=interp_order,
                                   return_traj=False, kernel=kernel,
+                                  rebin=rebin,
                                   pallas_wy=pallas_wy, pallas_wx=pallas_wx,
                                   pallas_polar_band=pallas_polar_band,
                                   pallas_retry_tiles=pallas_retry_tiles,

@@ -362,59 +362,90 @@ def _spline_tile_body(fyx, win_ref, out_ref, write_flag, y0, x0, *,
         onehot_path()
 
 
-def _half_tile_body(fyx, win0_ref, win1_ref, out_ref, write_flag, y0,
-                    x00, x01, *, F, ny, nx, WY, order):
-    """Interior-tile fast path (tier A-half): each 64-lane half of the
+N_SUB = 4          # tier A-sub: 128/N_SUB-lane sub-blocks, 128-wide windows
+_SUBW = TILE_C // N_SUB
+
+
+def _sub_tile_body(fyx, win_refs, out_ref, write_flag, y0, x0s, *,
+                   F, ny, nx, WY, order, edge):
+    """Sub-tile fast path (tier A-sub): each 32-lane sub-block of the
     tile contracts against its own (F, WY, 128) window.
 
     The windowed one-hot contraction costs M*WX*(F*WY) MXU flops; the
     home mesh alone spans ~128.1 cells (quirk-Q4 stretch), so whole-tile
-    windows can never go below WX=256.  A 64-lane half spans ~64.05
-    cells, so when each half's taps fit a 128-lane window (dev spread
-    <= ~25 cells after the X_GRAN alignment tax — the majority of
-    interior tiles), the contraction runs as two (512, 128) @ (128,
-    F*WY) dots: HALF the MXU flops and half the basis-build area of the
-    (32, 256) tier.  Routing guarantees interior (no mirror remaps) and
-    per-half fits; the in-kernel span check still guards the flag
-    contract."""
+    windows can never go below WX=256.  A 32-lane sub-block spans only
+    ~32.01 cells, so when every sub-block's taps fit a 128-lane window
+    of its own (dev spread <= ~54 cells after the X_GRAN alignment tax —
+    the majority of tiles), the contraction runs as N_SUB (256, 128) @
+    (128, F*WY) dots: HALF the MXU flops and basis-build area of the
+    (32, 256) tier at the same K=128 MXU efficiency.  Edge tiles take
+    the one-hot build (integer offsets carry the exact mirror remaps);
+    interior tiles the direct B-spline evaluation, as in tier A."""
     dtype = out_ref.dtype
     cdt = fyx.dtype
     yfold = fyx[0]
     yu = _unwrap(yfold, yfold[0, 0], ny)
     ypos = jnp.clip(yu - y0, 0.0, WY - 1.0)
-    oy0 = jnp.floor(yu).astype(jnp.int32) - y0
-    over = (jnp.any((oy0 - 1 < 0) | (oy0 + 2 >= WY)) if order == 3
-            else jnp.any((oy0 < 0) | (oy0 + 1 >= WY))).astype(jnp.int32)
+    offs_y = _tap_offsets(yfold, yu, y0, ny, order)
+    ws_y = _tap_weights(yu, order)
+    over = jnp.zeros((), jnp.int32)
+    for off in offs_y:
+        over = over | jnp.any((off < 0) | (off >= WY)).astype(jnp.int32)
 
-    gs = []
-    for h, (win_ref_h, x0h) in enumerate(((win0_ref, x00),
-                                          (win1_ref, x01))):
-        xfold_h = fyx[1, :, 64 * h:64 * h + 64]
-        xu = _unwrap(xfold_h, xfold_h[0, 0], nx)
-        ox0 = jnp.floor(xu).astype(jnp.int32) - x0h
-        bad = ((ox0 - 1 < 0) | (ox0 + 2 >= 128) if order == 3
-               else (ox0 < 0) | (ox0 + 1 >= 128))
-        over = over | jnp.any(bad).astype(jnp.int32)
-        xpos = jnp.clip(xu - x0h, 0.0, 127.0)
-        i3 = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, 64, 128), 2)
-        bh = _basis_direct(xpos, i3, order)
-        w2 = win_ref_h[...].reshape(F * WY, 128).astype(cdt)
-        gh = jax.lax.dot_general(bh.reshape(TILE_R * 64, 128), w2,
-                                 (((1,), (1,)), ((), ())),
-                                 preferred_element_type=cdt,
-                                 precision=_HIGH)
-        gs.append(gh.reshape(TILE_R, 64, F * WY))
+    def x_contract(build_x_q):
+        gs = []
+        for q in range(N_SUB):
+            i3 = jax.lax.broadcasted_iota(jnp.int32,
+                                          (TILE_R, _SUBW, 128), 2)
+            bq = build_x_q(q, i3)
+            w2 = win_refs[q][...].reshape(F * WY, 128).astype(cdt)
+            gq = jax.lax.dot_general(bq.reshape(TILE_R * _SUBW, 128), w2,
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=cdt,
+                                     precision=_HIGH)
+            gs.append(gq.reshape(TILE_R, _SUBW, F * WY))
+        return jnp.concatenate(gs, axis=1)
+
+    # per-sub-block folded coords / unwraps / offsets (tiny arrays)
+    sub = []
+    for q in range(N_SUB):
+        xfold_q = fyx[1, :, _SUBW * q:_SUBW * (q + 1)]
+        xu_q = _unwrap(xfold_q, xfold_q[0, 0], nx)
+        sub.append((xfold_q, xu_q))
+    for q in range(N_SUB):
+        offs_q = _tap_offsets(sub[q][0], sub[q][1], x0s[q], nx, order)
+        for off in offs_q:
+            over = over | jnp.any((off < 0) | (off >= 128)
+                                  ).astype(jnp.int32)
     write_flag(over)
-    g3 = jnp.concatenate(gs, axis=1)
-    _finish_y(g3, lambda i3: _basis_direct(ypos, i3, order), out_ref,
-              F, WY, dtype)
+
+    @pl.when(edge == 0)
+    def _interior():
+        def bx(q, i3):
+            xpos = jnp.clip(sub[q][1] - x0s[q], 0.0, 127.0)
+            return _basis_direct(xpos, i3, order)
+
+        g3 = x_contract(bx)
+        _finish_y(g3, lambda i3: _basis_direct(ypos, i3, order), out_ref,
+                  F, WY, dtype)
+
+    @pl.when(edge != 0)
+    def _edge():
+        def bx(q, i3):
+            offs_q = _tap_offsets(sub[q][0], sub[q][1], x0s[q], nx, order)
+            ws_q = _tap_weights(sub[q][1], order)
+            return _onehot_basis(offs_q, ws_q, i3, 128)
+
+        g3 = x_contract(bx)
+        _finish_y(g3, lambda i3: _onehot_basis(offs_y, ws_y, i3, WY),
+                  out_ref, F, WY, dtype)
 
 
-def _half_grid_kernel(live_s, y0s, x0s0, x0s1, f0s, pos_ref, win0_ref,
-                      win1_ref, out_ref, flag_ref, *, F, WY, YPAD, XPAD,
-                      common):
-    """Tier A-half kernel: 2-D grid over all tiles, gated to the
-    interior tiles whose halves provably fit their 128-lane windows."""
+def _sub_grid_kernel(live_s, y0s, x0q, f0s, pos_ref, w0, w1, w2, w3,
+                     out_ref, flag_ref, *, F, WY, YPAD, XPAD, common):
+    """Tier A-sub kernel: 2-D grid over all tiles, gated to the tiles
+    whose sub-blocks provably fit their 128-lane windows.  ``live_s``
+    carries the mirror-edge flag in bit 1, as in tier A."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     flag_ref[i, j] = jnp.int32(0)
@@ -424,9 +455,10 @@ def _half_grid_kernel(live_s, y0s, x0s0, x0s1, f0s, pos_ref, win0_ref,
         def write_flag(v):
             flag_ref[i, j] = v
 
-        _half_tile_body(pos_ref, win0_ref, win1_ref, out_ref, write_flag,
-                        y0s[i, j] - YPAD, x0s0[i, j] - XPAD,
-                        x0s1[i, j] - XPAD, F=F, WY=WY, **common)
+        _sub_tile_body(pos_ref, (w0, w1, w2, w3), out_ref, write_flag,
+                       y0s[i, j] - YPAD,
+                       tuple(x0q[i, j, q] - XPAD for q in range(N_SUB)),
+                       F=F, WY=WY, edge=live_s[i, j] >> 1, **common)
 
 
 def _pole_block_body(yc, xc, vmask, mask, win_ref, out_ref, write_flag,
@@ -799,28 +831,26 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                         if retry_tiles > 0 else [(wy, wx)])
     fitA, y0A, x0A = all_fits[0]
 
-    # ---- tier A-half routing: per-64-lane-half tap spans and (wy, 128)
-    # window starts (see _half_tile_body).  Only interior tiles (no
-    # mirror remaps) qualify; y uses tier A's window/starts. ----
+    # ---- tier A-sub routing: per-32-lane-sub-block tap spans and
+    # (wy, 128) window starts (see _sub_tile_body); y uses tier A's
+    # window/starts. ----
     fitA2 = jnp.zeros((gy, gx), bool)
     if half_tile:
-        xt = xfold.reshape(gy, TILE_R, gx, 2, 64)
+        xt = xfold.reshape(gy, TILE_R, gx, N_SUB, _SUBW)
         anchor2 = xt[:, :1, :, :, :1]
         u2 = _unwrap(xt, anchor2, nx)
         f2 = jnp.floor(u2)
-        xmn2 = jnp.min(f2, axis=(1, 4)).astype(jnp.int32)  # (gy, gx, 2)
+        xmn2 = jnp.min(f2, axis=(1, 4)).astype(jnp.int32)  # (gy,gx,NS)
         xmx2 = jnp.max(f2, axis=(1, 4)).astype(jnp.int32)
         slop2 = slop_t[..., None]
         ulp2 = ulp_t[..., None]
         xs2 = jnp.clip(((xmn2 - slop2 + xpad) // X_GRAN) * X_GRAN, 0,
                        ((nx + 2 * xpad - 128 - 128) // X_GRAN) * X_GRAN)
         okx2 = (((xmn2 - m - ulp2) >= xs2 - xpad)
-                & ((xmx2 + 2 + ulp2) <= xs2 - xpad + 128 - 1))
+                & ((xmx2 + 2 + ulp2) <= xs2 - xpad + 128 - 1)).all(-1)
         oky_A = (((ymn - m - ulp_t) >= y0A - ypad)
                  & ((ymx + 2 + ulp_t) <= y0A - ypad + wy - 1))
-        fitA2 = (oky_A & okx2[..., 0] & okx2[..., 1] & (edge_t == 0))
-        xs2_0 = xs2[..., 0]
-        xs2_1 = xs2[..., 1]
+        fitA2 = oky_A & okx2
 
     common = dict(ny=ny, nx=nx, order=order)
     body = partial(_spline_tile_body)
@@ -970,35 +1000,31 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         (jnp.max(flagsA * (liveA > 0).astype(jnp.int32)) << 2)
     out_arr = outA
 
-    # ---- tier A-half: 2-D grid over all tiles, gated to fitA2 ----
+    # ---- tier A-sub: 2-D grid over all tiles, gated to fitA2 ----
     if half_tile:
-        live2 = fitA2.astype(jnp.int32)
-        kern2 = partial(_half_grid_kernel, F=F, WY=wy, YPAD=ypad,
+        live2 = fitA2.astype(jnp.int32) * (1 + 2 * edge_t)
+        kern2 = partial(_sub_grid_kernel, F=F, WY=wy, YPAD=ypad,
                         XPAD=xpad,
                         common=dict(ny=ny, nx=nx, order=order))
 
-        def wmap2(xsel):
-            return (lambda i, j, lv, y0r, x0a, x0b, f0r:
-                    ((xsel(x0a, x0b)[i, j] % 128) // X_GRAN, f0r[0],
+        def wmap2(q):
+            return (lambda i, j, lv, y0r, x0q, f0r:
+                    ((x0q[i, j, q] % 128) // X_GRAN, f0r[0],
                      pl.multiple_of(y0r[i, j], 8),
-                     pl.multiple_of(
-                         (xsel(x0a, x0b)[i, j] // 128) * 128, 128)))
+                     pl.multiple_of((x0q[i, j, q] // 128) * 128, 128)))
 
+        win_specs = [
+            pl.BlockSpec((pl.Element(1), pl.Element(F),
+                          pl.Element(wy), pl.Element(128)),
+                         wmap2(q), memory_space=pltpu.VMEM)
+            for q in range(N_SUB)]
         grid2 = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=4,
             grid=(gy, gx),
             in_specs=[
                 pl.BlockSpec((2, TILE_R, TILE_C),
                              lambda i, j, *_: (0, i, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((pl.Element(1), pl.Element(F),
-                              pl.Element(wy), pl.Element(128)),
-                             wmap2(lambda a, b: a),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((pl.Element(1), pl.Element(F),
-                              pl.Element(wy), pl.Element(128)),
-                             wmap2(lambda a, b: b),
-                             memory_space=pltpu.VMEM)],
+                             memory_space=pltpu.VMEM)] + win_specs,
             out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
                                     lambda i, j, *_: (0, i, j),
                                     memory_space=pltpu.VMEM),
@@ -1011,10 +1037,12 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                        jax.ShapeDtypeStruct((gy, gx), jnp.int32)],
             interpret=interpret,
             compiler_params=_CPARAMS,
-        )(live2, y0A, xs2_0, xs2_1, f0_arr, folds, cw_pad, cw_pad)
+        )(live2, y0A, xs2, f0_arr, folds,
+          cw_pad, cw_pad, cw_pad, cw_pad)
         mask2 = jnp.repeat(jnp.repeat(fitA2, TILE_R, 0), TILE_C, 1)
         out_arr = jnp.where(mask2[None], outA2, out_arr)
-        overflow = overflow | (jnp.max(flagsA2 * live2) << 2)
+        overflow = overflow | \
+            (jnp.max(flagsA2 * (live2 > 0).astype(jnp.int32)) << 2)
 
     # ---- escalation tiers: launch + merge under cond, empty → skip ----
     tier_fmaps = []

@@ -57,6 +57,22 @@ def main():
     dy = np.max(np.abs(res["sort"][1] - res[False][1]))
     print(f"max|sort-off| dx={dx:.3e} dy={dy:.3e}", flush=True)
 
+    # full pipeline (bench config incl. gradient) with the sort path
+    from lagrangiancoherence_tpu.models.pipeline import ftle_pipeline
+    for rb in ("sort",):
+        fn = jax.jit(lambda u, v, rb=rb: ftle_pipeline(
+            u, v, -6.0 * 3600.0, grid, settls_order=4, interp_order=3,
+            kernel="pallas", rebin=rb, return_overflow=True))
+        out, fl = fn(u, v)
+        np.asarray(out)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out, fl = fn(u, v)
+        np.asarray(out)
+        dt = (time.perf_counter() - t0) / 3
+        print(f"pipeline rebin={rb!r}: {dt*1e3:8.1f} ms/field "
+              f"({1.0/dt:.3f} fields/s) flag={int(fl):#x}", flush=True)
+
 
 if __name__ == "__main__":
     main()
