@@ -203,10 +203,22 @@ def eval_linear_constant(field: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.
 def scale_positions(px: jax.Array, py: jax.Array, *, x_min, x_max, y_min, y_max,
                     nx: int, ny: int) -> tuple[jax.Array, jax.Array]:
     """Quirk-Q4 index scaling: ``size * (p - min) / (max - min)``
-    (/root/reference/LCS/tools.py:21-22)."""
+    (/root/reference/LCS/tools.py:21-22).
+
+    The sub/mul/div chain is fenced with ``optimization_barrier`` so XLA
+    compiles the IDENTICAL op sequence in every program that computes it.
+    Without the fence, program-specific fusion can move the result by one
+    ulp — and a position sitting exactly on a fold/mirror boundary (every
+    grid's own last column: ``p == max`` scales to exactly ``n``, which
+    wrap-folds to 1.0, the edge of the tap -1 mirror zone,
+    /root/reference/LCS/tools.py:21-41) then takes DIFFERENT taps in two
+    otherwise-identical programs, a ~1e-2-class value jump.  The scipy
+    oracle evaluates the same sub/mul/div order in IEEE double, so the
+    fenced chain also pins parity with it."""
+    px, py = jax.lax.optimization_barrier((px, py))
     xi = nx * (px - x_min) / (x_max - x_min)
     yi = ny * (py - y_min) / (y_max - y_min)
-    return xi, yi
+    return jax.lax.optimization_barrier((xi, yi))
 
 
 def interp_at_parcels(field: jax.Array, coeffs: jax.Array,

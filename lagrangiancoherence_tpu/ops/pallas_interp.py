@@ -117,8 +117,17 @@ def pad_coeffs_for_pallas(coeffs: jax.Array):
     xpad = -(-(nx // 2 + 8) // 128) * 128 + 2 * 128
 
     def wrap_pad(a, axis, pad, n):
-        idx = np.arange(-pad, n + pad) % n
-        return jnp.take(a, jnp.asarray(idx), axis=axis)
+        # periodic pad as slice+concat (pure copies — a jnp.take here
+        # lowers to a TPU gather over the whole ~GB-scale stack)
+        if pad <= n:
+            lo = jax.lax.slice_in_dim(a, n - pad, n, axis=axis)
+            hi = jax.lax.slice_in_dim(a, 0, pad, axis=axis)
+            return jnp.concatenate([lo, a, hi], axis=axis)
+        reps = -(-pad // n)
+        big = jnp.concatenate([a] * (2 * reps + 1), axis=axis)
+        start = reps * n - pad
+        return jax.lax.slice_in_dim(big, start, start + n + 2 * pad,
+                                    axis=axis)
 
     t = wrap_pad(coeffs, coeffs.ndim - 2, ypad, ny)
     t = wrap_pad(t, coeffs.ndim - 1, xpad, nx)
@@ -141,8 +150,22 @@ def _fold(x, n):
 
 
 def _unwrap(fold_c, anchor, n):
-    """Tile-anchored mod-n unwrap: same fractional parts, compact spread."""
+    """Tile-anchored mod-n unwrap: same fractional parts, compact spread.
+
+    NOTE: the float result can ROUND ACROSS an integer relative to
+    ``fold_c`` (e.g. fold 1-ulp-below-1 plus a period landing exactly on
+    an integer), making ``floor(unwrap)`` disagree with
+    ``floor(fold) + n*k`` — tap/branch decisions must therefore never
+    mix the two.  Kernel bodies use :func:`_unwrap_k` and derive floors
+    in exact integer arithmetic."""
     return anchor + jnp.mod(fold_c - anchor + 0.5 * n, float(n)) - 0.5 * n
+
+
+def _unwrap_k(fold_c, anchor, n):
+    """Integer period count k with ``unwrap = fold + n*k`` — the
+    round-across-integer-safe form of :func:`_unwrap`."""
+    u = _unwrap(fold_c, anchor, n)
+    return jnp.round((u - fold_c) / n).astype(jnp.int32)
 
 
 def _cubic_w(t):
@@ -154,23 +177,27 @@ def _cubic_w(t):
     return (w0, w1, w2, w3)
 
 
-def _tap_offsets(fold_c, u, base, n, order):
+def _tap_offsets(fold_c, kper, base, n, order):
     """Window-relative tap offsets (with exact mirror remaps).
 
-    ``fold_c``: folded coordinate (period n-1, in [0, n-1]); ``u``: the
-    unwrapped coordinate (≡ fold_c mod n, same fractional part); ``base``:
-    window start in unwrapped index space.  The padded operand repeats with
-    period n, so an in-range folded tap t is correct at any offset
-    o ≡ t (mod n); the mirrored edge taps are fixed by:
+    ``fold_c``: folded coordinate (period n-1, in [0, n-1]); ``kper``:
+    int32 period count (the unwrapped coordinate is fold + n*kper);
+    ``base``: window start in unwrapped index space.  The unwrapped
+    floor is formed in EXACT integer arithmetic ``floor(fold) + n*kper``
+    — a float unwrap can round across an integer relative to the fold
+    (fold 1-ulp-below-1 plus a period), which would put the floor and
+    the fold-decided mirror branches out of sync and corrupt the
+    stencil.  The padded operand repeats with period n, so an in-range
+    folded tap t is correct at any offset o ≡ t (mod n); the mirrored
+    edge taps are fixed by:
 
       * fold < 1       : tap k=-1 mirrors -1→1    → use k=+1's offset
       * floor == n-2   : tap k=+2 mirrors n→n-2   → use k= 0's offset
       * floor == n-1   : tap k=+1 mirrors n→n-2   → use k=-1's offset
                          tap k=+2 mirrors n+1→n-3 → use k=-1's offset - 1
     """
-    fu = jnp.floor(u)
     ff = jnp.floor(fold_c)
-    o0 = fu.astype(jnp.int32) - base
+    o0 = ff.astype(jnp.int32) + n * kper - base
     if order == 1:
         hi = ff >= n - 1
         off1 = jnp.where(hi, o0 - 1, o0 + 1)
@@ -207,13 +234,15 @@ def _basis_direct(pos_rel, iota, order):
     return _bspline3(s) if order == 3 else _tent(s)
 
 
-def _tap_weights(u, order):
+def _tap_weights(fold_c, order):
     """Per-tap spline weights, (TR, TC) each, ordered like _tap_offsets.
 
     w_k is exactly the B-spline basis at the tap's lane distance: for tap
-    floor(u)+d the distance is d - t, so [w0..w3] = _cubic_w(t) matches
-    _bspline3 at s = -1-t, -t, 1-t, 2-t (taps floor-1 .. floor+2)."""
-    t = u - jnp.floor(u)
+    floor+d the distance is d - t, so [w0..w3] = _cubic_w(t) matches
+    _bspline3 at s = -1-t, -t, 1-t, 2-t (taps floor-1 .. floor+2).  The
+    fraction comes from the FOLD (not a float unwrap, which can round
+    across an integer — see _tap_offsets)."""
+    t = fold_c - jnp.floor(fold_c)
     if order == 1:
         return [1.0 - t, t]
     return list(_cubic_w(t))
@@ -288,19 +317,20 @@ def _spline_tile_body(fyx, win_ref, out_ref, write_flag, y0, x0, *,
     cdt = fyx.dtype
     yfold = fyx[0]
     xfold = fyx[1]
-    yu = _unwrap(yfold, yfold[0, 0], ny)
+    ky = _unwrap_k(yfold, yfold[0, 0], ny)
     # full-x tiles evaluate against the mirror-baked slab (lane = fold+1,
     # see pad_coeffs_for_pallas) — mirrors are in the data, so x always
     # takes the direct basis there
-    xu = xfold + 1.0 if x_full else _unwrap(xfold, xfold[0, 0], nx)
+    if not x_full:
+        kx = _unwrap_k(xfold, xfold[0, 0], nx)
 
     # tap offsets (window-relative, mirror-remapped) and weights — tiny
     # (TR, TC) arrays; only the basis builds below touch (TR, TC, W)
-    offs_y = _tap_offsets(yfold, yu, y0, ny, order)
-    ws_y = _tap_weights(yu, order)
+    offs_y = _tap_offsets(yfold, ky, y0, ny, order)
+    ws_y = _tap_weights(yfold, order)
     if not x_full:
-        offs_x = _tap_offsets(xfold, xu, x0, nx, order)
-        ws_x = _tap_weights(xu, order)
+        offs_x = _tap_offsets(xfold, kx, x0, nx, order)
+        ws_x = _tap_weights(xfold, order)
 
     # safety flag: exact routing makes this 0; capacity overflow and
     # mis-routed tiles clamp and raise it
@@ -334,10 +364,18 @@ def _spline_tile_body(fyx, win_ref, out_ref, write_flag, y0, x0, *,
         g3 = g.reshape(TILE_R, TILE_C, F * WY)
         _finish_y(g3, build_y, out_ref, F, WY, dtype)
 
-    # window-relative positions for the direct evaluation, clamped so a
-    # mis-routed tile still evaluates in-range (flagged above)
-    ypos = jnp.clip(yu - y0, 0.0, WY - 1.0)
-    xpos = jnp.clip(xu - x0, 0.0, WX - 1.0)
+    # window-relative positions for the direct evaluation (integer floor
+    # + fold fraction — consistent with the offsets by construction),
+    # clamped so a mis-routed tile still evaluates in-range (flagged)
+    yq = (jnp.floor(yfold).astype(jnp.int32) + ny * ky - y0)
+    ypos = jnp.clip(yq.astype(cdt) + (yfold - jnp.floor(yfold)),
+                    0.0, WY - 1.0)
+    if x_full:
+        xpos = jnp.clip(xfold + 1.0, 0.0, WX - 1.0)
+    else:
+        xq = (jnp.floor(xfold).astype(jnp.int32) + nx * kx - x0)
+        xpos = jnp.clip(xq.astype(cdt) + (xfold - jnp.floor(xfold)),
+                        0.0, WX - 1.0)
 
     if x_full:
         bx_edge = lambda i3: _basis_direct(xpos, i3, order)
@@ -384,10 +422,12 @@ def _sub_tile_body(fyx, win_refs, out_ref, write_flag, y0, x0s, *,
     dtype = out_ref.dtype
     cdt = fyx.dtype
     yfold = fyx[0]
-    yu = _unwrap(yfold, yfold[0, 0], ny)
-    ypos = jnp.clip(yu - y0, 0.0, WY - 1.0)
-    offs_y = _tap_offsets(yfold, yu, y0, ny, order)
-    ws_y = _tap_weights(yu, order)
+    ky = _unwrap_k(yfold, yfold[0, 0], ny)
+    yq = jnp.floor(yfold).astype(jnp.int32) + ny * ky - y0
+    ypos = jnp.clip(yq.astype(cdt) + (yfold - jnp.floor(yfold)),
+                    0.0, WY - 1.0)
+    offs_y = _tap_offsets(yfold, ky, y0, ny, order)
+    ws_y = _tap_weights(yfold, order)
     over = jnp.zeros((), jnp.int32)
     for off in offs_y:
         over = over | jnp.any((off < 0) | (off >= WY)).astype(jnp.int32)
@@ -406,12 +446,12 @@ def _sub_tile_body(fyx, win_refs, out_ref, write_flag, y0, x0s, *,
             gs.append(gq.reshape(TILE_R, _SUBW, F * WY))
         return jnp.concatenate(gs, axis=1)
 
-    # per-sub-block folded coords / unwraps / offsets (tiny arrays)
+    # per-sub-block folded coords / period counts / offsets (tiny arrays)
     sub = []
     for q in range(N_SUB):
         xfold_q = fyx[1, :, _SUBW * q:_SUBW * (q + 1)]
-        xu_q = _unwrap(xfold_q, xfold_q[0, 0], nx)
-        sub.append((xfold_q, xu_q))
+        kx_q = _unwrap_k(xfold_q, xfold_q[0, 0], nx)
+        sub.append((xfold_q, kx_q))
     for q in range(N_SUB):
         offs_q = _tap_offsets(sub[q][0], sub[q][1], x0s[q], nx, order)
         for off in offs_q:
@@ -422,7 +462,10 @@ def _sub_tile_body(fyx, win_refs, out_ref, write_flag, y0, x0s, *,
     @pl.when(edge == 0)
     def _interior():
         def bx(q, i3):
-            xpos = jnp.clip(sub[q][1] - x0s[q], 0.0, 127.0)
+            fq = sub[q][0]
+            xq = jnp.floor(fq).astype(jnp.int32) + nx * sub[q][1] - x0s[q]
+            xpos = jnp.clip(xq.astype(cdt) + (fq - jnp.floor(fq)),
+                            0.0, 127.0)
             return _basis_direct(xpos, i3, order)
 
         g3 = x_contract(bx)
@@ -433,7 +476,7 @@ def _sub_tile_body(fyx, win_refs, out_ref, write_flag, y0, x0s, *,
     def _edge():
         def bx(q, i3):
             offs_q = _tap_offsets(sub[q][0], sub[q][1], x0s[q], nx, order)
-            ws_q = _tap_weights(sub[q][1], order)
+            ws_q = _tap_weights(sub[q][0], order)
             return _onehot_basis(offs_q, ws_q, i3, 128)
 
         g3 = x_contract(bx)
@@ -589,18 +632,22 @@ def _list_kernel(n_live, iy, jx, iy_out, y0s, x0s, edges, f0s, pos_ref,
 # ---------------------------------------------------------------------------
 
 def _tile_minmax(fold_t, n, x_full=False):
-    """Per-tile floor-min/max of unwrapped coords, (gy, gx) int32 each."""
+    """Per-tile floor-min/max of unwrapped coords, (gy, gx) int32 each.
+
+    Floors are formed as ``floor(fold) + n*k`` in integer arithmetic —
+    the same construction the kernels use — so routing spans can never
+    disagree with the kernels' tap indices at a fold/period boundary."""
     nyt, nxt = fold_t.shape
     gy, gx = nyt // TILE_R, nxt // TILE_C
     tiles = fold_t.reshape(gy, TILE_R, gx, TILE_C)
     if x_full:
-        u = tiles
+        f = jnp.floor(tiles).astype(jnp.int32)
     else:
         anchor = tiles[:, :1, :, :1]
-        u = _unwrap(tiles, anchor, n)
-    f = jnp.floor(u)
-    return (jnp.min(f, axis=(1, 3)).astype(jnp.int32),
-            jnp.max(f, axis=(1, 3)).astype(jnp.int32))
+        k = _unwrap_k(tiles, anchor, n)
+        f = jnp.floor(tiles).astype(jnp.int32) + n * k
+    return (jnp.min(f, axis=(1, 3)),
+            jnp.max(f, axis=(1, 3)))
 
 
 def _starts(mn, n, pad, w, align, slop=4):
@@ -742,8 +789,9 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     pxt = pad_pos(px_sp)
 
     # ---- exact per-tile tap spans (XLA, vectorised over tiles) ----
-    yi = ny * (pyt - y_min) / (y_max - y_min)
-    xi = nx * (pxt - x_min) / (x_max - x_min)
+    from .interp import scale_positions
+    xi, yi = scale_positions(pxt, pyt, x_min=x_min, x_max=x_max,
+                             y_min=y_min, y_max=y_max, nx=nx, ny=ny)
     yfold = _fold(yi, ny)
     xfold = _fold(xi, nx)
     ymn, ymx = _tile_minmax(yfold, ny)
@@ -834,14 +882,17 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     # ---- tier A-sub routing: per-32-lane-sub-block tap spans and
     # (wy, 128) window starts (see _sub_tile_body); y uses tier A's
     # window/starts. ----
+    # retry_tiles=0 callers expect pure-tier-A behavior (unfit tiles
+    # clamp and flag); keep A-sub under the same switch
+    half_tile = half_tile and retry_tiles > 0
     fitA2 = jnp.zeros((gy, gx), bool)
     if half_tile:
         xt = xfold.reshape(gy, TILE_R, gx, N_SUB, _SUBW)
         anchor2 = xt[:, :1, :, :, :1]
-        u2 = _unwrap(xt, anchor2, nx)
-        f2 = jnp.floor(u2)
-        xmn2 = jnp.min(f2, axis=(1, 4)).astype(jnp.int32)  # (gy,gx,NS)
-        xmx2 = jnp.max(f2, axis=(1, 4)).astype(jnp.int32)
+        k2 = _unwrap_k(xt, anchor2, nx)
+        f2 = jnp.floor(xt).astype(jnp.int32) + nx * k2
+        xmn2 = jnp.min(f2, axis=(1, 4))                    # (gy,gx,NS)
+        xmx2 = jnp.max(f2, axis=(1, 4))
         slop2 = slop_t[..., None]
         ulp2 = ulp_t[..., None]
         xs2 = jnp.clip(((xmn2 - slop2 + xpad) // X_GRAN) * X_GRAN, 0,
@@ -1128,8 +1179,10 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         # Non-pole candidate rows are masked out of the spans; their
         # (possibly clamping) values are discarded by the is_pole scatter
         # and their in-kernel flags are masked off.
-        yi_b = ny * (py_b - y_min) / (y_max - y_min)
-        xi_b = nx * (px_b - x_min) / (x_max - x_min)
+        from .interp import scale_positions
+        xi_b, yi_b = scale_positions(px_b, py_b, x_min=x_min, x_max=x_max,
+                                     y_min=y_min, y_max=y_max,
+                                     nx=nx, ny=ny)
         # clipped direct float indices + in-range value mask, computed
         # once here and handed to the kernels (no Mosaic recomputation)
         yc_b = jnp.clip(yi_b, 0.0, float(ny - 1))
