@@ -284,3 +284,47 @@ class TestSortBinning:
             for j, (c0, c1) in enumerate([(0, 128), (128, 256), (256, 320)]):
                 blk = st[8 * i:8 * i + 8, c0:c1].ravel()
                 assert blk.max() - blk.min() == blk.size - 1, (i, j)
+
+
+class TestFoldBoundary:
+    def test_last_column_exact_under_jit(self):
+        """Regression: the grid's own last column scales to index n
+        (fold 1-ulp-below-1 under jit-fused arithmetic); the float
+        mod-unwrap then rounded across an integer for mid-tile anchors,
+        desynchronising floor(unwrap) from the fold-decided mirror
+        branches (~1e-2 silent error at the wrap seam).  Tap floors are
+        now integer-exact (floor(fold) + n*k); this pins it, jitted,
+        with A-sub engaged."""
+        from lagrangiancoherence_tpu.ops.interp import (
+            prefilter, interp_at_parcels_multi)
+        from lagrangiancoherence_tpu.ops.pallas_interp import (
+            pad_coeffs_for_pallas, pallas_interp_multi)
+
+        ny, nx = 16, 128
+        lats = np.linspace(-90.0, 90.0, ny)
+        lons = np.linspace(-180.0, 180.0 - 360.0 / nx, nx)
+        LON, LAT = np.meshgrid(np.deg2rad(lons), np.deg2rad(lats))
+        u = 20.0 * np.cos(LAT) + 2.0 * np.cos(3 * LON) * np.sin(2 * LAT)
+        raw = jnp.asarray(np.stack([u, 0.5 * u]))
+        bounds = dict(y_min=lats[0], y_max=lats[-1],
+                      x_min=lons[0], x_max=lons[-1])
+        px = jnp.asarray(np.broadcast_to(lons, (ny, nx)).copy())
+        py = jnp.asarray(np.broadcast_to(lats[:, None], (ny, nx)).copy())
+
+        @jax.jit
+        def pallas_path(raw, px, py):
+            cw = prefilter(raw, order=3)
+            cwp = pad_coeffs_for_pallas(cw)
+            return pallas_interp_multi(raw, cwp, px, py, ny=ny, nx=nx,
+                                       order=3, **bounds, wy=32,
+                                       interpret=True)[0]
+
+        @jax.jit
+        def xla_path(raw, px, py):
+            cw = prefilter(raw, order=3)
+            return interp_at_parcels_multi(raw, cw, px, py, order=3,
+                                           **bounds)
+
+        got = np.asarray(pallas_path(raw, px, py))
+        want = np.asarray(xla_path(raw, px, py))
+        np.testing.assert_allclose(got, want, atol=1e-12)
