@@ -1029,10 +1029,15 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((pl.Element(1), pl.Element(F), pl.Element(wy),
                           pl.Element(wx)),
+                         # dead tiles pin their window to offset 0 so
+                         # consecutive dead grid steps request the same
+                         # block (skippable DMA)
                          lambda i, j, lv, y0r, x0r, f0r:
-                         ((x0r[i, j] % 128) // X_GRAN, f0r[0],
-                          pl.multiple_of(y0r[i, j], 8),
-                          pl.multiple_of((x0r[i, j] // 128) * 128, 128)),
+                         (((xd := jnp.where(lv[i, j] > 0, x0r[i, j], 0))
+                           % 128) // X_GRAN, f0r[0],
+                          pl.multiple_of(
+                              jnp.where(lv[i, j] > 0, y0r[i, j], 0), 8),
+                          pl.multiple_of((xd // 128) * 128, 128)),
                          memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
                                 lambda i, j, *_: (0, i, j),
@@ -1060,9 +1065,11 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
 
         def wmap2(q):
             return (lambda i, j, lv, y0r, x0q, f0r:
-                    ((x0q[i, j, q] % 128) // X_GRAN, f0r[0],
-                     pl.multiple_of(y0r[i, j], 8),
-                     pl.multiple_of((x0q[i, j, q] // 128) * 128, 128)))
+                    (((xd := jnp.where(lv[i, j] > 0, x0q[i, j, q], 0))
+                      % 128) // X_GRAN, f0r[0],
+                     pl.multiple_of(
+                         jnp.where(lv[i, j] > 0, y0r[i, j], 0), 8),
+                     pl.multiple_of((xd // 128) * 128, 128)))
 
         win_specs = [
             pl.BlockSpec((pl.Element(1), pl.Element(F),
