@@ -827,16 +827,23 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     wy_cap = ((ny + 2 * ypad) // 8) * 8
     wx_cap = (nxp_c // 128) * 128
     if ladder is None:
+        # capacities: a tier launch costs its DMA/grid machinery per
+        # SLOT, live or dead, so caps are sized ~2x the flagship's
+        # per-step maxima with tier A-sub active (offline plan census,
+        # max taken [342, 37, 31, 27, 27, 44, 39, 85, 0]); overflow
+        # spills down the ladder (the full-x tiers hold any x span), so
+        # tighter caps trade a rare extra escalation hop, never
+        # exactness
         ladder = [
             (64, wx, 384),          # y-stretched
-            (32, 384, 384),         # x-stretched mild
-            (64, 384, 256),         # both mild
-            (32, retry_wx, 192),    # x-stretched
-            (retry_wy, retry_wx, 192),  # both
+            (32, 384, 96),          # x-stretched mild
+            (64, 384, 96),          # both mild
+            (32, retry_wx, 64),     # x-stretched
+            (retry_wy, retry_wx, 64),   # both
             (128, 768, 96),         # violent
-            (32, None, 256),        # polar full-circle
-            (64, None, 96),
-            (192, None, 32),        # polar + tall (rare)
+            (32, None, 96),         # polar full-circle
+            (64, None, 128),
+            (192, None, 16),        # polar + tall (rare)
         ]
     ladder = [(min(wy_, wy_cap),
                None if wx_ is None else min(wx_, wx_cap), cap)
