@@ -116,9 +116,11 @@ def main():
                                             - np.asarray(want))))
 
     # vs_baseline: speedup over the reference implementation's measured cost
-    # for the identical workload — 131.9 s/field (scipy map_coordinates
-    # path, single-core CPU; see testing/oracle.py, measured on this host).
-    REFERENCE_FIELDS_PER_SEC = 1.0 / 131.9
+    # for the identical workload (scipy map_coordinates path, single-core
+    # CPU; constant documented in testing/oracle.py).
+    from lagrangiancoherence_tpu.testing.oracle import \
+        REFERENCE_SECONDS_PER_FIELD
+    REFERENCE_FIELDS_PER_SEC = 1.0 / REFERENCE_SECONDS_PER_FIELD
     rec = {
         "metric": "global 0.25deg FTLE fields/sec (1440x721, 8-day, SETTLS-4)",
         "value": round(fields_per_sec, 3),

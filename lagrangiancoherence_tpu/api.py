@@ -135,12 +135,17 @@ def latlonsel(field: Field, latitude=None, longitude=None,
 # parcel_propagation — reference signature facade over the scan core
 # ---------------------------------------------------------------------------
 
-def _resolve_kernel(kernel: str) -> str:
+def _resolve_kernel(kernel: str, interp_order: int = 3) -> str:
     """``auto`` → the pallas fast path on TPU-class backends, the XLA gather
     path elsewhere (CPU gathers are fast; TPU gathers are ~100x too slow —
-    see ops/pallas_interp.py)."""
+    see ops/pallas_interp.py).  The pallas kernel implements spline orders
+    {1, 3} (the orders the reference's workflows use); ``auto`` falls back
+    to the XLA path for the other scipy orders (0, 2, 4, 5), and an
+    explicit ``kernel='pallas'`` raises in models/settls.py."""
     if kernel != "auto":
         return kernel
+    if interp_order not in (1, 3):
+        return "xla"
     import jax
     try:
         platform = jax.devices()[0].platform
@@ -187,8 +192,12 @@ def parcel_propagation(U, V, timestep: float = 1, propdim: str = "time",
             settls_order=int(SETTLS_order),
             interp_order=int(interp_order),
             return_traj=return_traj,
-            kernel=_resolve_kernel(kernel),
-            return_overflow=True)
+            kernel=_resolve_kernel(kernel, int(interp_order)),
+            return_overflow=True,
+            # per-step progress lines, as the reference's verboseprint
+            # (/root/reference/LCS/trajectory.py:81) — async host callback,
+            # gated off with verbose=False to keep the scan callback-free
+            progress=bool(verbose))
         *pos, overflow = out
         px, py = pos
         if int(np.asarray(overflow)):

@@ -21,14 +21,14 @@ __all__ = ["ftle_pipeline"]
 
 @partial(jax.jit, static_argnames=("grid", "settls_order", "interp_order",
                                    "sigma", "compat", "kernel", "rebin", "pallas_wy",
-                                   "pallas_wx", "pallas_polar_band",
+                                   "pallas_wx",
                                    "pallas_retry_tiles", "pallas_retry_wy",
                                    "return_overflow"))
 def ftle_pipeline(u: jax.Array, v: jax.Array, timestep, grid: Grid, *,
                   settls_order: int = 0, interp_order: int = 3,
                   sigma=None, compat: bool = True, kernel: str = "xla",
                   rebin="auto", pallas_wy: int = 32, pallas_wx: int = 256,
-                  pallas_polar_band: int = 2, pallas_retry_tiles: int = 256,
+                  pallas_retry_tiles: int = 256,
                   pallas_retry_wy: int = 64,
                   return_overflow: bool = False):
     """(T, ny, nx) winds → (ny, nx) FTLE norm, fully fused.
@@ -45,7 +45,6 @@ def ftle_pipeline(u: jax.Array, v: jax.Array, timestep, grid: Grid, *,
                                   return_traj=False, kernel=kernel,
                                   rebin=rebin,
                                   pallas_wy=pallas_wy, pallas_wx=pallas_wx,
-                                  pallas_polar_band=pallas_polar_band,
                                   pallas_retry_tiles=pallas_retry_tiles,
                                   pallas_retry_wy=pallas_retry_wy,
                                   return_overflow=True)

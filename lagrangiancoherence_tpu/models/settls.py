@@ -87,6 +87,15 @@ def _roll_rows(arrs, delta, nx, gran):
     return tuple(out)
 
 
+def _progress_step(t, nsteps):
+    """Host-side per-step progress line for long scans (the reference
+    prints ``Propagating time ...`` every step,
+    /root/reference/LCS/trajectory.py:81).  Fired from inside the scan via
+    ``jax.debug.callback`` — async, so it never stalls the device."""
+    from ..utils.logging import logger
+    logger.info("Propagating time index %d/%d", int(t) + 1, int(nsteps))
+
+
 _SORT_LAT = 60.0   # |lat| >= this: rows whirl (1/cos metric) -> sort-bin
 _SORT_K = 2        # re-bin every K steps
 _SORT_BX = 32      # spatial key block width (cells)
@@ -104,21 +113,26 @@ def _sort_bands(grid: Grid, order: int):
 
     Rows with ``|lat| >= _SORT_LAT`` excluding the ``order`` pole-home rows
     (which must stay pinned for the order-1/'constant' pole path — the
-    pallas and XLA kernels key that path on storage row position), each
-    band truncated to a multiple of TILE_R(=8) rows so sorted ranks map
-    onto whole (8, 128) kernel tiles."""
+    pallas and XLA kernels key that path on storage row position).  Band
+    starts are rounded UP to the next TILE_R(=8) multiple and lengths
+    truncated to TILE_R multiples, so the sorted 8-row rank groups
+    coincide exactly with the pallas kernel's (8, 128) home tiles (a
+    non-aligned start would make every in-band kernel tile straddle two
+    sort groups, defeating the locality the sort exists to create)."""
     lat = np.asarray(grid.lats)
     ny = lat.shape[0]
     polar = np.abs(lat) >= _SORT_LAT
     bands = []
     s_hi = int(np.searchsorted(lat, -_SORT_LAT, side="right"))
     n_lo = int(np.searchsorted(lat, _SORT_LAT, side="left"))
-    r_s = ((s_hi - order) // 8) * 8
-    if polar[0] and r_s >= 8:
-        bands.append((order, r_s))
-    r_n = ((ny - order - n_lo) // 8) * 8
-    if polar[-1] and r_n >= 8:
-        bands.append((ny - order - r_n, r_n))
+    r0_s = -(-order // 8) * 8          # first 8-aligned row >= order
+    len_s = ((s_hi - r0_s) // 8) * 8
+    if polar[0] and len_s >= 8:
+        bands.append((r0_s, len_s))
+    r0_n = -(-n_lo // 8) * 8           # first 8-aligned row >= n_lo
+    len_n = ((ny - order - r0_n) // 8) * 8
+    if polar[-1] and len_n >= 8:
+        bands.append((r0_n, len_n))
     return bands
 
 
@@ -197,9 +211,10 @@ def _clamp_wrap(px, py, *, y_min, y_max, x_min, x_max, cyclic_x):
 def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 settls_order: int, interp_order: int, return_traj: bool,
                 row_offset=0, home_rows=None, kernel: str = "xla",
-                debug_per_step: bool = False, rebin="auto",
+                debug_per_step: bool = False, progress: bool = False,
+                rebin="auto",
                 pallas_wy: int = 32, pallas_wx: int = 256,
-                pallas_polar_band: int = 2, pallas_retry_tiles: int = 256,
+                pallas_retry_tiles: int = 256,
                 pallas_retry_wy: int = 64):
     """The SETTLS time loop as one ``lax.scan`` over a position *block*.
 
@@ -223,6 +238,12 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
     scalar — nonzero when the pallas windows clamped any tap (always 0 for
     the XLA kernel).
     """
+    if kernel == "pallas" and interp_order not in (1, 3):
+        raise NotImplementedError(
+            f"kernel='pallas' implements spline orders 1 and 3 (the orders "
+            f"the reference's workflows use — /root/reference/LCS/LCS.py:51);"
+            f" got interp_order={interp_order}.  Use kernel='xla' (or "
+            f"'auto', which falls back to it) for scipy orders 0/2/4/5.")
     dtype = u.dtype
     conv_y = jnp.asarray(180.0 / (EARTH_RADIUS * np.pi), dtype=dtype)
     bounds = dict(y_min=grid.y_min, y_max=grid.y_max,
@@ -270,7 +291,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
     CW = jnp.stack([cu, cv], axis=1)
 
     if kernel == "pallas":
-        from ..ops.pallas_interp import (TILE_C, TILE_R,
+        from ..ops.pallas_interp import (POLE_PAD, TILE_C, TILE_R,
                                          pad_coeffs_for_pallas,
                                          pallas_interp_multi)
         ny, nx = grid.shape
@@ -283,8 +304,14 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
         CWP = CWP.reshape(CWP.shape[0], T * 2, *CWP.shape[3:])
         ny_tf = -(-ny // TILE_R) * TILE_R       # pole-path raw padding
         nx_t = -(-nx // TILE_C) * TILE_C
-        W_p = jnp.pad(W.reshape(T * 2, ny, nx),
-                      ((0, 0), (0, ny_tf + 8 - ny), (0, nx_t - nx)))
+        # prepadded-raw contract (pallas_interp_multi): pad rows are
+        # y-WRAP replicas (row ny+k = row k mod ny) feeding the merged
+        # N+S pole block's south-seam remap — NOT zeros
+        W_flat = W.reshape(T * 2, ny, nx)
+        pr = ny_tf + POLE_PAD - ny
+        W_wrap = jnp.take(W_flat, jnp.arange(pr) % ny, axis=1)
+        W_p = jnp.pad(jnp.concatenate([W_flat, W_wrap], axis=1),
+                      ((0, 0), (0, 0), (0, nx_t - nx)))
 
         # sharded blocks: window routing is position-only; the pole-row
         # special case locates its candidate rows from the traced GLOBAL
@@ -300,7 +327,6 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 y_min=grid.y_min, y_max=grid.y_max,
                 x_min=grid.x_min, x_max=grid.x_max,
                 order=interp_order, wy=wy_eff, wx=pallas_wx,
-                polar_band=pallas_polar_band,
                 retry_tiles=pallas_retry_tiles,
                 retry_wy=pallas_retry_wy,
                 home_rows=home_rows,
@@ -321,6 +347,9 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                     jax.lax.dynamic_index_in_dim(CW, t, 0, keepdims=False))
 
     def step(carry, t):
+        if progress:
+            jax.debug.callback(_progress_step, t, u.shape[0] - 1,
+                               ordered=False)
         if sort_mode:
             px, py, cvx, perm, flag = carry
         elif rebin:
@@ -445,9 +474,9 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
 @partial(jax.jit, static_argnames=("grid", "settls_order", "interp_order",
                                    "return_traj", "kernel", "rebin",
                                    "pallas_wy",
-                                   "pallas_wx", "pallas_polar_band",
+                                   "pallas_wx",
                                    "pallas_retry_tiles", "pallas_retry_wy",
-                                   "return_overflow"))
+                                   "return_overflow", "progress"))
 def parcel_propagation_core(u: jax.Array, v: jax.Array, timestep,
                             grid: Grid, *, settls_order: int = 0,
                             interp_order: int = 3,
@@ -455,10 +484,10 @@ def parcel_propagation_core(u: jax.Array, v: jax.Array, timestep,
                             kernel: str = "xla", rebin="auto",
                             pallas_wy: int = 32,
                             pallas_wx: int = 256,
-                            pallas_polar_band: int = 2,
                             pallas_retry_tiles: int = 256,
                             pallas_retry_wy: int = 64,
-                            return_overflow: bool = False):
+                            return_overflow: bool = False,
+                            progress: bool = False):
     """Integrate parcel positions through ``T-1`` SETTLS steps.
 
     Parameters
@@ -496,8 +525,8 @@ def parcel_propagation_core(u: jax.Array, v: jax.Array, timestep,
     out = settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid,
                       settls_order=settls_order, interp_order=interp_order,
                       return_traj=return_traj, kernel=kernel, rebin=rebin,
+                      progress=progress,
                       pallas_wy=pallas_wy, pallas_wx=pallas_wx,
-                      pallas_polar_band=pallas_polar_band,
                       pallas_retry_tiles=pallas_retry_tiles,
                       pallas_retry_wy=pallas_retry_wy)
     *pos, overflow = out

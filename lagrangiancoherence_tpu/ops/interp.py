@@ -7,7 +7,11 @@ by the reference's hot inner kernel ``xr_map_coordinates``
 * index scaling ``size * (p - min) / (max - min)`` — the reference's N/(N-1)
   stretch, SURVEY.md quirk Q4 (/root/reference/LCS/tools.py:21-22);
 * spline order ``interp_order`` with ``mode='wrap'`` for rows away from the poles
-  (/root/reference/LCS/tools.py:24-30);
+  (/root/reference/LCS/tools.py:24-30) — the reference passes the order
+  straight to scipy, so the full scipy surface (orders 0-5) is supported
+  here; the pallas TPU fast path covers the orders the reference's
+  workflows use ({1, 3} — default 3, /root/reference/LCS/LCS.py:51), other
+  orders evaluate through this XLA path;
 * order-1 ``mode='constant'`` (cval=0) for the ``order`` rows nearest each pole
   (/root/reference/LCS/tools.py:31-39).
 
@@ -50,41 +54,71 @@ __all__ = [
 # Cubic B-spline prefilter as a dense matrix (host-side, cached)
 # ---------------------------------------------------------------------------
 
+def _bspline_int_samples(order: int) -> np.ndarray:
+    """Centered cardinal B-spline of degree ``order`` sampled at the
+    integers ``-(order//2) .. order//2`` (the prefilter system's band):
+    order 2 → [1, 6, 1]/8; order 3 → [1, 4, 1]/6; order 4 →
+    [1, 76, 230, 76, 1]/384; order 5 → [1, 26, 66, 26, 1]/120."""
+    from math import comb, factorial
+    half = order // 2
+    ks = np.arange(-half, half + 1, dtype=np.float64)
+    k1 = order + 1
+    tt = ks[:, None] + k1 / 2.0 - np.arange(k1 + 1)[None, :]
+    signs = (-1.0) ** np.arange(k1 + 1)
+    w = (signs[None, :] * comb_vec(k1) * np.maximum(tt, 0.0) ** order)
+    return w.sum(axis=1) / factorial(order)
+
+
+@lru_cache(maxsize=8)
+def comb_vec(k1: int) -> np.ndarray:
+    from math import comb
+    return np.array([comb(k1, j) for j in range(k1 + 1)], dtype=np.float64)
+
+
 @lru_cache(maxsize=64)
 def spline_filter_matrix(n: int, order: int = 3) -> np.ndarray:
-    """Dense inverse of scipy's order-3 ``mode='wrap'`` prefilter system.
+    """Dense inverse of scipy's ``mode='wrap'`` prefilter system.
 
-    ``c = M @ x`` reproduces ``scipy.ndimage.spline_filter1d(x, order=3,
-    mode='wrap')`` to machine precision.  The forward system is tridiagonal:
-    interior rows ``(c[i-1] + 4 c[i] + c[i+1]) / 6 = x[i]``, boundary rows
-    ``(4 c[0] + 2 c[1]) / 6 = x[0]`` and symmetrically at the other end.
+    ``c = M @ x`` reproduces ``scipy.ndimage.spline_filter1d(x, order,
+    mode='wrap')`` to machine precision for orders 2-5 (orders 0/1 need no
+    prefilter).  The forward system is banded — row ``i`` sums the
+    B-spline's integer samples over taps ``i+k`` with out-of-range taps
+    MIRRORED about the edge samples (scipy's wrap prefilter uses mirror
+    boundaries; verified empirically, see tests/test_interp.py).  The
+    order-3 band is [1, 4, 1]/6 with boundary rows ``(4 c0 + 2 c1)/6``.
+    TPU-first design: the inverse is precomputed once per grid size on the
+    host and applied as a dense matmul on the MXU instead of scipy's
+    sequential IIR recursion.
     """
-    if order == 1:
+    if order in (0, 1):
         return np.eye(n)
-    if order != 3:
-        raise NotImplementedError(f"spline order {order} not supported (1 or 3)")
+    if order not in (2, 3, 4, 5):
+        raise NotImplementedError(
+            f"spline order {order} not supported (scipy surface is 0-5)")
     if n < 2:
         return np.eye(n)
+    w = _bspline_int_samples(order)
+    half = order // 2
     T = np.zeros((n, n), dtype=np.float64)
-    idx = np.arange(1, n - 1)
-    T[idx, idx - 1] = 1.0 / 6.0
-    T[idx, idx] = 4.0 / 6.0
-    T[idx, idx + 1] = 1.0 / 6.0
-    T[0, 0] = 4.0 / 6.0
-    T[0, 1] = 2.0 / 6.0
-    T[-1, -1] = 4.0 / 6.0
-    T[-1, -2] = 2.0 / 6.0
+    for i in range(n):
+        for k, wk in zip(range(-half, half + 1), w):
+            j = i + k
+            if j < 0:
+                j = -j
+            if j > n - 1:
+                j = 2 * (n - 1) - j
+            T[i, j] += wk
     return np.linalg.inv(T)
 
 
 def prefilter(field: jax.Array, order: int = 3) -> jax.Array:
-    """Separable 2-D cubic-spline prefilter over the trailing (lat, lon) axes.
+    """Separable 2-D spline prefilter over the trailing (lat, lon) axes.
 
     Equivalent to scipy's per-axis ``spline_filter1d(mode='wrap')`` but
     expressed as two dense matmuls so it runs on the MXU.  Leading axes (e.g.
     time) are batched.
     """
-    if order == 1:
+    if order in (0, 1):
         return field
     ny, nx = field.shape[-2], field.shape[-1]
     my = jnp.asarray(spline_filter_matrix(ny, order), dtype=field.dtype)
@@ -124,6 +158,55 @@ def _cubic_weights(t: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array, jax.A
     return w0, w1, w2, w3
 
 
+def _bspline_weight(order: int, s: jax.Array) -> jax.Array:
+    """Centered cardinal B-spline of degree ``order`` at tap-relative
+    coordinate ``s = t - k`` — the truncated-power expansion, branch-free
+    under jit (orders 2/4/5; orders 0/1/3 use the dedicated fast paths)."""
+    from math import comb, factorial
+    k1 = order + 1
+    acc = jnp.zeros_like(s)
+    for j in range(k1 + 1):
+        term = jnp.maximum(s + k1 / 2.0 - j, 0.0) ** order
+        acc = acc + ((-1.0) ** j * comb(k1, j)) * term
+    return acc / factorial(order)
+
+
+def _axis_taps(f: jax.Array, n: int, order: int):
+    """Per-axis tap indices and weights for ``mode='wrap'``-folded
+    fractional indices ``f``.
+
+    scipy tap anchoring (verified empirically, tests/test_interp.py):
+    even orders anchor at ``floor(f + 0.5)`` (taps -order/2..order/2),
+    odd orders at ``floor(f)`` (taps -(order//2)..order//2+1).  Order 0 is
+    a single unit-weight tap at the rounded index.
+    """
+    if order == 0:
+        i0 = jnp.floor(f + 0.5).astype(jnp.int32)
+        return [_mirror_tap(i0, n)], [jnp.ones_like(f)]
+    if order == 1:
+        i0 = jnp.floor(f)
+        t = f - i0
+        i0 = i0.astype(jnp.int32)
+        return ([_mirror_tap(i0, n), _mirror_tap(i0 + 1, n)],
+                [1.0 - t, t])
+    if order == 3:
+        i0 = jnp.floor(f)
+        t = f - i0
+        i0 = i0.astype(jnp.int32)
+        return ([_mirror_tap(i0 + k, n) for k in (-1, 0, 1, 2)],
+                list(_cubic_weights(t)))
+    if order % 2 == 0:
+        i0 = jnp.floor(f + 0.5)
+        offs = range(-(order // 2), order // 2 + 1)
+    else:
+        i0 = jnp.floor(f)
+        offs = range(-(order // 2), order // 2 + 2)
+    t = f - i0
+    i0 = i0.astype(jnp.int32)
+    return ([_mirror_tap(i0 + k, n) for k in offs],
+            [_bspline_weight(order, t - k) for k in offs])
+
+
 # ---------------------------------------------------------------------------
 # Evaluation kernels
 # ---------------------------------------------------------------------------
@@ -138,33 +221,13 @@ def eval_spline_wrap(coeffs: jax.Array, ys: jax.Array, xs: jax.Array,
     ny, nx = coeffs.shape
     yf = _fold_coord_wrap(ys, ny)
     xf = _fold_coord_wrap(xs, nx)
-
-    if order == 1:
-        y0 = jnp.floor(yf)
-        x0 = jnp.floor(xf)
-        ty = yf - y0
-        tx = xf - x0
-        y0i = y0.astype(jnp.int32)
-        x0i = x0.astype(jnp.int32)
-        yi = jnp.stack([_mirror_tap(y0i, ny), _mirror_tap(y0i + 1, ny)], axis=-1)
-        xi = jnp.stack([_mirror_tap(x0i, nx), _mirror_tap(x0i + 1, nx)], axis=-1)
-        wy = jnp.stack([1.0 - ty, ty], axis=-1)
-        wx = jnp.stack([1.0 - tx, tx], axis=-1)
-        ntaps = 2
-    elif order == 3:
-        y0 = jnp.floor(yf)
-        x0 = jnp.floor(xf)
-        ty = yf - y0
-        tx = xf - x0
-        y0i = y0.astype(jnp.int32)
-        x0i = x0.astype(jnp.int32)
-        yi = jnp.stack([_mirror_tap(y0i + k, ny) for k in (-1, 0, 1, 2)], axis=-1)
-        xi = jnp.stack([_mirror_tap(x0i + k, nx) for k in (-1, 0, 1, 2)], axis=-1)
-        wy = jnp.stack(_cubic_weights(ty), axis=-1)
-        wx = jnp.stack(_cubic_weights(tx), axis=-1)
-        ntaps = 4
-    else:
-        raise NotImplementedError(f"spline order {order} not supported (1 or 3)")
+    yi_l, wy_l = _axis_taps(yf, ny, order)
+    xi_l, wx_l = _axis_taps(xf, nx, order)
+    yi = jnp.stack(yi_l, axis=-1)
+    xi = jnp.stack(xi_l, axis=-1)
+    wy = jnp.stack(wy_l, axis=-1)
+    wx = jnp.stack(wx_l, axis=-1)
+    ntaps = len(yi_l)
 
     # Gather the ntaps x ntaps neighbourhood per query point in one flat gather.
     flat = coeffs.reshape(-1)
@@ -265,24 +328,8 @@ def _taps_and_weights(ys, xs, ny: int, nx: int, order: int):
     """Shared tap-index/weight computation for ``mode='wrap'`` evaluation."""
     yf = _fold_coord_wrap(ys, ny)
     xf = _fold_coord_wrap(xs, nx)
-    y0 = jnp.floor(yf)
-    x0 = jnp.floor(xf)
-    ty = yf - y0
-    tx = xf - x0
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
-    if order == 1:
-        yi = [_mirror_tap(y0i, ny), _mirror_tap(y0i + 1, ny)]
-        xi = [_mirror_tap(x0i, nx), _mirror_tap(x0i + 1, nx)]
-        wy = [1.0 - ty, ty]
-        wx = [1.0 - tx, tx]
-    elif order == 3:
-        yi = [_mirror_tap(y0i + k, ny) for k in (-1, 0, 1, 2)]
-        xi = [_mirror_tap(x0i + k, nx) for k in (-1, 0, 1, 2)]
-        wy = list(_cubic_weights(ty))
-        wx = list(_cubic_weights(tx))
-    else:
-        raise NotImplementedError(f"spline order {order} not supported")
+    yi, wy = _axis_taps(yf, ny, order)
+    xi, wx = _axis_taps(xf, nx, order)
     return yi, xi, wy, wx
 
 

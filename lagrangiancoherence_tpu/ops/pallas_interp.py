@@ -69,6 +69,11 @@ __all__ = ["pad_coeffs_for_pallas", "pallas_interp_multi"]
 
 TILE_R = 8      # home rows per tile
 TILE_C = 128    # home cols per tile
+# raw-slab row padding beyond the tile-rounded field: wrap-replicated
+# rows that let the merged N+S pole block remap south-seam reads up by
+# +ny (pole routing below).  Rounded so ny + pad stays 8-aligned for
+# every ny; must match the prepadded-raw contract in models/settls.py.
+POLE_PAD = 48
 _M = TILE_R * TILE_C
 _HIGH = jax.lax.Precision.HIGHEST
 # v5e has 128MB of VMEM; the default 16MB scoped limit rejects the
@@ -248,16 +253,18 @@ def _tap_weights(fold_c, order):
     return list(_cubic_w(t))
 
 
-def _finish_y(g3, build_y, out_ref, F, WY, dtype, in_range=None):
+def _finish_y(g3, build_y, out_ref, F, WY, dtype, in_range=None,
+              tr=TILE_R):
     """Finish the tensor-product spline: per-field y reduction WITHOUT
     WY-lane slices.  Slicing ``g3[..., f*WY:(f+1)*WY]`` relayouts the
     vregs (measured ~5 us/tile at F*WY=128); instead the y basis is
     evaluated on the f-repeated mod-WY iota — a compile-time-constant
     lane pattern — and each field's contribution isolated by a constant
     lane mask, so every op is a full-(F*WY)-lane elementwise or a plain
-    lane reduction."""
+    lane reduction.  ``tr``: candidate block rows (TILE_R, or 2*TILE_R
+    for the merged pole block)."""
     F_WY = F * WY
-    i3e = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C, F_WY), 2)
+    i3e = jax.lax.broadcasted_iota(jnp.int32, (tr, TILE_C, F_WY), 2)
     yl = i3e % WY
     P = g3 * build_y(yl)
     fl = i3e // WY
@@ -505,7 +512,7 @@ def _sub_grid_kernel(live_s, y0s, x0q, f0s, pos_ref, w0, w1, w2, w3,
 
 
 def _pole_block_body(yc, xc, vmask, mask, win_ref, out_ref, write_flag,
-                     y0, *, F, ny, nx, WY, WXS):
+                     y0, *, F, ny, nx, WY, WXS, nyc=None, TR=TILE_R):
     """Order-1 mode='constant' evaluation for the compact pole-row block
     (/root/reference/LCS/tools.py:31-39): direct (unfolded) indices on the
     RAW field, out-of-range → 0.  ``yc``/``xc`` are the CLIPPED direct
@@ -516,11 +523,18 @@ def _pole_block_body(yc, xc, vmask, mask, win_ref, out_ref, write_flag,
     the full slab (``WXS`` >= nx), so only the y window can clamp;
     ``mask`` (TR, TC) selects the block rows that are real pole home rows
     — only their clamps raise the flag (padding/non-pole candidate rows
-    are discarded by the caller's ``is_pole`` scatter)."""
+    are discarded by the caller's ``is_pole`` scatter).
+
+    ``TR``: candidate block rows — TILE_R for the per-side fallback,
+    2*TILE_R for the merged N+S block.  ``nyc``: the floor-clip bound
+    matching the routing pass (ny for raw indices; ny + wrap-pad for the
+    merged block's south-seam-remapped indices — see the merged pole
+    routing in ``pallas_interp_multi``)."""
     dtype = out_ref.dtype
     cdt = yc.dtype
+    nyc = ny if nyc is None else nyc
 
-    oy = jnp.clip(jnp.floor(yc), 0, ny - 2).astype(jnp.int32) - y0
+    oy = jnp.clip(jnp.floor(yc), 0, nyc - 2).astype(jnp.int32) - y0
     bad = (oy < 0) | (oy > WY - 2)
     over = jnp.any(bad & (mask > 0)).astype(jnp.int32)
     write_flag(over)
@@ -529,24 +543,25 @@ def _pole_block_body(yc, xc, vmask, mask, win_ref, out_ref, write_flag,
     xpos = jnp.clip(xc, 0.0, WXS - 1.0)
     in_range = vmask > 0
 
+    M = TR * TILE_C
     w2 = win_ref[...].reshape(F * WY, WXS).astype(cdt)
-    g = jnp.zeros((_M, F * WY), cdt)
+    g = jnp.zeros((M, F * WY), cdt)
     xchunk = 256 if WXS > 512 else 512
     c0 = 0
     while c0 < WXS:
         xck = min(xchunk, WXS - c0)
         i3c = c0 + jax.lax.broadcasted_iota(jnp.int32,
-                                            (TILE_R, TILE_C, xck), 2)
+                                            (TR, TILE_C, xck), 2)
         ohc = _basis_direct(xpos, i3c, 1)
-        g = g + jax.lax.dot_general(ohc.reshape(_M, xck),
+        g = g + jax.lax.dot_general(ohc.reshape(M, xck),
                                     w2[:, c0:c0 + xck],
                                     (((1,), (1,)), ((), ())),
                                     preferred_element_type=cdt,
                                     precision=_HIGH)
         c0 += xck
-    g3 = g.reshape(TILE_R, TILE_C, F * WY)
+    g3 = g.reshape(TR, TILE_C, F * WY)
     _finish_y(g3, lambda i3: _basis_direct(ypos, i3, 1), out_ref,
-              F, WY, dtype, in_range=in_range)
+              F, WY, dtype, in_range=in_range, tr=TR)
 
 
 def _grid_kernel(live_s, y0s, x0s, f0s, pos_ref, win_ref, out_ref,
@@ -574,24 +589,47 @@ def _grid_kernel(live_s, y0s, x0s, f0s, pos_ref, win_ref, out_ref,
 
 def _pole_grid_kernel(y0s, f0s, pk_ref, win_ref, out_ref, flag_ref, *,
                       F, WY, WXS, common):
-    """Pole level-1 pass: (2, gx) grid — north / south candidate blocks x
-    column tiles, every tile live.  The two pole sides are SEPARATE
-    blocks: their direct y indices sit at opposite ends of the field, so
-    a combined block's y span would cover the whole grid."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    """Pole level-1 pass: (gx,) grid over column tiles with the north and
+    south candidate blocks MERGED into one 2*TILE_R-row block.  The two
+    sides' direct y indices sit at opposite ends of the field, but the
+    wrap-padded raw slab (rows ny..ny+pad replicate rows 0..pad) lets the
+    XLA routing remap south-seam indices up by +ny, so ONE window near
+    the top of the slab covers both sides — half the pole-slab DMAs of
+    the former (2, gx) per-side grid."""
+    j = pl.program_id(0)
 
     def write_flag(v):
-        flag_ref[i, j] = v
+        flag_ref[0, j] = v
 
-    _pole_block_body(pk_ref[0, 0], pk_ref[1, 0], pk_ref[2, 0],
-                     pk_ref[3, 0], win_ref, out_ref, write_flag,
-                     y0s[i, j], F=F, WY=WY, WXS=WXS, **common)
+    _pole_block_body(pk_ref[0], pk_ref[1], pk_ref[2], pk_ref[3],
+                     win_ref, out_ref, write_flag, y0s[j],
+                     F=F, WY=WY, WXS=WXS, TR=2 * TILE_R, **common)
 
 
-def _pole_list_kernel(n_live, iy, jx, iy_out, y0s, f0s, pk_ref, win_ref,
+def _pole_list_kernel(n_live, jx, jx_out, y0s, f0s, pk_ref, win_ref,
                       out_ref, flag_ref, *, F, WY, WXS, common):
-    """Pole level-2 pass over a compacted (side, column-tile) list; dead
+    """Merged-block pole escalation pass over a compacted column-tile
+    list; dead slots repeat slot 0's blocks and write the garbage column
+    block."""
+    i = pl.program_id(0)
+    flag_ref[i, 0] = jnp.int32(0)
+
+    @pl.when(i < n_live[0])
+    def _():
+        def write_flag(v):
+            flag_ref[i, 0] = v
+
+        _pole_block_body(pk_ref[0], pk_ref[1], pk_ref[2], pk_ref[3],
+                         win_ref, out_ref, write_flag, y0s[i],
+                         F=F, WY=WY, WXS=WXS, TR=2 * TILE_R, **common)
+
+
+def _pole_side_kernel(n_live, iy, jx, iy_out, y0s, f0s, pk_ref, win_ref,
+                      out_ref, flag_ref, *, F, WY, WXS, common):
+    """Per-side fallback pass over a compacted (side, column-tile) list
+    with RAW (unremapped) y indices — runs the rare tiles whose merged
+    span exceeds the wrapped levels (e.g. south pole rows drifted past
+    the wrap pad).  Channel 4 of the pack holds the raw clipped y.  Dead
     slots repeat slot 0's blocks and write the garbage row block."""
     i = pl.program_id(0)
     flag_ref[i, 0] = jnp.int32(0)
@@ -601,9 +639,9 @@ def _pole_list_kernel(n_live, iy, jx, iy_out, y0s, f0s, pk_ref, win_ref,
         def write_flag(v):
             flag_ref[i, 0] = v
 
-        _pole_block_body(pk_ref[0, 0], pk_ref[1, 0], pk_ref[2, 0],
-                         pk_ref[3, 0], win_ref, out_ref, write_flag,
-                         y0s[i], F=F, WY=WY, WXS=WXS, **common)
+        _pole_block_body(pk_ref[4], pk_ref[1], pk_ref[2], pk_ref[3],
+                         win_ref, out_ref, write_flag, y0s[i],
+                         F=F, WY=WY, WXS=WXS, **common)
 
 
 def _list_kernel(n_live, iy, jx, iy_out, y0s, x0s, edges, f0s, pos_ref,
@@ -691,7 +729,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                         px: jax.Array, py: jax.Array, *,
                         ny: int, nx: int, y_min, y_max, x_min, x_max,
                         order: int = 3, wy: int = 32, wx: int = 256,
-                        wyc: int = 32, polar_band: int = 2,
+                        wyc: int = 32,
                         retry_tiles: int = 256, retry_wy: int = 64,
                         retry_wx: int = 512,
                         home_rows=None, pole_tile_rows=None,
@@ -914,20 +952,16 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     body = partial(_spline_tile_body)
 
     # ---- escalation tiers over compacted tile lists ----
-    def run_tier(want, cap, wy_, wx_, ys_full, xs, x_full, tbody, tcommon,
-                 operand, ypad_t, xpad_t):
+    def run_tier(sel, count, cap, wy_, wx_, ys_full, xs, x_full, tbody,
+                 tcommon, operand, ypad_t, xpad_t):
+        """Run one escalation tier over its precomputed compacted tile
+        list — ``sel``: (cap,) rank-ordered tile indices (0-filled tail),
+        ``count``: live prefix length; both built for ALL tiers at once by
+        the batched assignment below.  Returns (out+garbage-row, covered
+        mask, residual in-kernel flag, per-tile flag map)."""
         # full-x tiles use the mirror-baked slab, so only the Y axis can
         # need the one-hot mirror path
         edge_src = edge_y_t if x_full else edge_t
-        """Run one escalation tier; returns (out+garbage-row, covered mask,
-        residual in-kernel flag, capacity-exceeded flag)."""
-        cap = min(cap, n_tiles)
-        flat = want.ravel().astype(jnp.int32)
-        # compact the wanted-tile list: nonzero (cumsum + scatter) is much
-        # cheaper than the former argsort(-flat) full sort and preserves
-        # the same stable index order
-        sel = jnp.nonzero(flat, size=cap, fill_value=0)[0].astype(jnp.int32)
-        count = jnp.minimum(jnp.sum(flat), cap)
         slot = jnp.arange(cap)
         live = slot < count
         iy = (sel // gx).astype(jnp.int32)
@@ -988,35 +1022,74 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             live.astype(jnp.int32))[:gy] > 0
         live_flags = flags_t[:, 0] * live.astype(jnp.int32)
         resid = jnp.max(live_flags)
-        over_cap = (jnp.sum(flat) > cap).astype(jnp.int32)
         fmap = jnp.zeros((gy + 1, gx), jnp.int32).at[iy_out, jx_d].max(
             live_flags)[:gy]
-        return out_t, covered & want, resid, over_cap, fmap
+        return out_t, covered, resid, fmap
 
     # ---- routing-only cascade: decide every tier's tile set in XLA
-    # BEFORE any launch.  Capacity truncation is a rank test (tiles past
-    # a tier's cap spill to the next holding tier), so the final
-    # uncovered set — and therefore tier A's live set — is known without
-    # running a single kernel.  This lets each tier launch AND merge
-    # under one lax.cond, skipped entirely on the (common) empty case:
-    # an empty launch still costs ~0.1 ms, and an unconditional merge
-    # streams the full output array per tier. ----
+    # BEFORE any launch, batched over tiers.  The former per-tier
+    # cumsum+nonzero cascade built 6-9 small op chains per gather group
+    # (~120 glue ops x 160 groups/scan); here every tile is assigned to
+    # the FIRST ladder tier that fits it with remaining capacity in 3
+    # batched passes over one (T, n_tiles) stack, and all tiers'
+    # compacted slot lists come from ONE scatter.  Semantics vs the old
+    # sequential cascade: identical whenever no tier overflows its cap
+    # (the census-sized default — caps carry 2x margins); under extreme
+    # contention a tile spilling more than twice goes uncovered (tier-A
+    # clamped values + overflow bit 1) instead of probing further tiers —
+    # the flag fires either way, exactness is never silently lost.
+    # Knowing the final uncovered set without launching anything lets
+    # each tier launch AND merge under one lax.cond, skipped entirely on
+    # the (common) empty case: an empty launch still costs ~0.1 ms, and
+    # an unconditional merge streams the full output array per tier. ----
     overflow = jnp.zeros((), jnp.int32)
     tier_plan = []
     covered = jnp.zeros((gy, gx), bool)
     fit_base = fitA | fitA2
-    if retry_tiles > 0:
-        for (wy_, wx_, cap), (fitT, ysT, xsT) in zip(ladder, all_fits[1:]):
-            want = (~fit_base) & (~covered) & fitT
-            rank = jnp.cumsum(want.ravel().astype(jnp.int32)) - 1
-            taken = want & (rank < min(cap, n_tiles)).reshape(gy, gx)
-            tier_plan.append((taken, ysT, xsT, wy_, wx_,
-                              min(cap, n_tiles)))
-            covered = covered | taken
+    if retry_tiles > 0 and len(ladder):
+        T_n = len(ladder)
+        caps_l = [min(t[2], n_tiles) for t in ladder]
+        caps_j = jnp.asarray(caps_l, jnp.int32)[:, None]
+        fits_T = jnp.stack([f.ravel() for (f, _, _) in all_fits[1:]])
+        elig = fits_T & (~fit_base).ravel()[None]
+        t_iota = jax.lax.broadcasted_iota(jnp.int32, elig.shape, 0)
+        assigned = jnp.zeros((n_tiles,), bool)
+        tried = jnp.zeros_like(elig)
+        taken_T = jnp.zeros_like(elig)
+        rank_T = jnp.zeros(elig.shape, jnp.int32)
+        cnt = jnp.zeros((T_n,), jnp.int32)
+        for _ in range(min(3, T_n)):
+            avail = elig & ~tried & ~assigned[None]
+            first = jnp.argmax(avail, axis=0)
+            oh = (t_iota == first[None]) & avail
+            rank = jnp.cumsum(oh.astype(jnp.int32), axis=1) - 1 \
+                + cnt[:, None]
+            take = oh & (rank < caps_j)
+            taken_T = taken_T | take
+            rank_T = jnp.where(take, rank, rank_T)
+            cnt = cnt + jnp.sum(take, axis=1)
+            assigned = assigned | jnp.any(take, axis=0)
+            tried = tried | oh
+        covered = jnp.any(taken_T, axis=0).reshape(gy, gx)
+        # ONE scatter builds every tier's rank-ordered slot list (the
+        # stable tile-index order the former per-tier nonzero produced);
+        # unassigned entries dump into a spare trailing slot
+        maxcap = max(caps_l)
+        tile_iota = jax.lax.broadcasted_iota(jnp.int32, elig.shape, 1)
+        dst = jnp.where(taken_T, t_iota * maxcap + rank_T, T_n * maxcap)
+        sel_all = jnp.zeros((T_n * maxcap + 1,), jnp.int32).at[
+            dst.ravel()].set(tile_iota.ravel())[:-1].reshape(T_n, maxcap)
+        for t_i, ((wy_, wx_, _cap), (fitT, ysT, xsT)) in enumerate(
+                zip(ladder, all_fits[1:])):
+            tier_plan.append((sel_all[t_i, :caps_l[t_i]], cnt[t_i],
+                              ysT, xsT, wy_, wx_, caps_l[t_i]))
         # bit 1: some tile fit no tier (or every holding tier was full) —
         # it keeps tier-A clamped values.  The overflow word is a
         # diagnostic bitmask; callers test nonzero.
         uncovered = jnp.sum((~fit_base) & (~covered))
+        overflow = overflow | ((uncovered > 0).astype(jnp.int32) << 1)
+    elif retry_tiles > 0:
+        uncovered = jnp.sum(~fit_base)
         overflow = overflow | ((uncovered > 0).astype(jnp.int32) << 1)
 
     # ---- tier A: 2-D grid over all tiles; unrouted/uncovered tiles also
@@ -1111,24 +1184,24 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
 
     # ---- escalation tiers: launch + merge under cond, empty → skip ----
     tier_fmaps = []
-    for t_i, (taken, ysT, xsT, wy_, wx_, cap) in enumerate(tier_plan):
+    for t_i, (selT, cntT, ysT, xsT, wy_, wx_, cap) in enumerate(tier_plan):
         xsT_c = jnp.zeros((gy, gx), jnp.int32) if xsT is None else xsT
 
-        def go(taken, ysT, xsT_c, out_arr, wy_=wy_, wx_=wx_, cap=cap):
-            out_t, cov, resid, _oc, fmap = run_tier(
-                taken, cap, wy_, wx_full if wx_ is None else wx_,
+        def go(selT, cntT, ysT, xsT_c, out_arr, wy_=wy_, wx_=wx_, cap=cap):
+            out_t, cov, resid, fmap = run_tier(
+                selT, cntT, cap, wy_, wx_full if wx_ is None else wx_,
                 ysT, xsT_c, wx_ is None, body, common, cw_pad,
                 ypad, xpad)
             mask = jnp.repeat(jnp.repeat(cov, TILE_R, 0), TILE_C, 1)
             return (jnp.where(mask[None], out_t[:, :ny_t], out_arr),
                     resid, fmap)
 
-        def skip(taken, ysT, xsT_c, out_arr):
+        def skip(selT, cntT, ysT, xsT_c, out_arr):
             return (out_arr, jnp.zeros((), jnp.int32),
                     jnp.zeros((gy, gx), jnp.int32))
 
         out_arr, resid, fmap = jax.lax.cond(
-            jnp.any(taken), go, skip, taken, ysT, xsT_c, out_arr)
+            cntT > 0, go, skip, selT, cntT, ysT, xsT_c, out_arr)
         tier_fmaps.append(fmap)
         overflow = overflow | (resid << (5 + t_i))
 
@@ -1161,11 +1234,9 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                else home_rows[0, 0].astype(jnp.int32))
         idx2 = jnp.clip(exp2 - hr0, 0, R - 1)     # (2, TILE_R) block rows
         px_b = jnp.pad(jnp.take(px, idx2.ravel(), axis=0),
-                       ((0, 0), (0, nx_t - nx)),
-                       mode="edge").reshape(2, TILE_R, nx_t)
+                       ((0, 0), (0, nx_t - nx)), mode="edge")
         py_b = jnp.pad(jnp.take(py, idx2.ravel(), axis=0),
-                       ((0, 0), (0, nx_t - nx)),
-                       mode="edge").reshape(2, TILE_R, nx_t)
+                       ((0, 0), (0, nx_t - nx)), mode="edge")
         if home_rows is None:
             hr_b = idx2
         else:
@@ -1174,25 +1245,38 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         mask_b = (hr_b == exp2).astype(px_b.dtype)
 
         ny_tf = _cdiv(ny, TILE_R) * TILE_R     # field-side row tiling
-        pad_rows = ny_tf + 8 - ny
+        pad_rows = ny_tf + POLE_PAD - ny
         ny_p = ny + pad_rows
         if raw_prepadded:
             assert raw.shape[-2:] == (ny_p, nx_t), (raw.shape, ny_p, nx_t)
             raw_p = raw
         else:
-            raw_p = jnp.pad(raw, ((0, 0), (0, pad_rows), (0, nx_t - nx)))
+            # y-WRAP padding: slab rows ny..ny_p replicate field rows
+            # 0..pad (mod ny for tiny grids) — the merged N+S pole block
+            # reads south-seam candidates through these rows (below)
+            wrap = jnp.take(raw, jnp.arange(pad_rows) % ny, axis=1)
+            raw_p = jnp.pad(jnp.concatenate([raw, wrap], axis=1),
+                            ((0, 0), (0, 0), (0, nx_t - nx)))
         ycapP = (ny_p // 8) * 8
         wy_p = min(max(wyc, 16), ycapP)
         wy_p2 = min(3 * wy_p, ycapP)
         wy_p3 = min(9 * wy_p, ycapP)
 
-        # masked direct-index y spans per (side, column tile), +-1-cell
-        # conservative (1-ulp floor concern, _fits) and clipped — the
-        # direct indices saturate at [0, ny-2] identically in this
-        # routing pass and in the kernel, so the bounds cannot flip.
-        # Non-pole candidate rows are masked out of the spans; their
-        # (possibly clamping) values are discarded by the is_pole scatter
-        # and their in-kernel flags are masked off.
+        # ---- merged N+S routing.  The two sides' direct y indices sit
+        # at opposite ends of the field, so historically they ran as a
+        # (2, gx) grid of separate slabs.  With the y-wrap-padded slab,
+        # south-seam indices (yc < pad-1, taps contained in the wrapped
+        # rows) remap up by +ny, putting both sides' reads in one narrow
+        # row band near the slab top: ONE (F, wy_p, nx_t) window per
+        # column tile serves the merged 2*TILE_R-row candidate block —
+        # half the pole DMAs.  Candidates drifted past the wrap pad keep
+        # raw indices; such tiles fail the merged fits and fall through
+        # to the per-side fallback level (raw indices, channel 4).
+        # Spans are +-1-cell conservative (1-ulp floor concern, _fits)
+        # and use the SAME clip bound as the kernel, so bounds cannot
+        # flip.  Non-pole candidate rows are masked out of the spans;
+        # their values are discarded by the is_pole scatter and their
+        # in-kernel flags are masked off. ----
         from .interp import scale_positions
         xi_b, yi_b = scale_positions(px_b, py_b, x_min=x_min, x_max=x_max,
                                      y_min=y_min, y_max=y_max,
@@ -1203,140 +1287,216 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         xc_b = jnp.clip(xi_b, 0.0, float(nx - 1))
         vm_b = ((yi_b >= 0) & (yi_b <= ny - 1)
                 & (xi_b >= 0) & (xi_b <= nx - 1)).astype(px_b.dtype)
-        y0f = jnp.clip(jnp.floor(yc_b), 0, ny - 2).astype(jnp.int32)
-        y0t = y0f.reshape(2, TILE_R, gx, TILE_C)
-        mrow = (mask_b > 0)[:, :, None, None]
-        kymn = jnp.clip(
-            jnp.min(jnp.where(mrow, y0t, ny), axis=(1, 3)) - 1, 0, ny - 2)
-        kymx = jnp.clip(
-            jnp.max(jnp.where(mrow, y0t, -1), axis=(1, 3)) + 1, 0, ny - 2)
-        kymn = jnp.minimum(kymn, kymx)            # (2, gx)
+        nyc_m = ny + pad_rows
+        yc_m = jnp.where(yc_b < float(pad_rows - 1), yc_b + ny, yc_b)
 
-        # one packed operand: clipped direct indices, value mask, and
+        mrow_m = (mask_b > 0).reshape(2 * TILE_R)[:, None, None]
+        y0m = jnp.clip(jnp.floor(yc_m), 0, nyc_m - 2).astype(jnp.int32)
+        y0mt = y0m.reshape(2 * TILE_R, gx, TILE_C)
+        kymn = jnp.clip(jnp.min(jnp.where(mrow_m, y0mt, nyc_m),
+                                axis=(0, 2)) - 1, 0, nyc_m - 2)
+        kymx = jnp.clip(jnp.max(jnp.where(mrow_m, y0mt, -1),
+                                axis=(0, 2)) + 1, 0, nyc_m - 2)
+        kymn = jnp.minimum(kymn, kymx)            # (gx,)
+        # raw per-side spans for the fallback level
+        y0r_f = jnp.clip(jnp.floor(yc_b), 0, ny - 2).astype(jnp.int32)
+        y0rt = y0r_f.reshape(2, TILE_R, gx, TILE_C)
+        mrow = (mask_b > 0)[:, :, None, None]
+        kymn_r = jnp.clip(jnp.min(jnp.where(mrow, y0rt, ny),
+                                  axis=(1, 3)) - 1, 0, ny - 2)
+        kymx_r = jnp.clip(jnp.max(jnp.where(mrow, y0rt, -1),
+                                  axis=(1, 3)) + 1, 0, ny - 2)
+        kymn_r = jnp.minimum(kymn_r, kymx_r)      # (2, gx)
+
+        # one packed operand: merged indices, raw indices, value mask and
         # the pole-row flag mask — a single DMA per pole tile
-        mask_w = jnp.broadcast_to(mask_b[:, :, None], (2, TILE_R, nx_t))
-        pole_pack = jnp.stack([yc_b, xc_b, vm_b, mask_w])
-        pcommon = dict(ny=ny, nx=nx)
+        mask_w = jnp.broadcast_to(mask_b.reshape(2 * TILE_R)[:, None],
+                                  (2 * TILE_R, nx_t))
+        pole_pack = jnp.stack([yc_m, xc_b, vm_b,
+                               mask_w.astype(px_b.dtype), yc_b])
+        pcommon_m = dict(ny=ny, nx=nx, nyc=nyc_m)
+        pcommon_r = dict(ny=ny, nx=nx)
 
         def pole_fit(wy_):
             ys = jnp.clip((kymn // 8) * 8, 0, max(ny_p - wy_, 0))
             return (kymn >= ys) & (kymx + 1 <= ys + wy_ - 1), ys
 
-        fit1, ys1 = pole_fit(wy_p)                # (2, gx) each
+        def pole_fit_side(wy_):
+            ys = jnp.clip((kymn_r // 8) * 8, 0, max(ny_p - wy_, 0))
+            return (kymn_r >= ys) & (kymx_r + 1 <= ys + wy_ - 1), ys
+
+        # ---- level 1: merged blocks, (gx,) grid, every tile live ----
+        fit1, ys1 = pole_fit(wy_p)                # (gx,) each
         kern1 = partial(_pole_grid_kernel, F=F, WY=wy_p, WXS=nx_t,
-                        common=pcommon)
+                        common=pcommon_m)
         grid1 = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(2, gx),
+            grid=(gx,),
             in_specs=[
-                pl.BlockSpec((4, 1, TILE_R, TILE_C),
-                             lambda i, j, y0r, f0r: (0, i, 0, j),
+                pl.BlockSpec((5, 2 * TILE_R, TILE_C),
+                             lambda j, y0r, f0r: (0, 0, j),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((pl.Element(F), pl.Element(wy_p),
                               pl.Element(nx_t)),
-                             lambda i, j, y0r, f0r:
-                             (f0r[0], pl.multiple_of(y0r[i, j], 8), 0),
+                             lambda j, y0r, f0r:
+                             (f0r[0], pl.multiple_of(y0r[j], 8), 0),
                              memory_space=pltpu.VMEM)],
-            out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
-                                    lambda i, j, y0r, f0r: (0, i, j),
+            out_specs=[pl.BlockSpec((F, 2 * TILE_R, TILE_C),
+                                    lambda j, y0r, f0r: (0, 0, j),
                                     memory_space=pltpu.VMEM),
-                       pl.BlockSpec((2, gx), lambda i, j, *_: (0, 0),
+                       pl.BlockSpec((1, gx), lambda j, *_: (0, 0),
                                     memory_space=pltpu.SMEM)],
         )
         blk1, pflags1 = pl.pallas_call(
             kern1, grid_spec=grid1,
             out_shape=[jax.ShapeDtypeStruct((F, 2 * TILE_R, nx_t), dtype),
-                       jax.ShapeDtypeStruct((2, gx), jnp.int32)],
+                       jax.ShapeDtypeStruct((1, gx), jnp.int32)],
             interpret=interpret,
             compiler_params=_CPARAMS,
         )(ys1, f0_arr, pole_pack, raw_p)
 
-        # escalation levels: taller slabs over compacted unfit-(side,
-        # tile) lists (rare — pole-row y drift is slow); beyond the last
-        # level clamps+flags
-        blk_vals = blk1.reshape(F, 2, TILE_R, nx_t)
+        blk_vals = blk1                           # (F, 2*TILE_R, nx_t)
         covP = fit1                               # level-1 values valid
         residP = jnp.zeros((), jnp.int32)
+
+        # ---- level 2: merged blocks, taller slab, compacted unfit list
+        # (rare — pole-row y drift is slow) ----
+        fit2, ys2 = pole_fit(wy_p2)
+        want2 = (~covP) & fit2
+        flat2 = want2.astype(jnp.int32)
+        sel2 = jnp.nonzero(flat2, size=gx, fill_value=0)[0].astype(
+            jnp.int32)
+        count2 = jnp.sum(flat2)
+        live2 = jnp.arange(gx) < count2
+        jx2 = jnp.where(live2, sel2, sel2[0])
+        jx_out2 = jnp.where(live2, jx2, gx)       # dead → garbage block
+        y02 = jnp.where(live2, ys2[jx2], ys2[jx2[0]])
+        n2 = jnp.full((1,), count2, jnp.int32)
+        kern2p = partial(_pole_list_kernel, F=F, WY=wy_p2, WXS=nx_t,
+                         common=pcommon_m)
+        grid2p = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(gx,),
+            in_specs=[
+                pl.BlockSpec((5, 2 * TILE_R, TILE_C),
+                             lambda i, nl, jxr, jxo, y0r, f0r:
+                             (0, 0, jxr[i]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pl.Element(F), pl.Element(wy_p2),
+                              pl.Element(nx_t)),
+                             lambda i, nl, jxr, jxo, y0r, f0r:
+                             (f0r[0], pl.multiple_of(y0r[i], 8), 0),
+                             memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((F, 2 * TILE_R, TILE_C),
+                                    lambda i, nl, jxr, jxo, y0r, f0r:
+                                    (0, 0, jxo[i]),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((gx, 1), lambda i, *_: (0, 0),
+                                    memory_space=pltpu.SMEM)],
+        )
+
+        def go2(n2, jx2, jx_out2, y02):
+            return pl.pallas_call(
+                kern2p, grid_spec=grid2p,
+                out_shape=[
+                    jax.ShapeDtypeStruct((F, 2 * TILE_R, nx_t + TILE_C),
+                                         dtype),
+                    jax.ShapeDtypeStruct((gx, 1), jnp.int32)],
+                interpret=interpret,
+                compiler_params=_CPARAMS,
+            )(n2, jx2, jx_out2, y02, f0_arr, pole_pack, raw_p)
+
+        def skip2(n2, jx2, jx_out2, y02):
+            return (jnp.zeros((F, 2 * TILE_R, nx_t + TILE_C), dtype),
+                    jnp.zeros((gx, 1), jnp.int32))
+
+        blk2, pflags2 = jax.lax.cond(count2 > 0, go2, skip2,
+                                     n2, jx2, jx_out2, y02)
+        ran2 = jnp.zeros((gx + 1,), jnp.int32).at[jx_out2].max(
+            live2.astype(jnp.int32))[:gx] > 0
+        cov2 = ran2 & fit2
+        colmask2 = jnp.repeat(cov2, TILE_C)       # (nx_t,)
+        blk_vals = jnp.where(colmask2[None, None, :], blk2[:, :, :nx_t],
+                             blk_vals)
+        covP = covP | cov2
+        residP = residP | jnp.max(pflags2[:, 0] * live2.astype(jnp.int32))
+
+        # ---- final level: per-SIDE fallback with raw indices — runs
+        # every leftover tile (clamp + flag beyond wy_p3, same exactness
+        # ceiling per side as the former per-side ladder) ----
+        fit3, ys3 = pole_fit_side(wy_p3)
         cap2 = 2 * gx
-        levels = [lv for lv in (wy_p2, wy_p3) if lv > wy_p]
-        levels = levels or [wy_p2]
-        for lv_i, wy_lvl in enumerate(levels):
-            fitL, ysL = pole_fit(wy_lvl)
-            # intermediate levels take only the tiles they provably hold;
-            # the LAST level runs every leftover (clamp + flag)
-            wantL = (~covP) if lv_i == len(levels) - 1 else (~covP) & fitL
-            flatL = wantL.ravel().astype(jnp.int32)
-            selL = jnp.nonzero(flatL, size=cap2,
-                               fill_value=0)[0].astype(jnp.int32)
-            countL = jnp.minimum(jnp.sum(flatL), cap2)
-            liveL = jnp.arange(cap2) < countL
-            iy_s = selL // gx
-            jx_s = selL - gx * iy_s
-            iyL = jnp.where(liveL, iy_s, iy_s[0])
-            jxL = jnp.where(liveL, jx_s, jx_s[0])
-            iy_outL = jnp.where(liveL, iyL, 2)  # dead → garbage block
-            y0L = jnp.where(liveL, ysL[iyL, jxL], ysL[iyL[0], jxL[0]])
-            nL = jnp.full((1,), countL, jnp.int32)
-            kernL = partial(_pole_list_kernel, F=F, WY=wy_lvl, WXS=nx_t,
-                            common=pcommon)
-            gridL = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=6,
-                grid=(cap2,),
-                in_specs=[
-                    pl.BlockSpec((4, 1, TILE_R, TILE_C),
-                                 lambda i, nl, iyr, jxr, iyo, y0r, f0r:
-                                 (0, iyr[i], 0, jxr[i]),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((pl.Element(F), pl.Element(wy_lvl),
-                                  pl.Element(nx_t)),
-                                 lambda i, nl, iyr, jxr, iyo, y0r, f0r:
-                                 (f0r[0], pl.multiple_of(y0r[i], 8), 0),
-                                 memory_space=pltpu.VMEM)],
-                out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
-                                        lambda i, nl, iyr, jxr, iyo, y0r,
-                                        f0r: (0, iyo[i], jxr[i]),
-                                        memory_space=pltpu.VMEM),
-                           pl.BlockSpec((cap2, 1), lambda i, *_: (0, 0),
-                                        memory_space=pltpu.SMEM)],
-            )
+        wantS = jnp.broadcast_to(~covP, (2, gx))
+        flatS = wantS.ravel().astype(jnp.int32)
+        selS = jnp.nonzero(flatS, size=cap2, fill_value=0)[0].astype(
+            jnp.int32)
+        countS = jnp.sum(flatS)
+        liveS = jnp.arange(cap2) < countS
+        iy_s = selS // gx
+        jx_s = selS - gx * iy_s
+        iyS = jnp.where(liveS, iy_s, iy_s[0])
+        jxS = jnp.where(liveS, jx_s, jx_s[0])
+        iy_outS = jnp.where(liveS, iyS, 2)        # dead → garbage block
+        y0S = jnp.where(liveS, ys3[iyS, jxS], ys3[iyS[0], jxS[0]])
+        nS = jnp.full((1,), countS, jnp.int32)
+        kernS = partial(_pole_side_kernel, F=F, WY=wy_p3, WXS=nx_t,
+                        common=pcommon_r)
+        gridS = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(cap2,),
+            in_specs=[
+                pl.BlockSpec((5, TILE_R, TILE_C),
+                             lambda i, nl, iyr, jxr, iyo, y0r, f0r:
+                             (0, iyr[i], jxr[i]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pl.Element(F), pl.Element(wy_p3),
+                              pl.Element(nx_t)),
+                             lambda i, nl, iyr, jxr, iyo, y0r, f0r:
+                             (f0r[0], pl.multiple_of(y0r[i], 8), 0),
+                             memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
+                                    lambda i, nl, iyr, jxr, iyo, y0r,
+                                    f0r: (0, iyo[i], jxr[i]),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((cap2, 1), lambda i, *_: (0, 0),
+                                    memory_space=pltpu.SMEM)],
+        )
 
-            def goL(nL, iyL, jxL, iy_outL, y0L, kernL=kernL, gridL=gridL):
-                return pl.pallas_call(
-                    kernL, grid_spec=gridL,
-                    out_shape=[
-                        jax.ShapeDtypeStruct((F, 3 * TILE_R, nx_t), dtype),
-                        jax.ShapeDtypeStruct((cap2, 1), jnp.int32)],
-                    interpret=interpret,
-                    compiler_params=_CPARAMS,
-                )(nL, iyL, jxL, iy_outL, y0L, f0_arr, pole_pack, raw_p)
+        def goS(nS, iyS, jxS, iy_outS, y0S):
+            return pl.pallas_call(
+                kernS, grid_spec=gridS,
+                out_shape=[
+                    jax.ShapeDtypeStruct((F, 3 * TILE_R, nx_t), dtype),
+                    jax.ShapeDtypeStruct((cap2, 1), jnp.int32)],
+                interpret=interpret,
+                compiler_params=_CPARAMS,
+            )(nS, iyS, jxS, iy_outS, y0S, f0_arr, pole_pack, raw_p)
 
-            def skipL(nL, iyL, jxL, iy_outL, y0L):
-                return (jnp.zeros((F, 3 * TILE_R, nx_t), dtype),
-                        jnp.zeros((cap2, 1), jnp.int32))
+        def skipS(nS, iyS, jxS, iy_outS, y0S):
+            return (jnp.zeros((F, 3 * TILE_R, nx_t), dtype),
+                    jnp.zeros((cap2, 1), jnp.int32))
 
-            blkL, pflagsL = jax.lax.cond(countL > 0, goL, skipL,
-                                         nL, iyL, jxL, iy_outL, y0L)
-            # intermediate levels cover a tile when it ran live AND its
-            # window provably fit; the LAST level's values are taken for
-            # every tile it ran — even clamped (flagged) ones, whose
-            # tallest-window values are the closest available
-            ranL = jnp.zeros((3, gx), jnp.int32).at[iy_outL, jxL].max(
-                liveL.astype(jnp.int32))[:2] > 0
-            covL = ranL if lv_i == len(levels) - 1 else (ranL & fitL)
-            colmask = jnp.repeat(covL, TILE_C, axis=1)   # (2, nx_t)
-            bL = blkL[:, :2 * TILE_R].reshape(F, 2, TILE_R, nx_t)
-            blk_vals = jnp.where(colmask[None, :, None, :], bL, blk_vals)
-            covP = covP | covL
-            residP = residP | jnp.max(pflagsL[:, 0]
-                                      * liveL.astype(jnp.int32))
+        blkS, pflagsS = jax.lax.cond(countS > 0, goS, skipS,
+                                     nS, iyS, jxS, iy_outS, y0S)
+        # the final level's values are taken for every tile it ran —
+        # even clamped (flagged) ones, whose tallest-window values are
+        # the closest available
+        ranS = jnp.zeros((3, gx), jnp.int32).at[iy_outS, jxS].max(
+            liveS.astype(jnp.int32))[:2] > 0      # (2, gx)
+        sidemask = jnp.repeat(jnp.repeat(ranS, TILE_R, axis=0), TILE_C,
+                              axis=1)             # (2*TILE_R, nx_t)
+        blk_vals = jnp.where(sidemask[None], blkS[:, :2 * TILE_R],
+                             blk_vals)
+        covP = covP | (ranS[0] & ranS[1])
+        residP = residP | jnp.max(pflagsS[:, 0] * liveS.astype(jnp.int32))
+
         pole_flag = \
-            (jnp.max(pflags1 * (1 - covP.astype(jnp.int32))) << 3) \
+            (jnp.max(pflags1[0] * (1 - covP.astype(jnp.int32))) << 3) \
             | (residP << 4)
 
         # scatter the block rows back to their block positions (duplicate
         # candidate rows carry identical values, so overlap is benign)
-        pole_vals = out_arr.at[:, idx2.ravel()].set(
-            blk_vals.reshape(F, 2 * TILE_R, nx_t))
+        pole_vals = out_arr.at[:, idx2.ravel()].set(blk_vals)
         if home_rows is None:
             row = jax.lax.broadcasted_iota(jnp.int32, (ny_t, nx_t), 0)
             is_pole = (row < order) | ((row >= ny - order) & (row < ny))
@@ -1355,7 +1515,9 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             uncovered=jnp.sum((~fitA) & (~covered)),
             _uncov_map=(~fitA) & (~covered),
             _fitA=fitA,
-            _tier_taken=[t[0] for t in tier_plan],
+            # per-tier live tile counts (the plan stores compacted slot
+            # lists, not masks; consumers only ever counted the mask)
+            _tier_taken=[t[1] for t in tier_plan],
             _spans=(ymn, ymx, xmn, xmx),
             _edge=edge_t,
             tierA_resid=jnp.max(flagsA * (liveA > 0).astype(jnp.int32)),

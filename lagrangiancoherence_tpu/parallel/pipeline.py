@@ -51,9 +51,14 @@ EARTH_DEG = np.pi / 180.0
 
 def ftle_sharded(u, v, timestep, grid: Grid, mesh, *, settls_order: int = 0,
                  interp_order: int = 3, sigma=None, compat: bool = True,
-                 kernel: str = "xla"):
+                 kernel: str = "xla", return_overflow: bool = False):
     """(T, ny, nx) winds → (ny, nx) FTLE norm, sharded over ``mesh`` axis
     ``"y"``.  Numerically identical to ``models.pipeline.ftle_pipeline``.
+
+    With ``return_overflow=True`` also returns the pallas window-overflow
+    flag (int32 scalar, max-reduced over every shard — nonzero means some
+    shard clamped a tap and the field is suspect; always 0 for the XLA
+    kernel).  Mirrors ``ftle_pipeline``'s ``return_overflow`` contract.
     """
     ny, nx = grid.shape
     nyd = mesh.shape["y"]
@@ -99,10 +104,15 @@ def ftle_sharded(u, v, timestep, grid: Grid, mesh, *, settls_order: int = 0,
     def block_fn(u_f, v_f, cu_f, cv_f, px0_b, py0_b, convx_b, lats_b,
                  home_b):
         row_start = jax.lax.axis_index("y") * rows
-        px, py, _ = settls_scan(u_f, v_f, cu_f, cv_f, px0_b, py0_b, dt,
-                                convx_b, grid, settls_order=settls_order,
-                                interp_order=interp_order, return_traj=False,
-                                home_rows=home_b, kernel=kernel)
+        px, py, ovf = settls_scan(u_f, v_f, cu_f, cv_f, px0_b, py0_b, dt,
+                                  convx_b, grid, settls_order=settls_order,
+                                  interp_order=interp_order,
+                                  return_traj=False,
+                                  home_rows=home_b, kernel=kernel)
+        # max-reduce the per-shard overflow flag over the whole mesh so the
+        # returned scalar is replicated (convention: the pallas overflow
+        # flag is never dropped — see ops/pallas_interp.py)
+        ovf = jax.lax.pmax(ovf, tuple(mesh.axis_names))
         if sigma is not None:
             if pad == 0:
                 # fully local: width-radius halo exchange, zero gather
@@ -151,7 +161,7 @@ def ftle_sharded(u, v, timestep, grid: Grid, mesh, *, settls_order: int = 0,
         zero = jnp.zeros_like(X)
         tensor = jnp.stack([ds(X, 1), ds(X, 0), ds(Y, 1), ds(Y, 0),
                             ds(Z, 1), ds(Z, 0), zero, zero, zero])
-        return ftle_norm(tensor, compat=compat)
+        return ftle_norm(tensor, compat=compat), ovf
 
     @partial(jax.jit, static_argnums=())
     def run(u_j, v_j, px0, py0, convx, lats_j, home_j):
@@ -162,7 +172,7 @@ def ftle_sharded(u, v, timestep, grid: Grid, mesh, *, settls_order: int = 0,
                        in_specs=(P(), P(), P(), P(),
                                  P("y", xs), P("y", xs),
                                  P("y", None), P("y"), P("y", None)),
-                       out_specs=P("y", xs))
+                       out_specs=(P("y", xs), P()))
         return fn(u_j, v_j, cu, cv, px0, py0, convx, lats_j, home_j)
 
     rep = NamedSharding(mesh, P())
@@ -177,18 +187,24 @@ def ftle_sharded(u, v, timestep, grid: Grid, mesh, *, settls_order: int = 0,
                             NamedSharding(mesh, P("y")))
     home_j = jax.device_put(jnp.asarray(home_idx[:, None], dtype=jnp.int32),
                             shard_y)
-    out = run(u_j, v_j, px0, py0, convx, lats_j, home_j)
+    out, overflow = run(u_j, v_j, px0, py0, convx, lats_j, home_j)
+    if return_overflow:
+        return out[:ny], overflow
     return out[:ny]
 
 
 def parcel_propagation_sharded(u, v, timestep, grid: Grid, mesh, *,
                                settls_order: int = 0, interp_order: int = 3,
                                return_traj: bool = False,
-                               kernel: str = "xla"):
+                               kernel: str = "xla",
+                               return_overflow: bool = False):
     """Latitude-sharded SETTLS integration: (T, ny, nx) winds → departure
     points (ny, nx) or trajectories (T, ny, nx), sharded over mesh axis
     ``"y"``.  Zero cross-chip communication (winds replicated, positions
     sharded) — the integration itself never couples parcels.
+
+    ``return_overflow=True`` appends the mesh-max-reduced pallas window
+    overflow flag (int32 scalar; 0 for the XLA kernel).
     """
     ny, nx = grid.shape
     nyd = mesh.shape["y"]
@@ -213,7 +229,10 @@ def parcel_propagation_sharded(u, v, timestep, grid: Grid, mesh, *,
                           interp_order=interp_order,
                           return_traj=return_traj, home_rows=home_b,
                           kernel=kernel)
-        return out[:-1]  # drop overflow flag
+        # max-reduce the overflow flag over the mesh → replicated scalar
+        # (convention: the pallas overflow flag is never dropped)
+        ovf = jax.lax.pmax(out[-1], tuple(mesh.axis_names))
+        return (*out[:-1], ovf)
 
     pos_spec = P(None, "y", None) if return_traj else P("y", None)
 
@@ -225,7 +244,7 @@ def parcel_propagation_sharded(u, v, timestep, grid: Grid, mesh, *,
                        in_specs=(P(), P(), P(), P(),
                                  P("y", None), P("y", None),
                                  P("y", None), P("y", None)),
-                       out_specs=(pos_spec, pos_spec))
+                       out_specs=(pos_spec, pos_spec, P()))
         return fn(u_j, v_j, cu, cv, px0, py0, convx, home_j)
 
     rep = NamedSharding(mesh, P())
@@ -237,10 +256,14 @@ def parcel_propagation_sharded(u, v, timestep, grid: Grid, mesh, *,
     convx = jax.device_put(jnp.asarray(conv_x_np, dtype=dtype), shard_y)
     home_j = jax.device_put(jnp.asarray(home_idx[:, None], dtype=jnp.int32),
                             shard_y)
-    px, py = run(u_j, v_j, px0, py0, convx, home_j)
+    px, py, overflow = run(u_j, v_j, px0, py0, convx, home_j)
     if return_traj:
-        return px[:, :ny], py[:, :ny]
-    return px[:ny], py[:ny]
+        px, py = px[:, :ny], py[:, :ny]
+    else:
+        px, py = px[:ny], py[:ny]
+    if return_overflow:
+        return px, py, overflow
+    return px, py
 
 
 def ftle_batch(u_batch, v_batch, timestep, grid: Grid, mesh, *,

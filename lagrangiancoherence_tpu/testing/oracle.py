@@ -15,6 +15,14 @@ from scipy.ndimage import map_coordinates
 
 EARTH_RADIUS = 6371000.0
 
+# Measured wall-clock cost of the reference implementation's flagship
+# workload on this host: one global 0.25-degree FTLE field (1440x721
+# parcels, 8-day backward, SETTLS_order=4) = 576 full-grid scipy
+# ``map_coordinates`` spline interpolations driven one Python call at a
+# time (/root/reference/LCS/trajectory.py:80-124), single-core CPU.
+# bench.py's ``vs_baseline`` is (our fields/s) / (1 / this).
+REFERENCE_SECONDS_PER_FIELD = 131.9
+
 
 def oracle_map_coordinates(values, lats, lons, px, py, order=3):
     """xr_map_coordinates(isglobal=True) (/root/reference/LCS/tools.py:11-48):

@@ -44,7 +44,7 @@ def run_case(ny, nx, order, F, band, retry, wy=48, wx=256, seed=0,
         jnp.asarray(fields), cw_pad, jnp.asarray(px), jnp.asarray(py),
         ny=ny, nx=nx, y_min=lats.min(), y_max=lats.max(),
         x_min=lons.min(), x_max=lons.max(), order=order, wy=wy, wx=wx,
-        polar_band=band, retry_tiles=retry, interpret=True)
+        retry_tiles=retry, interpret=True)
     return np.asarray(out), int(flag), ref
 
 
@@ -220,7 +220,7 @@ def run_case_grid(lats, lons, order, F, seed=0):
         jnp.asarray(fields), cw_pad, jnp.asarray(px), jnp.asarray(py),
         ny=ny, nx=nx, y_min=lats.min(), y_max=lats.max(),
         x_min=lons.min(), x_max=lons.max(), order=order,
-        wy=48, wx=384, polar_band=1, retry_tiles=8, interpret=True)
+        wy=48, wx=384, retry_tiles=8, interpret=True)
     return np.asarray(out), int(flag), ref
 
 
@@ -236,11 +236,16 @@ class TestSortBinning:
             parcel_propagation_core
         import lagrangiancoherence_tpu.ops.pallas_interp as PI
 
-        ny, nx = 65, 128
+        # 97 rows: with the 8-aligned band starts (ADVICE round-1), the
+        # south band needs >= 16 rows below -60 deg to survive truncation
+        ny, nx = 97, 128
         lats = np.linspace(-90.0, 90.0, ny)
         lons = np.linspace(-180.0, 180.0 - 360.0 / nx, nx)
         grid = Grid(lats=lats, lons=lons, cyclic_x=True)
-        assert settls._sort_bands(grid, 3), "test grid must have bands"
+        bands = settls._sort_bands(grid, 3)
+        assert bands, "test grid must have bands"
+        for r0, nr in bands:
+            assert r0 % 8 == 0 and nr % 8 == 0, bands
         LON, LAT = np.meshgrid(np.deg2rad(lons), np.deg2rad(lats))
         nt = 4
         t = np.arange(nt)[:, None, None]
