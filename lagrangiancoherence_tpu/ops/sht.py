@@ -21,6 +21,20 @@ algebra the MXU eats:
 Least-squares projection is the right analysis operator for the reference's
 *regular* (non-Gaussian) 0.5-degree grid, where no exact quadrature exists —
 the same choice spharm's regular-grid mode makes internally.
+
+Equivalence to the spharm pipeline (windspharm analyses onto the FULL basis
+n = m..nlat-1, zeroes n > T, then synthesises — a different operator
+composition): for any field whose latitudinal spectrum is resolved by the
+grid, a consistent least-squares analysis recovers the exact coefficients
+independent of quadrature weighting, so analysis-then-zero coincides with
+the direct span projection used here.  The two can differ only in how
+unresolved (near/above-Nyquist) latitudinal content is folded — O(quadrature
+residual), machine-zero for modes with n <= ny-1-T under the interpolatory
+weights.  Verified cross-implementation in
+tests/test_sht.py::TestFullAnalysisOracle against a scipy-built
+analysis-zero-synthesis oracle on the reference's common grid (spharm
+itself is not installable in this environment; that oracle is the
+committed ground-truth artifact).
 """
 from __future__ import annotations
 

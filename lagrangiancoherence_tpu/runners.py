@@ -69,7 +69,7 @@ def ftle_series(u, v, timestep: float, *, window: int, stride: int = 1,
     if not starts:
         raise ValueError(f"record of {ud.shape[0]} steps is shorter than "
                          f"window={window}")
-    kern = _resolve_kernel(kernel)
+    kern = _resolve_kernel(kernel, int(interp_order))
     dtype = np.float32 if kern == "pallas" else np.float64
 
     fields = []

@@ -254,3 +254,29 @@ class TestCompatModes:
         out = find_ridges_core(jnp.asarray(f), Grid(lats=lats, lons=lons),
                                sigma=1.0, isglobal=False, compat=False)
         assert np.isfinite(np.asarray(out["eigmin"])).all()
+
+
+class TestProgressSignal:
+    def test_per_step_progress_lines(self, caplog):
+        """verbose=True emits one per-step progress line from inside the
+        scan, as the reference's verboseprint does
+        (/root/reference/LCS/trajectory.py:81)."""
+        import logging
+
+        import jax
+
+        from lagrangiancoherence_tpu.utils.logging import logger
+
+        nt, ny, nx = 4, 12, 16
+        lats = np.linspace(-60, 60, ny)
+        lons = np.linspace(-100, 50, nx)
+        dims = ("time", "latitude", "longitude")
+        coords = dict(time=pd.date_range("2020-01-01", periods=nt, freq="6h"),
+                      latitude=lats, longitude=lons)
+        u = Field(np.full((nt, ny, nx), 5.0), dims, coords)
+        with caplog.at_level(logging.INFO, logger=logger.name):
+            parcel_propagation(u, u, timestep=6 * 3600.0, verbose=True)
+            jax.effects_barrier()
+        lines = [r.message for r in caplog.records
+                 if "Propagating time index" in r.message]
+        assert len(lines) == nt - 1, lines

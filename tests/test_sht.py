@@ -117,3 +117,79 @@ def test_idempotent():
     once = np.asarray(truncate(f, lats, truncation=20))
     twice = np.asarray(truncate(once, lats, truncation=20))
     np.testing.assert_allclose(twice, once, atol=1e-8)
+
+
+class TestFullAnalysisOracle:
+    """End-to-end cross-implementation check against the composition
+    windspharm actually computes (/root/reference/LCS/LCS.py:115-118):
+    spharm analyses onto the FULL basis (n = m..nlat-1), zeroes n > T,
+    then synthesises.  Our operator instead least-squares-projects
+    directly onto the n <= T span — a different operator composition that
+    must coincide whenever the analysis recovers exact coefficients.
+
+    The oracle here is built entirely from ``scipy.special.sph_harm_y``
+    (no code shared with ops/sht.py): per zonal wavenumber m it solves an
+    unweighted least-squares analysis over a WIDE span (n = m..N_a with
+    T < N_a << nlat-1), zeroes n > T, and re-synthesises.  For a field
+    whose latitudinal content lies inside the analysis span the LSQ
+    system is consistent, so the recovered coefficients — and hence the
+    truncation — are mathematically exact regardless of the quadrature
+    weights spharm would use; any disagreement therefore isolates a bug
+    in our projector rather than a weighting convention."""
+
+    T = 20
+    N_FIELD = 60     # max total wavenumber of the synthetic field
+    N_ANALYSIS = 120 # oracle analysis span (must be >= N_FIELD)
+
+    def test_truncation_matches_full_analysis_pipeline(self):
+        from scipy.special import sph_harm_y
+
+        lats, lons = _common_grid()
+        ny, nx = lats.size, lons.size
+        theta = np.deg2rad(90.0 - lats)
+        x = np.cos(theta)
+        rng = np.random.RandomState(7)
+
+        # basis per m: normalised P_n^m(x) columns from scipy (phi = 0)
+        def basis(m, nmax):
+            cols = [np.real(sph_harm_y(n, m, theta, 0.0))
+                    for n in range(m, nmax + 1)]
+            return np.stack(cols, axis=1)          # (ny, nmax-m+1)
+
+        # synthesise a random field with content up to N_FIELD: per m,
+        # random coefficients against cos/sin(m lon)
+        f = np.zeros((ny, nx))
+        LONR = np.deg2rad(lons)
+        want = np.zeros((ny, nx))
+        for m in range(0, self.T + 6):             # some m above T too
+            P = basis(m, self.N_FIELD)
+            c_cos = rng.randn(P.shape[1])
+            c_sin = rng.randn(P.shape[1]) if m else np.zeros(P.shape[1])
+            prof_cos = P @ c_cos
+            prof_sin = P @ c_sin
+            f += np.outer(prof_cos, np.cos(m * LONR)) \
+                + np.outer(prof_sin, np.sin(m * LONR))
+            if m <= self.T:
+                # exact truncation: keep only n <= T coefficients
+                k = self.T - m + 1
+                want += np.outer(P[:, :k] @ c_cos[:k], np.cos(m * LONR)) \
+                    + np.outer(P[:, :k] @ c_sin[:k], np.sin(m * LONR))
+
+        # oracle: full-span analysis -> zero n > T -> synthesis
+        oracle = np.zeros((ny, nx))
+        spec = np.fft.rfft(f, axis=-1)
+        out_spec = np.zeros_like(spec)
+        for m in range(self.T + 1):
+            Pa = basis(m, self.N_ANALYSIS)
+            coef, *_ = np.linalg.lstsq(Pa, spec[:, m], rcond=None)
+            k = self.T - m + 1
+            out_spec[:, m] = Pa[:, :k] @ coef[:k]
+        oracle = np.fft.irfft(out_spec, n=nx, axis=-1)
+
+        got = np.asarray(truncate(f, lats, truncation=self.T))
+        scale = np.abs(f).max()
+        # oracle internal consistency first (validates the oracle itself)
+        assert np.abs(oracle - want).max() < 1e-8 * scale
+        # our direct-span projector vs the analysis-then-zero pipeline
+        assert np.abs(got - want).max() < 1e-8 * scale
+        assert np.abs(got - oracle).max() < 1e-8 * scale
