@@ -23,13 +23,14 @@ __all__ = ["ftle_pipeline"]
                                    "sigma", "compat", "kernel", "rebin", "pallas_wy",
                                    "pallas_wx",
                                    "pallas_retry_tiles", "pallas_retry_wy",
-                                   "return_overflow"))
+                                   "pallas_engine", "return_overflow"))
 def ftle_pipeline(u: jax.Array, v: jax.Array, timestep, grid: Grid, *,
                   settls_order: int = 0, interp_order: int = 3,
                   sigma=None, compat: bool = True, kernel: str = "xla",
                   rebin="auto", pallas_wy: int = 32, pallas_wx: int = 256,
                   pallas_retry_tiles: int = 256,
                   pallas_retry_wy: int = 64,
+                  pallas_engine: str = "blockspec",
                   return_overflow: bool = False):
     """(T, ny, nx) winds → (ny, nx) FTLE norm, fully fused.
 
@@ -47,6 +48,7 @@ def ftle_pipeline(u: jax.Array, v: jax.Array, timestep, grid: Grid, *,
                                   pallas_wy=pallas_wy, pallas_wx=pallas_wx,
                                   pallas_retry_tiles=pallas_retry_tiles,
                                   pallas_retry_wy=pallas_retry_wy,
+                                  pallas_engine=pallas_engine,
                                   return_overflow=True)
     px, py, overflow = out
     tensor = flowmap_gradient(px, py, grid, sigma=sigma)

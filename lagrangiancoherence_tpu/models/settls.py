@@ -215,7 +215,8 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 rebin="auto",
                 pallas_wy: int = 32, pallas_wx: int = 256,
                 pallas_retry_tiles: int = 256,
-                pallas_retry_wy: int = 64):
+                pallas_retry_wy: int = 64,
+                pallas_engine: str = "blockspec"):
     """The SETTLS time loop as one ``lax.scan`` over a position *block*.
 
     ``u``/``v``: full (T, ny, nx) winds; ``cu``/``cv``: their prefiltered
@@ -331,6 +332,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 retry_wy=pallas_retry_wy,
                 home_rows=home_rows,
                 ladder=_SORT_LADDER if sort_mode else None,
+                engine=pallas_engine,
                 f0=2 * t, nf=nf, raw_prepadded=True)
     else:
         def interp_multi(fields_coeffs_0, fields_coeffs_1, px, py):
@@ -476,6 +478,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                                    "pallas_wy",
                                    "pallas_wx",
                                    "pallas_retry_tiles", "pallas_retry_wy",
+                                   "pallas_engine",
                                    "return_overflow", "progress"))
 def parcel_propagation_core(u: jax.Array, v: jax.Array, timestep,
                             grid: Grid, *, settls_order: int = 0,
@@ -486,6 +489,7 @@ def parcel_propagation_core(u: jax.Array, v: jax.Array, timestep,
                             pallas_wx: int = 256,
                             pallas_retry_tiles: int = 256,
                             pallas_retry_wy: int = 64,
+                            pallas_engine: str = "blockspec",
                             return_overflow: bool = False,
                             progress: bool = False):
     """Integrate parcel positions through ``T-1`` SETTLS steps.
@@ -528,7 +532,8 @@ def parcel_propagation_core(u: jax.Array, v: jax.Array, timestep,
                       progress=progress,
                       pallas_wy=pallas_wy, pallas_wx=pallas_wx,
                       pallas_retry_tiles=pallas_retry_tiles,
-                      pallas_retry_wy=pallas_retry_wy)
+                      pallas_retry_wy=pallas_retry_wy,
+                      pallas_engine=pallas_engine)
     *pos, overflow = out
     if return_overflow:
         return tuple(pos) + (overflow,)

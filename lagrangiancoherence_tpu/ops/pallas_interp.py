@@ -665,6 +665,121 @@ def _list_kernel(n_live, iy, jx, iy_out, y0s, x0s, edges, f0s, pos_ref,
              F=F, WY=WY, WX=WX, x_full=x_full, edge=edges[i], **common)
 
 
+def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, edge_s, f0_s, folds_hbm,
+                   cw_hbm, outA_hbm, out_hbm, flags_ref, win_buf, pos_buf,
+                   out_buf, win_sems, pos_sems, out_sems, *, body, F,
+                   tiers, seg_off, ypad, xpad, wx_full, common):
+    """Manual-DMA escalation engine: ONE grid step services every
+    escalation tier's LIVE slots.
+
+    The BlockSpec tier pipeline costs its DMA/grid machinery per
+    CAPACITY slot — dead slots pay ~3 us each even though their index
+    maps repeat slot 0 (tools/probe_deadslot.py measured the escalation
+    pool at capacity x per-slot cost, live-count-independent).  Here the
+    window source stays in HBM (`pl.ANY`) and an in-kernel
+    ``fori_loop(0, counts[t])`` per tier issues double-buffered
+    ``make_async_copy`` windows for live slots only, so capacity margins
+    are free and the per-tier launch + cond + full-array merge chain
+    (measured ~120 glue ops / ~1.3 ms per gather group) collapses into
+    one launch writing tiles IN PLACE into tier A's output (aliased).
+
+    Scalar-prefetch operands are the concatenated per-tier slot lists
+    (``seg_off`` static segment offsets): tile coordinates, window
+    starts in PADDED space, and the mirror-edge flag.  ``tiers`` is the
+    static ladder [(wy, wx_or_None), ...]; window shapes per tier are
+    static, so every DMA shape is static.  Out-tile writes go through
+    ``out_buf`` with their own semaphores; all copies are drained before
+    the tier section ends.  ``outA_hbm`` is the aliased input (unused
+    ref — the alias makes ``out_hbm`` start as tier A's values)."""
+    del outA_hbm
+    f0 = f0_s[0]
+
+    for t_i, (wy_t, wx_t) in enumerate(tiers):
+        x_full = wx_t is None
+        wxe = wx_full if x_full else wx_t
+        n = counts[t_i]
+        off = seg_off[t_i]
+
+        def win_dma(slot, k, wy_t=wy_t, wxe=wxe, x_full=x_full, off=off):
+            sl = off + k
+            if x_full:
+                c = X_COPIES
+                x128 = 0
+            else:
+                x0 = x0_s[sl]
+                c = (x0 % 128) // X_GRAN
+                x128 = (x0 // 128) * 128
+            return pltpu.make_async_copy(
+                cw_hbm.at[pl.ds(c, 1), pl.ds(f0, F), pl.ds(y0_s[sl], wy_t),
+                          pl.ds(x128, wxe)],
+                win_buf.at[slot, :, :, :wy_t, :wxe], win_sems.at[slot])
+
+        def pos_dma(slot, k, off=off):
+            sl = off + k
+            return pltpu.make_async_copy(
+                folds_hbm.at[:, pl.ds(iy_s[sl] * TILE_R, TILE_R),
+                             pl.ds(jx_s[sl] * TILE_C, TILE_C)],
+                pos_buf.at[slot], pos_sems.at[slot])
+
+        def out_dma(slot, k, off=off):
+            sl = off + k
+            return pltpu.make_async_copy(
+                out_buf.at[slot],
+                out_hbm.at[:, pl.ds(iy_s[sl] * TILE_R, TILE_R),
+                           pl.ds(jx_s[sl] * TILE_C, TILE_C)],
+                out_sems.at[slot])
+
+        flags_ref[t_i, 0] = jnp.int32(0)
+
+        @pl.when(n > 0)
+        def _(n=n, t_i=t_i, off=off, wy_t=wy_t, wxe=wxe, x_full=x_full,
+              win_dma=win_dma, pos_dma=pos_dma, out_dma=out_dma):
+            win_dma(0, 0).start()
+            pos_dma(0, 0).start()
+
+            def step(k, _, t_i=t_i, off=off, wy_t=wy_t, wxe=wxe,
+                     x_full=x_full):
+                slot = (k % 2).astype(jnp.int32)
+                nxt = ((k + 1) % 2).astype(jnp.int32)
+
+                @pl.when(k + 1 < n)
+                def _():
+                    win_dma(nxt, k + 1).start()
+                    pos_dma(nxt, k + 1).start()
+
+                win_dma(slot, k).wait()
+                pos_dma(slot, k).wait()
+
+                # the out DMA issued two iterations ago reused this
+                # buffer row — drain it before overwriting
+                @pl.when(k >= 2)
+                def _():
+                    out_dma(slot, k - 2).wait()
+
+                sl = off + k
+
+                def write_flag(v, t_i=t_i):
+                    flags_ref[t_i, 0] = jnp.maximum(flags_ref[t_i, 0], v)
+
+                y0 = y0_s[sl] - ypad
+                x0 = (jnp.zeros((), jnp.int32) if x_full
+                      else x0_s[sl] - xpad)
+                body(pos_buf.at[slot], win_buf.at[slot, 0, :, :wy_t, :wxe],
+                     out_buf.at[slot], write_flag, y0, x0,
+                     F=F, WY=wy_t, WX=wxe, x_full=x_full,
+                     edge=edge_s[sl], **common)
+                out_dma(slot, k).start()
+                return 0
+
+            jax.lax.fori_loop(0, n, step, 0)
+
+            def drain(k, _):
+                out_dma((k % 2).astype(jnp.int32), k).wait()
+                return 0
+
+            jax.lax.fori_loop(jnp.maximum(n - 2, 0), n, drain, 0)
+
+
 # ---------------------------------------------------------------------------
 # XLA-side routing
 # ---------------------------------------------------------------------------
@@ -736,6 +851,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                         f0=None, nf: int | None = None,
                         raw_prepadded: bool = False,
                         ladder=None, half_tile: bool = True,
+                        engine: str = "blockspec",
                         interpret: bool = False,
                         debug_flags: bool = False):
     """Evaluate F stacked fields at parcel positions — the TPU fast path.
@@ -1182,8 +1298,72 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         overflow = overflow | \
             (jnp.max(flagsA2 * (live2 > 0).astype(jnp.int32)) << 2)
 
-    # ---- escalation tiers: launch + merge under cond, empty → skip ----
+    # ---- escalation tiers ----
     tier_fmaps = []
+    use_engine = engine == "dma" and tier_plan and not debug_flags
+    if use_engine:
+        # manual-DMA engine: one launch for all tiers' live slots,
+        # writing in place into tier A's output (see _engine_kernel)
+        iy_l, jx_l, y0_l, x0_l, ed_l = [], [], [], [], []
+        counts_l = []
+        tiers_static = []
+        seg_off = []
+        off = 0
+        for (selT, cntT, ysT, xsT, wy_, wx_, cap) in tier_plan:
+            iyT = (selT // gx).astype(jnp.int32)
+            jxT = (selT - gx * iyT).astype(jnp.int32)
+            iy_l.append(iyT)
+            jx_l.append(jxT)
+            y0_l.append(ysT[iyT, jxT])
+            x0_l.append(jnp.zeros((cap,), jnp.int32) if xsT is None
+                        else xsT[iyT, jxT])
+            ed_l.append((edge_y_t if wx_ is None else edge_t)[iyT, jxT])
+            counts_l.append(cntT)
+            tiers_static.append((wy_, wx_))
+            seg_off.append(off)
+            off += cap
+        wymax = max(t[0] for t in tiers_static)
+        wxmax = max((wx_full if t[1] is None else t[1])
+                    for t in tiers_static)
+        kern_e = partial(_engine_kernel, body=body, F=F,
+                         tiers=tuple(tiers_static), seg_off=tuple(seg_off),
+                         ypad=ypad, xpad=xpad, wx_full=wx_full,
+                         common=common)
+        T_n = len(tiers_static)
+        out_arr, eflags = pl.pallas_call(
+            kern_e,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=7,
+                grid=(1,),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                          pl.BlockSpec(memory_space=pl.ANY),
+                          pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                           pl.BlockSpec((T_n, 1),
+                                        memory_space=pltpu.SMEM)],
+                scratch_shapes=[
+                    pltpu.VMEM((2, 1, F, wymax, wxmax), dtype),
+                    pltpu.VMEM((2, 2, TILE_R, TILE_C), folds.dtype),
+                    pltpu.VMEM((2, F, TILE_R, TILE_C), dtype),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ]),
+            out_shape=[jax.ShapeDtypeStruct((F, ny_t, nx_t), dtype),
+                       jax.ShapeDtypeStruct((T_n, 1), jnp.int32)],
+            input_output_aliases={9: 0},
+            interpret=interpret,
+            compiler_params=_CPARAMS,
+        )(jnp.stack(counts_l).astype(jnp.int32),
+          jnp.concatenate(iy_l), jnp.concatenate(jx_l),
+          jnp.concatenate(y0_l).astype(jnp.int32),
+          jnp.concatenate(x0_l).astype(jnp.int32),
+          jnp.concatenate(ed_l).astype(jnp.int32), f0_arr,
+          folds, cw_pad, out_arr)
+        for t_i in range(T_n):
+            overflow = overflow | (eflags[t_i, 0] << (5 + t_i))
+        tier_plan = []
+
     for t_i, (selT, cntT, ysT, xsT, wy_, wx_, cap) in enumerate(tier_plan):
         xsT_c = jnp.zeros((gy, gx), jnp.int32) if xsT is None else xsT
 

@@ -14,7 +14,7 @@ from lagrangiancoherence_tpu.ops.pallas_interp import (pad_coeffs_for_pallas,
 
 
 def run_case(ny, nx, order, F, band, retry, wy=48, wx=256, seed=0,
-             displacement="smooth"):
+             displacement="smooth", engine="blockspec"):
     rng = np.random.RandomState(seed)
     lats = np.linspace(-90, 90, ny)
     lons = np.linspace(-180, 180 - 360 / nx, nx)
@@ -44,7 +44,7 @@ def run_case(ny, nx, order, F, band, retry, wy=48, wx=256, seed=0,
         jnp.asarray(fields), cw_pad, jnp.asarray(px), jnp.asarray(py),
         ny=ny, nx=nx, y_min=lats.min(), y_max=lats.max(),
         x_min=lons.min(), x_max=lons.max(), order=order, wy=wy, wx=wx,
-        retry_tiles=retry, interpret=True)
+        retry_tiles=retry, engine=engine, interpret=True)
     return np.asarray(out), int(flag), ref
 
 
@@ -333,3 +333,64 @@ class TestFoldBoundary:
         got = np.asarray(pallas_path(raw, px, py))
         want = np.asarray(xla_path(raw, px, py))
         np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+class TestDmaEngine:
+    """The manual-DMA escalation engine (engine='dma') must be
+    bit-identical to the BlockSpec tier pipeline: same routing, same tile
+    bodies — only the DMA/launch machinery differs (one grid step,
+    fori_loop over live slots, double-buffered make_async_copy windows,
+    in-place aliased output)."""
+
+    @pytest.mark.parametrize("displacement", ["smooth", "violent", "whirl"])
+    def test_engine_matches_blockspec(self, displacement):
+        out_b, flag_b, ref = run_case(64, 256, 3, 2, 2, 256,
+                                      displacement=displacement)
+        out_d, flag_d, _ = run_case(64, 256, 3, 2, 2, 256,
+                                    displacement=displacement,
+                                    engine="dma")
+        assert flag_d == flag_b == 0
+        np.testing.assert_array_equal(out_d, out_b)
+        np.testing.assert_allclose(out_d, ref, atol=1e-10)
+
+    def test_engine_order1(self):
+        out_d, flag_d, ref = run_case(48, 128, 1, 3, 2, 256,
+                                      displacement="violent", engine="dma")
+        assert flag_d == 0
+        np.testing.assert_allclose(out_d, ref, atol=1e-10)
+
+    def test_engine_in_scan(self):
+        """End-to-end SETTLS scan with the engine vs the XLA kernel."""
+        from lagrangiancoherence_tpu.grid import Grid
+        from lagrangiancoherence_tpu.models.settls import \
+            parcel_propagation_core
+
+        ny, nx = 48, 128
+        lats = np.linspace(-90.0, 90.0, ny)
+        lons = np.linspace(-180.0, 180.0 - 360.0 / nx, nx)
+        grid = Grid(lats=lats, lons=lons, cyclic_x=True)
+        LON, LAT = np.meshgrid(np.deg2rad(lons), np.deg2rad(lats))
+        nt = 3
+        t = np.arange(nt)[:, None, None]
+        u = 25.0 * np.cos(LAT)[None] * (1 + 0.1 * np.sin(t))
+        v = (5.0 * np.sin(3 * LON) * np.cos(LAT))[None] \
+            * (1 + 0.1 * np.cos(t))
+        import lagrangiancoherence_tpu.ops.pallas_interp as PI
+        want = parcel_propagation_core(jnp.asarray(u), jnp.asarray(v),
+                                       -6 * 3600.0, grid, settls_order=2,
+                                       kernel="xla", return_overflow=True)
+        orig = PI.pallas_interp_multi
+        PI.pallas_interp_multi = \
+            lambda *a, **k: orig(*a, **{**k, "interpret": True})
+        try:
+            got = parcel_propagation_core(
+                jnp.asarray(u, jnp.float64), jnp.asarray(v, jnp.float64),
+                -6 * 3600.0, grid, settls_order=2, kernel="pallas",
+                pallas_engine="dma", return_overflow=True)
+        finally:
+            PI.pallas_interp_multi = orig
+        assert int(got[2]) == 0
+        np.testing.assert_allclose(np.asarray(got[0]),
+                                   np.asarray(want[0]), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(got[1]),
+                                   np.asarray(want[1]), atol=1e-9)

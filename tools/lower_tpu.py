@@ -41,17 +41,19 @@ def main():
         nt = 33
         order = 4
 
+    engine = "dma" if "--engine=dma" in sys.argv else "blockspec"
     u = jax.ShapeDtypeStruct((nt, ny, nx), jnp.float32)
     for rebin in (False, "sort"):
         t0 = time.time()
         fn = lambda uu, vv: ftle_pipeline(   # noqa: E731
             uu, vv, -6.0 * 3600.0, grid, settls_order=order,
             interp_order=3, kernel="pallas", rebin=rebin,
+            pallas_engine=engine,
             return_overflow=True)
         exp = export.export(jax.jit(fn), platforms=["tpu"])(u, u)
         size = len(exp.mlir_module_serialized)
-        print(f"rebin={rebin!r}: lowered OK, {size/1e6:.1f} MB MLIR, "
-              f"{time.time()-t0:.0f}s", flush=True)
+        print(f"rebin={rebin!r} engine={engine}: lowered OK, "
+              f"{size/1e6:.1f} MB MLIR, {time.time()-t0:.0f}s", flush=True)
 
 
 if __name__ == "__main__":
