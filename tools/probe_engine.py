@@ -1,0 +1,81 @@
+"""A/B the manual-DMA escalation engine on the real flagship scan:
+pallas_engine='blockspec' vs 'dma' — scan time, pipeline fields/s, flags,
+and final-position agreement.
+
+Run: python tools/probe_engine.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from lagrangiancoherence_tpu.grid import global_quarter_degree_grid
+from lagrangiancoherence_tpu.models.settls import parcel_propagation_core
+from lagrangiancoherence_tpu.models.pipeline import ftle_pipeline
+
+
+def flagship_winds(grid, nt=33):
+    LON, LAT = np.meshgrid(np.deg2rad(grid.lons), np.deg2rad(grid.lats))
+    base_u = 25.0 * np.cos(LAT) + 3.0 * np.cos(3 * LON) * np.sin(2 * LAT)
+    base_v = 3.0 * np.sin(3 * LON) * np.cos(2 * LAT)
+    t = np.arange(nt)[:, None, None]
+    u = (base_u[None] * (1.0 + 0.05 * np.sin(2 * np.pi * t / nt))
+         ).astype(np.float32)
+    v = (base_v[None] * (1.0 + 0.05 * np.cos(2 * np.pi * t / nt))
+         ).astype(np.float32)
+    return jnp.asarray(u), jnp.asarray(v)
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    grid = global_quarter_degree_grid()
+    u, v = flagship_winds(grid)
+    res = {}
+    for eng in ("blockspec", "dma"):
+        fn = jax.jit(lambda u, v, eng=eng: parcel_propagation_core(
+            u, v, -6.0 * 3600.0, grid, settls_order=4, interp_order=3,
+            kernel="pallas", pallas_engine=eng, return_overflow=True))
+        t0 = time.perf_counter()
+        px, py, fl = fn(u, v)
+        np.asarray(px)
+        print(f"engine={eng:10} compile+first {time.perf_counter()-t0:6.1f} s",
+              flush=True)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            px, py, fl = fn(u, v)
+        np.asarray(px)
+        dt = (time.perf_counter() - t0) / 3
+        print(f"engine={eng:10} scan {dt*1e3:8.1f} ms  flag={int(fl):#x}",
+              flush=True)
+        res[eng] = (np.asarray(px), np.asarray(py))
+    dx = np.max(np.abs(res["dma"][0] - res["blockspec"][0]))
+    dy = np.max(np.abs(res["dma"][1] - res["blockspec"][1]))
+    print(f"max|dma-blockspec| dx={dx:.3e} dy={dy:.3e}", flush=True)
+
+    for eng in ("blockspec", "dma"):
+        fn = jax.jit(lambda u, v, eng=eng: ftle_pipeline(
+            u, v, -6.0 * 3600.0, grid, settls_order=4, interp_order=3,
+            kernel="pallas", pallas_engine=eng, return_overflow=True))
+        out, fl = fn(u, v)
+        np.asarray(out)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out, fl = fn(u, v)
+        np.asarray(out)
+        dt = (time.perf_counter() - t0) / 3
+        print(f"pipeline engine={eng}: {dt*1e3:8.1f} ms/field "
+              f"({1.0/dt:.3f} fields/s) flag={int(fl):#x}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
