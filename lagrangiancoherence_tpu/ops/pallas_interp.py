@@ -665,10 +665,11 @@ def _list_kernel(n_live, iy, jx, iy_out, y0s, x0s, edges, f0s, pos_ref,
              F=F, WY=WY, WX=WX, x_full=x_full, edge=edges[i], **common)
 
 
-def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, edge_s, f0_s, folds_hbm,
-                   cw_hbm, outA_hbm, out_hbm, flags_ref, win_buf, pos_buf,
-                   out_buf, win_sems, pos_sems, out_sems, *, body, F,
-                   tiers, seg_off, ypad, xpad, wx_full, common):
+def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
+                   folds_hbm, cw_hbm, outA_hbm, out_hbm, flags_ref,
+                   win_buf, pos_buf, out_buf, win_sems, pos_sems,
+                   out_sems, *, body, F, tiers, seg_off, ypad, xpad,
+                   wx_full, common):
     """Manual-DMA escalation engine: ONE grid step services every
     escalation tier's LIVE slots.
 
@@ -694,14 +695,28 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, edge_s, f0_s, folds_hbm,
     del outA_hbm
     f0 = f0_s[0]
 
-    for t_i, (wy_t, wx_t) in enumerate(tiers):
-        x_full = wx_t is None
-        wxe = wx_full if x_full else wx_t
+    for t_i, (kind, wy_t, wx_t) in enumerate(tiers):
+        x_full = wx_t is None and kind == "spline"
+        if kind == "sub":
+            wxe = N_SUB * 128
+        else:
+            wxe = wx_full if x_full else wx_t
         n = counts[t_i]
         off = seg_off[t_i]
 
-        def win_dma(slot, k, wy_t=wy_t, wxe=wxe, x_full=x_full, off=off):
+        def win_dma(slot, k, q, wy_t=wy_t, wxe=wxe, x_full=x_full,
+                    off=off, kind=kind):
             sl = off + k
+            if kind == "sub":
+                x0 = x0q_s[sl, q]
+                c = (x0 % 128) // X_GRAN
+                x128 = (x0 // 128) * 128
+                return pltpu.make_async_copy(
+                    cw_hbm.at[pl.ds(c, 1), pl.ds(f0, F),
+                              pl.ds(y0_s[sl], wy_t), pl.ds(x128, 128)],
+                    win_buf.at[slot, :, :, :wy_t,
+                               128 * q:128 * (q + 1)],
+                    win_sems.at[slot, q])
             if x_full:
                 c = X_COPIES
                 x128 = 0
@@ -712,7 +727,7 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, edge_s, f0_s, folds_hbm,
             return pltpu.make_async_copy(
                 cw_hbm.at[pl.ds(c, 1), pl.ds(f0, F), pl.ds(y0_s[sl], wy_t),
                           pl.ds(x128, wxe)],
-                win_buf.at[slot, :, :, :wy_t, :wxe], win_sems.at[slot])
+                win_buf.at[slot, :, :, :wy_t, :wxe], win_sems.at[slot, 0])
 
         def pos_dma(slot, k, off=off):
             sl = off + k
@@ -731,23 +746,29 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, edge_s, f0_s, folds_hbm,
 
         flags_ref[t_i, 0] = jnp.int32(0)
 
+        qs = range(N_SUB) if kind == "sub" else (0,)
+
         @pl.when(n > 0)
         def _(n=n, t_i=t_i, off=off, wy_t=wy_t, wxe=wxe, x_full=x_full,
-              win_dma=win_dma, pos_dma=pos_dma, out_dma=out_dma):
-            win_dma(0, 0).start()
+              kind=kind, qs=qs, win_dma=win_dma, pos_dma=pos_dma,
+              out_dma=out_dma):
+            for q in qs:
+                win_dma(0, 0, q).start()
             pos_dma(0, 0).start()
 
             def step(k, _, t_i=t_i, off=off, wy_t=wy_t, wxe=wxe,
-                     x_full=x_full):
+                     x_full=x_full, kind=kind, qs=qs):
                 slot = (k % 2).astype(jnp.int32)
                 nxt = ((k + 1) % 2).astype(jnp.int32)
 
                 @pl.when(k + 1 < n)
                 def _():
-                    win_dma(nxt, k + 1).start()
+                    for q in qs:
+                        win_dma(nxt, k + 1, q).start()
                     pos_dma(nxt, k + 1).start()
 
-                win_dma(slot, k).wait()
+                for q in qs:
+                    win_dma(slot, k, q).wait()
                 pos_dma(slot, k).wait()
 
                 # the out DMA issued two iterations ago reused this
@@ -762,12 +783,23 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, edge_s, f0_s, folds_hbm,
                     flags_ref[t_i, 0] = jnp.maximum(flags_ref[t_i, 0], v)
 
                 y0 = y0_s[sl] - ypad
-                x0 = (jnp.zeros((), jnp.int32) if x_full
-                      else x0_s[sl] - xpad)
-                body(pos_buf.at[slot], win_buf.at[slot, 0, :, :wy_t, :wxe],
-                     out_buf.at[slot], write_flag, y0, x0,
-                     F=F, WY=wy_t, WX=wxe, x_full=x_full,
-                     edge=edge_s[sl], **common)
+                if kind == "sub":
+                    _sub_tile_body(
+                        pos_buf.at[slot],
+                        tuple(win_buf.at[slot, 0, :, :wy_t,
+                                         128 * q:128 * (q + 1)]
+                              for q in range(N_SUB)),
+                        out_buf.at[slot], write_flag, y0,
+                        tuple(x0q_s[sl, q] - xpad for q in range(N_SUB)),
+                        F=F, WY=wy_t, edge=edge_s[sl], **common)
+                else:
+                    x0 = (jnp.zeros((), jnp.int32) if x_full
+                          else x0_s[sl] - xpad)
+                    body(pos_buf.at[slot],
+                         win_buf.at[slot, 0, :, :wy_t, :wxe],
+                         out_buf.at[slot], write_flag, y0, x0,
+                         F=F, WY=wy_t, WX=wxe, x_full=x_full,
+                         edge=edge_s[sl], **common)
                 out_dma(slot, k).start()
                 return 0
 
@@ -1214,6 +1246,12 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     # by the cheaper A-half tier are excluded. ----
     liveA = ((fitA | ~covered) & ~fitA2).astype(jnp.int32) \
         * (1 + 2 * edge_t)
+    # engine='dma-all' absorbs tier A itself into the manual-DMA engine
+    # (tier A is ALL-live — ~n_tiles slots per gather group — so if the
+    # engine's per-live-slot cost beats the grid pipeline's per-slot
+    # machinery, the biggest fixed pool moves too); its tiles become the
+    # engine's first section and its in-kernel flag keeps bit 2.
+    absorb_A = engine == "dma-all" and not debug_flags
     kernA = partial(_grid_kernel, body=body, F=F, WY=wy, WX=wx,
                     YPAD=ypad, XPAD=xpad, x_full=False, common=common)
     gridA = pltpu.PrefetchScalarGridSpec(
@@ -1241,19 +1279,24 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                    pl.BlockSpec((gy, gx), lambda i, j, *_: (0, 0),
                                 memory_space=pltpu.SMEM)],
     )
-    outA, flagsA = pl.pallas_call(
-        kernA, grid_spec=gridA,
-        out_shape=[jax.ShapeDtypeStruct((F, ny_t, nx_t), dtype),
-                   jax.ShapeDtypeStruct((gy, gx), jnp.int32)],
-        interpret=interpret,
+    if absorb_A:
+        flagsA = jnp.zeros((gy, gx), jnp.int32)
+        out_arr = jnp.zeros((F, ny_t, nx_t), dtype)
+    else:
+        outA, flagsA = pl.pallas_call(
+            kernA, grid_spec=gridA,
+            out_shape=[jax.ShapeDtypeStruct((F, ny_t, nx_t), dtype),
+                       jax.ShapeDtypeStruct((gy, gx), jnp.int32)],
+            interpret=interpret,
             compiler_params=_CPARAMS,
-    )(liveA, y0A, x0A, f0_arr, folds, cw_pad)
-    overflow = overflow | \
-        (jnp.max(flagsA * (liveA > 0).astype(jnp.int32)) << 2)
-    out_arr = outA
+        )(liveA, y0A, x0A, f0_arr, folds, cw_pad)
+        overflow = overflow | \
+            (jnp.max(flagsA * (liveA > 0).astype(jnp.int32)) << 2)
+        out_arr = outA
 
-    # ---- tier A-sub: 2-D grid over all tiles, gated to fitA2 ----
-    if half_tile:
+    # ---- tier A-sub: 2-D grid over all tiles, gated to fitA2 (absorbed
+    # into the manual-DMA engine with engine='dma-all') ----
+    if half_tile and not absorb_A:
         live2 = fitA2.astype(jnp.int32) * (1 + 2 * edge_t)
         kern2 = partial(_sub_grid_kernel, F=F, WY=wy, YPAD=ypad,
                         XPAD=xpad,
@@ -1300,16 +1343,39 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
 
     # ---- escalation tiers ----
     tier_fmaps = []
-    use_engine = engine == "dma" and tier_plan and not debug_flags
+    use_engine = absorb_A \
+        or (engine == "dma" and tier_plan and not debug_flags)
     if use_engine:
         # manual-DMA engine: one launch for all tiers' live slots,
         # writing in place into tier A's output (see _engine_kernel)
-        iy_l, jx_l, y0_l, x0_l, ed_l = [], [], [], [], []
+        iy_l, jx_l, y0_l, x0_l, x0q_l, ed_l = [], [], [], [], [], []
         counts_l = []
         tiers_static = []
+        flag_bits = []
         seg_off = []
         off = 0
-        for (selT, cntT, ysT, xsT, wy_, wx_, cap) in tier_plan:
+        plan = [("spline", selT, cntT, ysT, xsT, None, wy_, wx_, cap,
+                 5 + t_i)
+                for t_i, (selT, cntT, ysT, xsT, wy_, wx_, cap)
+                in enumerate(tier_plan)]
+        if absorb_A:
+            # pseudo-tiers A (and A-sub) lead: their (all-live) tile
+            # lists come from the liveA / fitA2 masks; flags keep tier
+            # A's bit 2
+            flatA = (liveA > 0).ravel().astype(jnp.int32)
+            selA = jnp.nonzero(flatA, size=n_tiles,
+                               fill_value=0)[0].astype(jnp.int32)
+            pre = [("spline", selA, jnp.sum(flatA), y0A, x0A, None,
+                    wy, wx, n_tiles, 2)]
+            if half_tile:
+                flat2 = fitA2.ravel().astype(jnp.int32)
+                sel2 = jnp.nonzero(flat2, size=n_tiles,
+                                   fill_value=0)[0].astype(jnp.int32)
+                pre.append(("sub", sel2, jnp.sum(flat2), y0A, None,
+                            xs2, wy, None, n_tiles, 2))
+            plan = pre + plan
+        for (kind, selT, cntT, ysT, xsT, xqT, wy_, wx_, cap,
+             bit) in plan:
             iyT = (selT // gx).astype(jnp.int32)
             jxT = (selT - gx * iyT).astype(jnp.int32)
             iy_l.append(iyT)
@@ -1317,13 +1383,18 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             y0_l.append(ysT[iyT, jxT])
             x0_l.append(jnp.zeros((cap,), jnp.int32) if xsT is None
                         else xsT[iyT, jxT])
-            ed_l.append((edge_y_t if wx_ is None else edge_t)[iyT, jxT])
+            x0q_l.append(jnp.zeros((cap, N_SUB), jnp.int32) if xqT is None
+                         else xqT[iyT, jxT])
+            ed_l.append((edge_y_t if (wx_ is None and kind == "spline")
+                         else edge_t)[iyT, jxT])
             counts_l.append(cntT)
-            tiers_static.append((wy_, wx_))
+            tiers_static.append((kind, wy_, wx_))
+            flag_bits.append(bit)
             seg_off.append(off)
             off += cap
-        wymax = max(t[0] for t in tiers_static)
-        wxmax = max((wx_full if t[1] is None else t[1])
+        wymax = max(t[1] for t in tiers_static)
+        wxmax = max((N_SUB * 128 if t[0] == "sub"
+                     else (wx_full if t[2] is None else t[2]))
                     for t in tiers_static)
         kern_e = partial(_engine_kernel, body=body, F=F,
                          tiers=tuple(tiers_static), seg_off=tuple(seg_off),
@@ -1333,7 +1404,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         out_arr, eflags = pl.pallas_call(
             kern_e,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=7,
+                num_scalar_prefetch=8,
                 grid=(1,),
                 in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                           pl.BlockSpec(memory_space=pl.ANY),
@@ -1345,23 +1416,24 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                     pltpu.VMEM((2, 1, F, wymax, wxmax), dtype),
                     pltpu.VMEM((2, 2, TILE_R, TILE_C), folds.dtype),
                     pltpu.VMEM((2, F, TILE_R, TILE_C), dtype),
-                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2, N_SUB)),
                     pltpu.SemaphoreType.DMA((2,)),
                     pltpu.SemaphoreType.DMA((2,)),
                 ]),
             out_shape=[jax.ShapeDtypeStruct((F, ny_t, nx_t), dtype),
                        jax.ShapeDtypeStruct((T_n, 1), jnp.int32)],
-            input_output_aliases={9: 0},
+            input_output_aliases={10: 0},
             interpret=interpret,
             compiler_params=_CPARAMS,
         )(jnp.stack(counts_l).astype(jnp.int32),
           jnp.concatenate(iy_l), jnp.concatenate(jx_l),
           jnp.concatenate(y0_l).astype(jnp.int32),
           jnp.concatenate(x0_l).astype(jnp.int32),
+          jnp.concatenate(x0q_l, axis=0).astype(jnp.int32),
           jnp.concatenate(ed_l).astype(jnp.int32), f0_arr,
           folds, cw_pad, out_arr)
         for t_i in range(T_n):
-            overflow = overflow | (eflags[t_i, 0] << (5 + t_i))
+            overflow = overflow | (eflags[t_i, 0] << flag_bits[t_i])
         tier_plan = []
 
     for t_i, (selT, cntT, ysT, xsT, wy_, wx_, cap) in enumerate(tier_plan):

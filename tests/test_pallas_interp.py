@@ -343,12 +343,13 @@ class TestDmaEngine:
     in-place aliased output)."""
 
     @pytest.mark.parametrize("displacement", ["smooth", "violent", "whirl"])
-    def test_engine_matches_blockspec(self, displacement):
+    @pytest.mark.parametrize("eng", ["dma", "dma-all"])
+    def test_engine_matches_blockspec(self, displacement, eng):
         out_b, flag_b, ref = run_case(64, 256, 3, 2, 2, 256,
                                       displacement=displacement)
         out_d, flag_d, _ = run_case(64, 256, 3, 2, 2, 256,
                                     displacement=displacement,
-                                    engine="dma")
+                                    engine=eng)
         assert flag_d == flag_b == 0
         np.testing.assert_array_equal(out_d, out_b)
         np.testing.assert_allclose(out_d, ref, atol=1e-10)

@@ -41,7 +41,10 @@ def main():
         nt = 33
         order = 4
 
-    engine = "dma" if "--engine=dma" in sys.argv else "blockspec"
+    engine = "blockspec"
+    for a in sys.argv:
+        if a.startswith("--engine="):
+            engine = a.split("=", 1)[1]
     u = jax.ShapeDtypeStruct((nt, ny, nx), jnp.float32)
     for rebin in (False, "sort"):
         t0 = time.time()

@@ -41,7 +41,7 @@ def main():
     grid = global_quarter_degree_grid()
     u, v = flagship_winds(grid)
     res = {}
-    for eng in ("blockspec", "dma"):
+    for eng in ("blockspec", "dma", "dma-all"):
         fn = jax.jit(lambda u, v, eng=eng: parcel_propagation_core(
             u, v, -6.0 * 3600.0, grid, settls_order=4, interp_order=3,
             kernel="pallas", pallas_engine=eng, return_overflow=True))
@@ -62,7 +62,7 @@ def main():
     dy = np.max(np.abs(res["dma"][1] - res["blockspec"][1]))
     print(f"max|dma-blockspec| dx={dx:.3e} dy={dy:.3e}", flush=True)
 
-    for eng in ("blockspec", "dma"):
+    for eng in ("blockspec", "dma", "dma-all"):
         fn = jax.jit(lambda u, v, eng=eng: ftle_pipeline(
             u, v, -6.0 * 3600.0, grid, settls_order=4, interp_order=3,
             kernel="pallas", pallas_engine=eng, return_overflow=True))
