@@ -395,3 +395,16 @@ class TestDmaEngine:
                                    np.asarray(want[0]), atol=1e-9)
         np.testing.assert_allclose(np.asarray(got[1]),
                                    np.asarray(want[1]), atol=1e-9)
+
+
+    @pytest.mark.parametrize("eng", ["dma", "dma-all"])
+    def test_engine_partial_and_tall_grids(self, eng):
+        """Partial last x-tile (nx % 128 != 0) and tall grids through the
+        engine — out-tile DMA offsets and the pseudo-tier masks must
+        respect the padded tiling."""
+        for (ny, nx, disp) in [(73, 144, "shear"), (241, 256, "whirl")]:
+            out, flag, ref = run_case(ny, nx, 3, 2, 2, 256,
+                                      displacement=disp, engine=eng)
+            assert flag == 0, (ny, nx, disp)
+            np.testing.assert_allclose(out, ref, atol=1e-10,
+                                       err_msg=f"{ny}x{nx} {disp}")
