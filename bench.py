@@ -68,11 +68,17 @@ def main():
 
     kernel = "pallas" if any(d.platform != "cpu" for d in jax.devices()) \
         else "xla"
+    # On-device A/B knobs (default = the library defaults): lets the
+    # first-TPU-contact queue flip the kernel engine / parcel re-binning
+    # without code edits, producing the same JSON artifact either way.
+    engine = os.environ.get("LCS_BENCH_ENGINE", "blockspec")
+    rebin = os.environ.get("LCS_BENCH_REBIN", "auto")
 
     def run():
         return ftle_pipeline(u_j, v_j, -6.0 * 3600.0, grid,
                              settls_order=4, interp_order=3,
-                             kernel=kernel, return_overflow=True)
+                             kernel=kernel, rebin=rebin,
+                             pallas_engine=engine, return_overflow=True)
 
     # compile + warmup (materialise to force real execution — device
     # timings without a transfer are async lies under the tunnel)
@@ -129,6 +135,8 @@ def main():
         "vs_north_star": round(fields_per_sec / 1.0, 3),
         "overflow": int(np.asarray(overflow)),
     }
+    if kernel == "pallas" and (engine != "blockspec" or rebin != "auto"):
+        rec["config"] = {"engine": engine, "rebin": rebin}
     if pallas_vs_xla is not None:
         rec["pallas_vs_xla_maxabs"] = pallas_vs_xla
     print(json.dumps(rec))

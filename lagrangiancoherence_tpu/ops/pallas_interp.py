@@ -89,7 +89,7 @@ X_COPIES = 4    # lane-shifted field copies: x window starts at 128/4=32
 X_GRAN = 128 // X_COPIES
 
 
-def pad_coeffs_for_pallas(coeffs: jax.Array):
+def pad_coeffs_for_pallas(coeffs: jax.Array, lean: bool = False):
     """Wrap-pad the coefficient field and build the lane-shifted copies.
 
     ``coeffs``: (..., ny, nx) → (X_COPIES+1, ..., nyp, nxp-128).  Both axes
@@ -137,11 +137,18 @@ def pad_coeffs_for_pallas(coeffs: jax.Array):
     t = wrap_pad(coeffs, coeffs.ndim - 2, ypad, ny)
     t = wrap_pad(t, coeffs.ndim - 1, xpad, nx)
     nxp_c = nx + 2 * xpad - 128
-    copies = [t[..., c * X_GRAN: c * X_GRAN + nxp_c]
-              for c in range(X_COPIES)]
     mir_idx = np.r_[1, 0:nx, nx - 2, nx - 3]          # baked mirrors
     mir_idx = np.pad(mir_idx, (0, nxp_c - mir_idx.size), mode="edge")
     mir = jnp.take(t[..., xpad:xpad + nx], jnp.asarray(mir_idx), axis=-1)
+    if lean:
+        # manual-DMA (engine='dma-all') layout: window DMAs take
+        # arbitrary dynamic lane offsets, so the lane-shifted copies —
+        # which only exist to realise 32-granular starts through
+        # Mosaic's provably-128-aligned Element BlockSpecs — are
+        # unnecessary.  Two slabs: [base, mirror-baked full-x].
+        return jnp.stack([t[..., :nxp_c], mir], axis=0)
+    copies = [t[..., c * X_GRAN: c * X_GRAN + nxp_c]
+              for c in range(X_COPIES)]
     return jnp.stack(copies + [mir], axis=0)
 
 
@@ -669,7 +676,7 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
                    folds_hbm, cw_hbm, outA_hbm, out_hbm, flags_ref,
                    win_buf, pos_buf, out_buf, win_sems, pos_sems,
                    out_sems, *, body, F, tiers, seg_off, ypad, xpad,
-                   wx_full, common):
+                   wx_full, common, lean=False):
     """Manual-DMA escalation engine: ONE grid step services every
     escalation tier's LIVE slots.
 
@@ -709,8 +716,11 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
             sl = off + k
             if kind == "sub":
                 x0 = x0q_s[sl, q]
-                c = (x0 % 128) // X_GRAN
-                x128 = (x0 // 128) * 128
+                if lean:
+                    c, x128 = 0, x0     # arbitrary-offset DMA, one slab
+                else:
+                    c = (x0 % 128) // X_GRAN
+                    x128 = (x0 // 128) * 128
                 return pltpu.make_async_copy(
                     cw_hbm.at[pl.ds(c, 1), pl.ds(f0, F),
                               pl.ds(y0_s[sl], wy_t), pl.ds(x128, 128)],
@@ -718,8 +728,10 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
                                128 * q:128 * (q + 1)],
                     win_sems.at[slot, q])
             if x_full:
-                c = X_COPIES
+                c = 1 if lean else X_COPIES   # mirror-baked slab
                 x128 = 0
+            elif lean:
+                c, x128 = 0, x0_s[sl]
             else:
                 x0 = x0_s[sl]
                 c = (x0 % 128) // X_GRAN
@@ -936,7 +948,13 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     n_tiles = gy * gx
     dtype = raw.dtype
     assert cw_pad.ndim == raw.ndim + 1 and \
-        cw_pad.shape[0] == X_COPIES + 1, (cw_pad.shape, raw.shape)
+        cw_pad.shape[0] in (X_COPIES + 1, 2), (cw_pad.shape, raw.shape)
+    cw_lean = cw_pad.shape[0] == 2
+    if cw_lean and (engine != "dma-all" or debug_flags):
+        raise ValueError(
+            "lean (2-slab) coefficient layout requires engine='dma-all' "
+            "(and debug_flags=False) — the BlockSpec paths need the "
+            "lane-shifted copies")
     assert cw_pad.shape[1] == raw.shape[0], (cw_pad.shape, raw.shape)
     ypad = (cw_pad.shape[-2] - ny) // 2
     # copies are trimmed by 128 lanes (pad_coeffs_for_pallas)
@@ -1399,7 +1417,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         kern_e = partial(_engine_kernel, body=body, F=F,
                          tiers=tuple(tiers_static), seg_off=tuple(seg_off),
                          ypad=ypad, xpad=xpad, wx_full=wx_full,
-                         common=common)
+                         common=common, lean=cw_lean)
         T_n = len(tiers_static)
         out_arr, eflags = pl.pallas_call(
             kern_e,

@@ -14,7 +14,7 @@ from lagrangiancoherence_tpu.ops.pallas_interp import (pad_coeffs_for_pallas,
 
 
 def run_case(ny, nx, order, F, band, retry, wy=48, wx=256, seed=0,
-             displacement="smooth", engine="blockspec"):
+             displacement="smooth", engine="blockspec", lean=False):
     rng = np.random.RandomState(seed)
     lats = np.linspace(-90, 90, ny)
     lons = np.linspace(-180, 180 - 360 / nx, nx)
@@ -39,7 +39,7 @@ def run_case(ny, nx, order, F, band, retry, wy=48, wx=256, seed=0,
         jnp.asarray(fields), jnp.asarray(coeffs), jnp.asarray(px),
         jnp.asarray(py), x_min=lons.min(), x_max=lons.max(),
         y_min=lats.min(), y_max=lats.max(), order=order))
-    cw_pad = pad_coeffs_for_pallas(jnp.asarray(coeffs))
+    cw_pad = pad_coeffs_for_pallas(jnp.asarray(coeffs), lean=lean)
     out, flag = pallas_interp_multi(
         jnp.asarray(fields), cw_pad, jnp.asarray(px), jnp.asarray(py),
         ny=ny, nx=nx, y_min=lats.min(), y_max=lats.max(),
@@ -397,14 +397,34 @@ class TestDmaEngine:
                                    np.asarray(want[1]), atol=1e-9)
 
 
-    @pytest.mark.parametrize("eng", ["dma", "dma-all"])
-    def test_engine_partial_and_tall_grids(self, eng):
+    @pytest.mark.parametrize("displacement", ["smooth", "violent", "whirl"])
+    def test_engine_lean_layout(self, displacement):
+        """engine='dma-all' with the lean 2-slab coefficient layout
+        (no lane-shifted copies; arbitrary-offset window DMAs) must match
+        the 5-slab BlockSpec result bit-for-bit."""
+        out_b, flag_b, ref = run_case(64, 256, 3, 2, 2, 256,
+                                      displacement=displacement)
+        out_l, flag_l, _ = run_case(64, 256, 3, 2, 2, 256,
+                                    displacement=displacement,
+                                    engine="dma-all", lean=True)
+        assert flag_l == flag_b == 0
+        np.testing.assert_array_equal(out_l, out_b)
+        np.testing.assert_allclose(out_l, ref, atol=1e-10)
+
+    def test_lean_layout_requires_dma_all(self):
+        with pytest.raises(ValueError, match="lean"):
+            run_case(64, 256, 3, 2, 2, 256, engine="dma", lean=True)
+
+    @pytest.mark.parametrize("eng,lean", [("dma", False), ("dma-all", False),
+                                          ("dma-all", True)])
+    def test_engine_partial_and_tall_grids(self, eng, lean):
         """Partial last x-tile (nx % 128 != 0) and tall grids through the
         engine — out-tile DMA offsets and the pseudo-tier masks must
         respect the padded tiling."""
         for (ny, nx, disp) in [(73, 144, "shear"), (241, 256, "whirl")]:
             out, flag, ref = run_case(ny, nx, 3, 2, 2, 256,
-                                      displacement=disp, engine=eng)
+                                      displacement=disp, engine=eng,
+                                      lean=lean)
             assert flag == 0, (ny, nx, disp)
             np.testing.assert_allclose(out, ref, atol=1e-10,
                                        err_msg=f"{ny}x{nx} {disp}")

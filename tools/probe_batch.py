@@ -1,0 +1,69 @@
+"""Throughput mode A/B (VERDICT task 5): batch B flagship FTLE fields in
+ONE vmapped program — amortises routing, launch and per-slot fixed costs
+across fields in the animation workload
+(/root/reference/LCS/LCS.py:236-268: one FTLE field per sliding window).
+
+Reports ms/field and fields/s at B in {1, 2, 4}; mind HBM — the padded
+coefficient stack is ~1.3 GB/field-scan with the lean (engine='dma-all')
+layout, ~3.3 GB with the 5-slab BlockSpec layout.
+
+Run: timeout 3000 python tools/probe_batch.py [--engine=dma-all]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from lagrangiancoherence_tpu.grid import global_quarter_degree_grid
+from lagrangiancoherence_tpu.models.pipeline import ftle_pipeline
+from probe_engine import flagship_winds
+
+
+def main():
+    engine = "blockspec"
+    for a in sys.argv:
+        if a.startswith("--engine="):
+            engine = a.split("=", 1)[1]
+    print("devices:", jax.devices(), "engine:", engine, flush=True)
+    grid = global_quarter_degree_grid()
+    u, v = flagship_winds(grid)
+    for B in (1, 2, 4):
+        ub = jnp.broadcast_to(u, (B, *u.shape)) \
+            * (1.0 + 0.01 * jnp.arange(B)[:, None, None, None])
+        vb = jnp.broadcast_to(v, (B, *v.shape)) \
+            * (1.0 + 0.01 * jnp.arange(B)[:, None, None, None])
+        fn = jax.jit(jax.vmap(lambda uu, vv: ftle_pipeline(
+            uu, vv, -6.0 * 3600.0, grid, settls_order=4, interp_order=3,
+            kernel="pallas", pallas_engine=engine, return_overflow=True)))
+        try:
+            t0 = time.perf_counter()
+            out, fl = fn(ub, vb)
+            np.asarray(out)
+            print(f"B={B}: compile+first {time.perf_counter()-t0:6.1f} s",
+                  flush=True)
+            t0 = time.perf_counter()
+            reps = 2
+            for _ in range(reps):
+                out, fl = fn(ub, vb)
+            np.asarray(out)
+            dt = (time.perf_counter() - t0) / reps
+        except Exception as e:  # HBM OOM at high B is expected data
+            print(f"B={B}: FAILED {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
+            continue
+        print(f"B={B}: {dt*1e3/B:8.1f} ms/field ({B/dt:.3f} fields/s) "
+              f"flags={np.asarray(fl).tolist()}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
