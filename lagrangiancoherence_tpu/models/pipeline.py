@@ -30,7 +30,7 @@ def ftle_pipeline(u: jax.Array, v: jax.Array, timestep, grid: Grid, *,
                   rebin="auto", pallas_wy: int = 32, pallas_wx: int = 256,
                   pallas_retry_tiles: int = 256,
                   pallas_retry_wy: int = 64,
-                  pallas_engine: str = "blockspec",
+                  pallas_engine: str = "auto",
                   return_overflow: bool = False):
     """(T, ny, nx) winds → (ny, nx) FTLE norm, fully fused.
 

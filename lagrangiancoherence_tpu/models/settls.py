@@ -216,7 +216,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 pallas_wy: int = 32, pallas_wx: int = 256,
                 pallas_retry_tiles: int = 256,
                 pallas_retry_wy: int = 64,
-                pallas_engine: str = "blockspec"):
+                pallas_engine: str = "auto"):
     """The SETTLS time loop as one ``lax.scan`` over a position *block*.
 
     ``u``/``v``: full (T, ny, nx) winds; ``cu``/``cv``: their prefiltered
@@ -294,7 +294,9 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
     if kernel == "pallas":
         from ..ops.pallas_interp import (POLE_PAD, TILE_C, TILE_R,
                                          pad_coeffs_for_pallas,
-                                         pallas_interp_multi)
+                                         pallas_interp_multi,
+                                         resolve_engine)
+        pallas_engine = resolve_engine(pallas_engine)
         ny, nx = grid.shape
         T = u.shape[0]
         # resident stacks, windowed by TIME inside the kernels' block
@@ -492,7 +494,7 @@ def parcel_propagation_core(u: jax.Array, v: jax.Array, timestep,
                             pallas_wx: int = 256,
                             pallas_retry_tiles: int = 256,
                             pallas_retry_wy: int = 64,
-                            pallas_engine: str = "blockspec",
+                            pallas_engine: str = "auto",
                             return_overflow: bool = False,
                             progress: bool = False):
     """Integrate parcel positions through ``T-1`` SETTLS steps.

@@ -57,6 +57,7 @@ anatomy.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -65,7 +66,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pad_coeffs_for_pallas", "pallas_interp_multi"]
+__all__ = ["pad_coeffs_for_pallas", "pallas_interp_multi",
+           "resolve_engine"]
 
 TILE_R = 8      # home rows per tile
 TILE_C = 128    # home cols per tile
@@ -87,6 +89,18 @@ def _cdiv(a, b):
 
 X_COPIES = 4    # lane-shifted field copies: x window starts at 128/4=32
 X_GRAN = 128 // X_COPIES
+
+# Launch-machinery default: 'blockspec' (per-tier Element-BlockSpec grid
+# pipelines), 'dma' (manual-DMA engine for the escalation tiers) or
+# 'dma-all' (engine absorbs tiers A/A-sub too; lean 2-slab coefficient
+# layout).  Every ``pallas_engine='auto'`` in the stack resolves to this;
+# flip it to the measured winner of the on-device A/B
+# (tools/probe_engine.py).  LCS_PALLAS_ENGINE overrides for experiments.
+DEFAULT_ENGINE = os.environ.get("LCS_PALLAS_ENGINE", "blockspec")
+
+
+def resolve_engine(engine: str) -> str:
+    return DEFAULT_ENGINE if engine == "auto" else engine
 
 
 def pad_coeffs_for_pallas(coeffs: jax.Array, lean: bool = False):
@@ -895,7 +909,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                         f0=None, nf: int | None = None,
                         raw_prepadded: bool = False,
                         ladder=None, half_tile: bool = True,
-                        engine: str = "blockspec",
+                        engine: str = "auto",
                         interpret: bool = False,
                         debug_flags: bool = False):
     """Evaluate F stacked fields at parcel positions — the TPU fast path.
@@ -938,6 +952,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
 
     Returns ``(out (F, rows, nx), overflow int32 scalar)``.
     """
+    engine = resolve_engine(engine)
     F = int(nf) if nf is not None else raw.shape[0]
     f0_arr = (jnp.zeros((1,), jnp.int32) if f0 is None
               else jnp.asarray(f0, jnp.int32).reshape(1))

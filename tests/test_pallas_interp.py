@@ -415,6 +415,23 @@ class TestDmaEngine:
         with pytest.raises(ValueError, match="lean"):
             run_case(64, 256, 3, 2, 2, 256, engine="dma", lean=True)
 
+    def test_engine_auto_resolves_default(self, monkeypatch):
+        """pallas_engine='auto' resolves to ops.pallas_interp.DEFAULT_ENGINE
+        — the one-line flip point once the on-device A/B picks a winner."""
+        import lagrangiancoherence_tpu.ops.pallas_interp as PI
+        seen = {}
+        orig = PI.resolve_engine
+
+        def spy(e):
+            seen["engine"] = orig(e)
+            return seen["engine"]
+
+        monkeypatch.setattr(PI, "resolve_engine", spy)
+        out, flag, ref = run_case(64, 256, 3, 2, 2, 256, engine="auto")
+        assert seen["engine"] == PI.DEFAULT_ENGINE
+        assert flag == 0
+        np.testing.assert_allclose(out, ref, atol=1e-10)
+
     @pytest.mark.parametrize("eng,lean", [("dma", False), ("dma-all", False),
                                           ("dma-all", True)])
     def test_engine_partial_and_tall_grids(self, eng, lean):
