@@ -71,8 +71,19 @@ def main():
     # On-device A/B knobs (default = the library defaults): lets the
     # first-TPU-contact queue flip the kernel engine / parcel re-binning
     # without code edits, producing the same JSON artifact either way.
-    engine = os.environ.get("LCS_BENCH_ENGINE", "blockspec")
-    rebin = os.environ.get("LCS_BENCH_REBIN", "auto")
+    # Precedence: env var > .bench_config.json (written by
+    # tools/probe_engine.py with the measured on-device winner) > default.
+    cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".bench_config.json")
+    cfg = {}
+    if os.path.exists(cfg_path):
+        try:
+            cfg = json.load(open(cfg_path))
+        except Exception:
+            cfg = {}
+    engine = os.environ.get("LCS_BENCH_ENGINE",
+                            cfg.get("engine", "blockspec"))
+    rebin = os.environ.get("LCS_BENCH_REBIN", cfg.get("rebin", "auto"))
 
     def run():
         return ftle_pipeline(u_j, v_j, -6.0 * 3600.0, grid,

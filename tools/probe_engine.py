@@ -62,6 +62,7 @@ def main():
     dy = np.max(np.abs(res["dma"][1] - res["blockspec"][1]))
     print(f"max|dma-blockspec| dx={dx:.3e} dy={dy:.3e}", flush=True)
 
+    pipe = {}
     for eng in ("blockspec", "dma", "dma-all"):
         fn = jax.jit(lambda u, v, eng=eng: ftle_pipeline(
             u, v, -6.0 * 3600.0, grid, settls_order=4, interp_order=3,
@@ -75,6 +76,23 @@ def main():
         dt = (time.perf_counter() - t0) / 3
         print(f"pipeline engine={eng}: {dt*1e3:8.1f} ms/field "
               f"({1.0/dt:.3f} fields/s) flag={int(fl):#x}", flush=True)
+        if int(fl) == 0:
+            pipe[eng] = 1.0 / dt
+
+    # Record the measured winner for bench.py (read when LCS_BENCH_ENGINE
+    # is unset) so an unattended driver bench after a tunnel recovery uses
+    # the best DEVICE-VALIDATED config, never an unmeasured guess.
+    if pipe:
+        import json
+        best = max(pipe, key=pipe.get)
+        rec = {"engine": best,
+               "fields_per_sec": {k: round(v, 4) for k, v in pipe.items()},
+               "source": "tools/probe_engine.py"}
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".bench_config.json")
+        with open(path, "w") as f:
+            json.dump(rec, f)
+        print(f"wrote {path}: engine={best}", flush=True)
 
 
 if __name__ == "__main__":
