@@ -1045,6 +1045,13 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     # narrowest viable base tier.
     wy_cap = ((ny + 2 * ypad) // 8) * 8
     wx_cap = (nxp_c // 128) * 128
+    if ladder is None and os.environ.get("LCS_LADDER"):
+        # on-device cap-tuning hook: JSON [[wy, wx|null, cap], ...]
+        # (null = full-x slab).  Read at trace time — one process per
+        # config, as tools/tpu_contact.sh does.
+        import json
+        ladder = [(int(w), None if x is None else int(x), int(c))
+                  for w, x, c in json.loads(os.environ["LCS_LADDER"])]
     if ladder is None:
         # capacities: a tier launch costs its DMA/grid machinery per
         # SLOT, live or dead, so caps are sized ~2x the flagship's
