@@ -85,16 +85,43 @@ def main():
                             cfg.get("engine", "blockspec"))
     rebin = os.environ.get("LCS_BENCH_REBIN", cfg.get("rebin", "auto"))
 
-    def run():
-        return ftle_pipeline(u_j, v_j, -6.0 * 3600.0, grid,
-                             settls_order=4, interp_order=3,
-                             kernel=kernel, rebin=rebin,
-                             pallas_engine=engine, return_overflow=True)
+    def make_run(eng, reb):
+        def run():
+            return ftle_pipeline(u_j, v_j, -6.0 * 3600.0, grid,
+                                 settls_order=4, interp_order=3,
+                                 kernel=kernel, rebin=reb,
+                                 pallas_engine=eng, return_overflow=True)
+        return run
 
-    # compile + warmup (materialise to force real execution — device
-    # timings without a transfer are async lies under the tunnel)
-    out, overflow = run()
-    oh = np.asarray(out)
+    # Proven-config fallback: a green artifact at a conservative config
+    # beats rc=1 at an ambitious one.  If the preferred config fails
+    # device-compile (VMEM/regalloc on untested tiers), retry with the
+    # round-2 device-validated setup: blockspec engine, the pre-shrink
+    # fat ladder, tier A-sub off.  Env knobs are read at trace time, so
+    # setting them before the retry re-traces into the safe config.
+    FALLBACK_LADDER = ("[[64,null,384],[32,384,384],[64,384,256],"
+                       "[32,512,192],[64,512,192],[128,768,96],"
+                       "[32,null,256],[64,null,96],[192,null,32]]")
+    run = make_run(engine, rebin)
+    fallback = False
+    try:
+        # compile + warmup (materialise to force real execution — device
+        # timings without a transfer are async lies under the tunnel)
+        out, overflow = run()
+        oh = np.asarray(out)
+    except Exception as e:  # noqa: BLE001 — bisect to the proven config
+        if kernel != "pallas":
+            raise
+        import sys
+        print(f"bench: preferred config failed ({type(e).__name__}: "
+              f"{str(e)[:200]}); retrying round-2-proven config",
+              file=sys.stderr, flush=True)
+        os.environ["LCS_LADDER"] = FALLBACK_LADDER
+        os.environ["LCS_HALF_TILE"] = "0"
+        engine, rebin, fallback = "blockspec", False, True
+        run = make_run(engine, rebin)
+        out, overflow = run()
+        oh = np.asarray(out)
     assert np.isfinite(oh[2:-2]).all(), "non-finite FTLE"
 
     reps = 3
@@ -109,8 +136,7 @@ def main():
     # TPU-mode numerics record: max |pallas - xla| over one F=4 gather
     # group at the flagship departure points (the Mosaic-compiled kernel's
     # committed accuracy artifact; tests only cover interpret mode).
-    pallas_vs_xla = None
-    if kernel == "pallas":
+    def pallas_numerics_record():
         from lagrangiancoherence_tpu.models.settls import (
             parcel_propagation_core)
         from lagrangiancoherence_tpu.ops.interp import (
@@ -129,8 +155,17 @@ def main():
             **bounds))(raw, cw, px, py)
         want = jax.jit(lambda r, c, a, b: interp_at_parcels_multi(
             r, c, a, b, order=3, **bounds))(raw, cw, px, py)
-        pallas_vs_xla = float(np.max(np.abs(np.asarray(got)
-                                            - np.asarray(want))))
+        return float(np.max(np.abs(np.asarray(got) - np.asarray(want))))
+
+    pallas_vs_xla = None
+    if kernel == "pallas":
+        try:
+            pallas_vs_xla = pallas_numerics_record()
+        except Exception as e:  # noqa: BLE001 — the timing is the headline;
+            # a failed secondary record must not turn a green bench rc=1
+            import sys
+            print(f"bench: numerics record failed ({type(e).__name__}: "
+                  f"{str(e)[:200]})", file=sys.stderr, flush=True)
 
     # vs_baseline: speedup over the reference implementation's measured cost
     # for the identical workload (scipy map_coordinates path, single-core
@@ -146,8 +181,10 @@ def main():
         "vs_north_star": round(fields_per_sec / 1.0, 3),
         "overflow": int(np.asarray(overflow)),
     }
-    if kernel == "pallas" and (engine != "blockspec" or rebin != "auto"):
-        rec["config"] = {"engine": engine, "rebin": rebin}
+    if kernel == "pallas" and (engine != "blockspec" or rebin != "auto"
+                               or fallback):
+        rec["config"] = {"engine": engine, "rebin": rebin,
+                         "fallback": fallback}
     if pallas_vs_xla is not None:
         rec["pallas_vs_xla_maxabs"] = pallas_vs_xla
     print(json.dumps(rec))

@@ -1116,8 +1116,12 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     # (wy, 128) window starts (see _sub_tile_body); y uses tier A's
     # window/starts. ----
     # retry_tiles=0 callers expect pure-tier-A behavior (unfit tiles
-    # clamp and flag); keep A-sub under the same switch
-    half_tile = half_tile and retry_tiles > 0
+    # clamp and flag); keep A-sub under the same switch.  LCS_HALF_TILE=0
+    # is the on-device bisection hook (bench.py fallback, tpu_contact.sh):
+    # A-sub has device-compile risk the blockspec tiers don't, so it must
+    # be disableable without a code edit.  Read at trace time.
+    half_tile = (half_tile and retry_tiles > 0
+                 and os.environ.get("LCS_HALF_TILE", "1") != "0")
     fitA2 = jnp.zeros((gy, gx), bool)
     if half_tile:
         xt = xfold.reshape(gy, TILE_R, gx, N_SUB, _SUBW)
