@@ -39,11 +39,14 @@ def main():
     import jax.numpy as jnp
 
     # persistent compile cache: the flagship scan takes ~3 min to compile
-    # through the TPU tunnel; cache so repeated bench runs skip it
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    # through the TPU tunnel; cache so repeated bench runs skip it.
+    # TPU executables only — XLA:CPU AOT serialization crashes on this
+    # host (CLAUDE.md gotchas), so never cache a CPU-backend run.
+    if any(d.platform != "cpu" for d in jax.devices()):
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from lagrangiancoherence_tpu.grid import Grid, global_quarter_degree_grid
     from lagrangiancoherence_tpu.models.pipeline import ftle_pipeline

@@ -19,8 +19,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: the SETTLS scan bodies are large graphs and
-# XLA:CPU compiles them slowly; caching makes re-runs fast.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# NO persistent compilation cache on CPU: this jaxlib's XLA:CPU AOT
+# serialization records compile-machine features (+prefer-no-gather, ...)
+# that the host loader rejects — small entries reload with a SIGILL
+# warning, large ones (the pallas/scan bodies) segfault on deserialize or
+# CHECK-fail on serialize (observed 2026-08-18: suite rc=139 in
+# get_executable_and_time, rc=134 in put_executable_and_time).  Cold
+# compiles cost ~2x suite time but cannot crash the process.  The TPU-side
+# cache (bench.py, tests_tpu/, tools/) serializes TPU executables and is
+# unaffected.

@@ -60,8 +60,15 @@ def random_case(seed):
     return ny, nx, order, F, lats, lons, fields, px, py
 
 
-@pytest.mark.parametrize("seed", range(8))
-@pytest.mark.parametrize("engine", ["blockspec", "dma-all"])
+_CASES = ([("blockspec", s) for s in range(8)]
+          + [("dma-all", s) for s in range(8)]
+          # 'dma' shares dma-all's machinery for the escalation tiers and
+          # differs only in keeping tier A on blockspec — 4 seeds bound
+          # the suite cost while still crossing every ladder tier
+          + [("dma", s) for s in range(4)])
+
+
+@pytest.mark.parametrize("engine,seed", _CASES)
 def test_random_parity(seed, engine):
     ny, nx, order, F, lats, lons, fields, px, py = random_case(seed)
     coeffs = np.asarray(prefilter(jnp.asarray(fields), order=order))

@@ -30,7 +30,17 @@ from probe_engine import flagship_winds
 
 
 def main():
+    # default to the device-measured winner recorded by probe_engine.py
+    # (the contact queue runs that first); --engine= overrides
     engine = "blockspec"
+    cfg_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".bench_config.json")
+    if os.path.exists(cfg_path):
+        try:
+            import json
+            engine = json.load(open(cfg_path)).get("engine", engine)
+        except Exception:
+            pass
     for a in sys.argv:
         if a.startswith("--engine="):
             engine = a.split("=", 1)[1]

@@ -7,6 +7,23 @@
 # Usage: bash tools/tpu_contact.sh [--skip-health]
 cd "$(dirname "$0")/.." || exit 1
 log() { echo "== $* $(date -u +%H:%M:%S)"; }
+# A step killed mid-cache-write (timeout rc=124) or segfaulting on a
+# poisoned entry (rc=139) can corrupt the shared .jax_cache and take every
+# later step down with it (see CLAUDE.md gotchas) — wipe it between steps
+# when that happens.  Costs one recompile (~3 min), saves the queue.
+guard_cache() { # $1 = rc of the step that just ran
+  if [ "$1" = "124" ] || [ "$1" = "137" ] || [ "$1" = "139" ]; then
+    log "rc=$1 — wiping .jax_cache defensively"
+    rm -rf .jax_cache
+    # a killed TPU program wedges the tunnel 5-20 min — wait for it to
+    # answer a tiny op again before burning the next step's timeout
+    for i in $(seq 1 12); do
+      timeout 120 python -c "import jax,numpy as np,jax.numpy as jnp; np.asarray(jnp.ones((8,128))*2)" >/dev/null 2>&1 && { log "tunnel recovered (try $i)"; return; }
+      sleep 60
+    done
+    log "tunnel still wedged after ~24 min; continuing anyway"
+  fi
+}
 
 if [ "$1" != "--skip-health" ]; then
   log "health probe"
@@ -16,33 +33,33 @@ fi
 
 log "1/7 bench.py (default config)"
 timeout 3000 python bench.py >/tmp/contact_bench.out 2>&1
-log "bench rc=$?"; grep -v WARNING /tmp/contact_bench.out | tail -2
+rc=$?; log "bench rc=$rc"; grep -v WARNING /tmp/contact_bench.out | tail -2; guard_cache "$rc"
 
 log "2/7 tests_tpu (device parity)"
 timeout 2400 python -m pytest tests_tpu/ -x -q >/tmp/contact_tests.out 2>&1
-log "tests_tpu rc=$?"; tail -3 /tmp/contact_tests.out
+rc=$?; log "tests_tpu rc=$rc"; tail -3 /tmp/contact_tests.out; guard_cache "$rc"
 
 log "3/7 probe_engine (blockspec vs dma vs dma-all)"
 timeout 3600 python -u tools/probe_engine.py >/tmp/contact_engine.out 2>&1
-log "engine rc=$?"; grep -v WARNING /tmp/contact_engine.out | tail -8
+rc=$?; log "engine rc=$rc"; grep -v WARNING /tmp/contact_engine.out | tail -8; guard_cache "$rc"
 
 log "4/7 probe_deadslot + probe_dma (slot-cost model)"
 timeout 1200 python -u tools/probe_deadslot.py >/tmp/contact_dead.out 2>&1
-log "deadslot rc=$?"; tail -4 /tmp/contact_dead.out
+rc=$?; log "deadslot rc=$rc"; tail -4 /tmp/contact_dead.out; guard_cache "$rc"
 timeout 1200 python -u tools/probe_dma.py >/tmp/contact_dma.out 2>&1
-log "dma rc=$?"; tail -4 /tmp/contact_dma.out
+rc=$?; log "dma rc=$rc"; tail -4 /tmp/contact_dma.out; guard_cache "$rc"
 
 log "5/7 probe_sort (sort-binning A/B)"
 timeout 3600 python -u tools/probe_sort.py >/tmp/contact_sort.out 2>&1
-log "sort rc=$?"; grep -v WARNING /tmp/contact_sort.out | tail -6
+rc=$?; log "sort rc=$rc"; grep -v WARNING /tmp/contact_sort.out | tail -6; guard_cache "$rc"
 
 log "6/7 probe_batch (vmap throughput, best engine per step 3)"
 timeout 3000 python -u tools/probe_batch.py >/tmp/contact_batch.out 2>&1
-log "batch rc=$?"; grep -v WARNING /tmp/contact_batch.out | tail -5
+rc=$?; log "batch rc=$rc"; grep -v WARNING /tmp/contact_batch.out | tail -5; guard_cache "$rc"
 
 log "7/7 probe_sharded (1-dev mesh overhead)"
 timeout 3000 python -u tools/probe_sharded.py >/tmp/contact_sharded.out 2>&1
-log "sharded rc=$?"; grep -v WARNING /tmp/contact_sharded.out | tail -4
+rc=$?; log "sharded rc=$rc"; grep -v WARNING /tmp/contact_sharded.out | tail -4; guard_cache "$rc"
 
 log "queue done"
 touch /tmp/tpu_contact_done
