@@ -303,10 +303,13 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
         # specs (f0 = first field index = 2*t): no per-step dynamic
         # slicing/concat of the ~200 MB padded coefficients — formerly
         # ~100 ms/field of pure HBM copying on the flagship.
-        # engine='dma-all' takes the lean 2-slab layout (arbitrary-offset
-        # manual DMAs need no lane-shifted copies): ~2.5x less HBM for
-        # the resident padded stack
-        CWP = pad_coeffs_for_pallas(CW, lean=pallas_engine == "dma-all")
+        # The lean 2-slab layout needed arbitrary-offset (32-granular)
+        # manual-DMA x starts, but Mosaic requires HBM memref_slice lane
+        # starts PROVABLY divisible by 128 (device-verified 2026-08-19:
+        # "failed to prove tile index divisible" at pl.multiple_of(x,32);
+        # compiles at 128) — so every engine uses the lane-shifted-copy
+        # layout with (copy, 128-aligned start) decomposed offsets.
+        CWP = pad_coeffs_for_pallas(CW)
         CWP = CWP.reshape(CWP.shape[0], T * 2, *CWP.shape[3:])
         ny_tf = -(-ny // TILE_R) * TILE_R       # pole-path raw padding
         nx_t = -(-nx // TILE_C) * TILE_C

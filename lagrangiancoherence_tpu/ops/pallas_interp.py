@@ -728,16 +728,29 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
         def win_dma(slot, k, q, wy_t=wy_t, wxe=wxe, x_full=x_full,
                     off=off, kind=kind):
             sl = off + k
+            # Mosaic must PROVE HBM slice starts divisible by the (8,128)
+            # memref tiling; scalar-prefetched starts carry no such fact
+            # (device compile fails "Failed to prove that a tile index in
+            # dimension 1 is divisible by the tiling (8)"), so assert what
+            # the routing guarantees: y starts 8-aligned, x starts
+            # X_GRAN-aligned (lean) / 128-aligned (copy-decomposed).
+            y0 = pl.multiple_of(y0_s[sl], 8)
             if kind == "sub":
-                x0 = x0q_s[sl, q]
+                # x0q is FLAT (slot*N_SUB + q): a 2-D (slots, N_SUB) SMEM
+                # operand is lane-padded to 128 ints/row, and at
+                # engine='dma-all' slot counts that blows the 1 MiB SMEM
+                # budget ("Allocation (size=1650688) would exceed memory
+                # (size=1048576) ... prefetched SMEM operand 5")
+                x0 = x0q_s[sl * N_SUB + q]
                 if lean:
-                    c, x128 = 0, x0     # arbitrary-offset DMA, one slab
+                    # arbitrary-offset DMA, one slab
+                    c, x128 = 0, pl.multiple_of(x0, X_GRAN)
                 else:
                     c = (x0 % 128) // X_GRAN
-                    x128 = (x0 // 128) * 128
+                    x128 = pl.multiple_of((x0 // 128) * 128, 128)
                 return pltpu.make_async_copy(
                     cw_hbm.at[pl.ds(c, 1), pl.ds(f0, F),
-                              pl.ds(y0_s[sl], wy_t), pl.ds(x128, 128)],
+                              pl.ds(y0, wy_t), pl.ds(x128, 128)],
                     win_buf.at[slot, :, :, :wy_t,
                                128 * q:128 * (q + 1)],
                     win_sems.at[slot, q])
@@ -745,13 +758,13 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
                 c = 1 if lean else X_COPIES   # mirror-baked slab
                 x128 = 0
             elif lean:
-                c, x128 = 0, x0_s[sl]
+                c, x128 = 0, pl.multiple_of(x0_s[sl], X_GRAN)
             else:
                 x0 = x0_s[sl]
                 c = (x0 % 128) // X_GRAN
-                x128 = (x0 // 128) * 128
+                x128 = pl.multiple_of((x0 // 128) * 128, 128)
             return pltpu.make_async_copy(
-                cw_hbm.at[pl.ds(c, 1), pl.ds(f0, F), pl.ds(y0_s[sl], wy_t),
+                cw_hbm.at[pl.ds(c, 1), pl.ds(f0, F), pl.ds(y0, wy_t),
                           pl.ds(x128, wxe)],
                 win_buf.at[slot, :, :, :wy_t, :wxe], win_sems.at[slot, 0])
 
@@ -816,7 +829,8 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
                                          128 * q:128 * (q + 1)]
                               for q in range(N_SUB)),
                         out_buf.at[slot], write_flag, y0,
-                        tuple(x0q_s[sl, q] - xpad for q in range(N_SUB)),
+                        tuple(x0q_s[sl * N_SUB + q] - xpad
+                              for q in range(N_SUB)),
                         F=F, WY=wy_t, edge=edge_s[sl], **common)
                 else:
                     x0 = (jnp.zeros((), jnp.int32) if x_full
@@ -1473,7 +1487,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
           jnp.concatenate(iy_l), jnp.concatenate(jx_l),
           jnp.concatenate(y0_l).astype(jnp.int32),
           jnp.concatenate(x0_l).astype(jnp.int32),
-          jnp.concatenate(x0q_l, axis=0).astype(jnp.int32),
+          jnp.concatenate(x0q_l, axis=0).astype(jnp.int32).reshape(-1),
           jnp.concatenate(ed_l).astype(jnp.int32), f0_arr,
           folds, cw_pad, out_arr)
         for t_i in range(T_n):

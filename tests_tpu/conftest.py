@@ -25,7 +25,10 @@ import sys
 import pytest
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_PROBE_TIMEOUT = float(os.environ.get("TPU_PROBE_TIMEOUT", "120"))
+# Backend init through a cold axon tunnel takes ~110-180 s; the 02:18
+# contact-queue run skipped all device tests because the probe timed out
+# at 120 s while the tunnel was still warming.
+_PROBE_TIMEOUT = float(os.environ.get("TPU_PROBE_TIMEOUT", "360"))
 
 import jax  # noqa: E402
 

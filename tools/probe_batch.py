@@ -4,8 +4,9 @@ across fields in the animation workload
 (/root/reference/LCS/LCS.py:236-268: one FTLE field per sliding window).
 
 Reports ms/field and fields/s at B in {1, 2, 4}; mind HBM — the padded
-coefficient stack is ~1.3 GB/field-scan with the lean (engine='dma-all')
-layout, ~3.3 GB with the 5-slab BlockSpec layout.
+5-slab coefficient stack is ~3.3 GB/field-scan (every engine; the lean
+layout's arbitrary-offset DMAs turned out not to compile on device), so
+B=4 approaches the v5e's 16 GB.
 
 Run: timeout 3000 python tools/probe_batch.py [--engine=dma-all]
 """

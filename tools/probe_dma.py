@@ -88,8 +88,14 @@ def dma_engine_kernel(nl, iy, jx, iy_out, y0s, x0s, pos_hbm, win_hbm,
     nb = 2  # buffers
 
     def win_dma(slot, k):
+        # Mosaic must PROVE the HBM slice start divisible by the (8,128)
+        # tiling — scalar-prefetched starts carry no such fact, so assert
+        # it (the routing builds them 8/128-aligned).  Without this the
+        # device compile fails: "Failed to prove that a tile index in
+        # dimension 1 is divisible by the tiling (8)".
         return pltpu.make_async_copy(
-            win_hbm.at[:, pl.ds(y0s[k], WY), pl.ds(x0s[k], WX)],
+            win_hbm.at[:, pl.ds(pl.multiple_of(y0s[k], 8), WY),
+                       pl.ds(pl.multiple_of(x0s[k], 128), WX)],
             win_buf.at[slot], sems.at[slot])
 
     def pos_dma(slot, k):
