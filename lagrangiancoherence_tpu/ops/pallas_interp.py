@@ -687,34 +687,53 @@ def _list_kernel(n_live, iy, jx, iy_out, y0s, x0s, edges, f0s, pos_ref,
 
 
 def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
-                   folds_hbm, cw_hbm, outA_hbm, out_hbm, flags_ref,
-                   win_buf, pos_buf, out_buf, win_sems, pos_sems,
-                   out_sems, *, body, F, tiers, seg_off, ypad, xpad,
-                   wx_full, common, lean=False):
+                   folds_ref, cw_hbm, outA_ref, out_ref, flags_ref,
+                   win_buf, win_sems, *, body, F, tiers, seg_off, ypad,
+                   xpad, wx_full, common, nb=2, lean=False):
     """Manual-DMA escalation engine: ONE grid step services every
-    escalation tier's LIVE slots.
+    escalation tier's LIVE slots — VMEM-resident edition.
 
     The BlockSpec tier pipeline costs its DMA/grid machinery per
-    CAPACITY slot — dead slots pay ~3 us each even though their index
-    maps repeat slot 0 (tools/probe_deadslot.py measured the escalation
-    pool at capacity x per-slot cost, live-count-independent).  Here the
-    window source stays in HBM (`pl.ANY`) and an in-kernel
-    ``fori_loop(0, counts[t])`` per tier issues double-buffered
-    ``make_async_copy`` windows for live slots only, so capacity margins
-    are free and the per-tier launch + cond + full-array merge chain
-    (measured ~120 glue ops / ~1.3 ms per gather group) collapses into
-    one launch writing tiles IN PLACE into tier A's output (aliased).
+    CAPACITY slot — dead slots pay ~1.6 us each even though their index
+    maps repeat slot 0 (tools/probe_deadslot.py).  Here an in-kernel
+    ``fori_loop(0, counts[t])`` per tier touches LIVE slots only, so
+    capacity margins are free and the per-tier launch + cond +
+    full-array merge chain collapses into one launch.
+
+    The v1 engine paid THREE DMA round-trips per live slot (window in,
+    position tile in, output tile out): the device trace measured
+    ~7.6 us/slot on the flagship — DMA issue + semaphore latency, not
+    bandwidth.  The folds and the output are small enough to live
+    entirely in VMEM at flagship scale ((2, ny_t, nx_t) ~9 MB and
+    (F, ny_t, nx_t) ~18 MB of the v5e's 128 MB), so v2 keeps them as
+    full-block VMEM operands: position reads and output writes become
+    dynamically-offset VMEM accesses (tile offsets are provably 8/128-
+    aligned — products of TILE_R/TILE_C), and per-slot DMA traffic
+    collapses to the ONE data-dependent window copy, prefetched
+    ``nb`` slots ahead so its latency hides behind the tile body.
 
     Scalar-prefetch operands are the concatenated per-tier slot lists
     (``seg_off`` static segment offsets): tile coordinates, window
     starts in PADDED space, and the mirror-edge flag.  ``tiers`` is the
     static ladder [(wy, wx_or_None), ...]; window shapes per tier are
-    static, so every DMA shape is static.  Out-tile writes go through
-    ``out_buf`` with their own semaphores; all copies are drained before
-    the tier section ends.  ``outA_hbm`` is the aliased input (unused
-    ref — the alias makes ``out_hbm`` start as tier A's values)."""
-    del outA_hbm
+    static, so every DMA shape is static.  ``out_ref`` starts as a copy
+    of ``outA_ref`` (tier A's output for engine='dma'; zeros for
+    'dma-all', where the engine's own sections write every tile), so
+    un-escalated tiles pass through unchanged."""
     f0 = f0_s[0]
+    # pass-through base: one whole-array VMEM copy replaces the v1
+    # aliased-HBM in-place writes
+    out_ref[...] = outA_ref[...]
+
+    def pos_view(sl):
+        return folds_ref.at[
+            :, pl.ds(pl.multiple_of(iy_s[sl] * TILE_R, TILE_R), TILE_R),
+            pl.ds(pl.multiple_of(jx_s[sl] * TILE_C, TILE_C), TILE_C)]
+
+    def out_view(sl):
+        return out_ref.at[
+            :, pl.ds(pl.multiple_of(iy_s[sl] * TILE_R, TILE_R), TILE_R),
+            pl.ds(pl.multiple_of(jx_s[sl] * TILE_C, TILE_C), TILE_C)]
 
     for t_i, (kind, wy_t, wx_t) in enumerate(tiers):
         x_full = wx_t is None and kind == "spline"
@@ -768,53 +787,32 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
                           pl.ds(x128, wxe)],
                 win_buf.at[slot, :, :, :wy_t, :wxe], win_sems.at[slot, 0])
 
-        def pos_dma(slot, k, off=off):
-            sl = off + k
-            return pltpu.make_async_copy(
-                folds_hbm.at[:, pl.ds(iy_s[sl] * TILE_R, TILE_R),
-                             pl.ds(jx_s[sl] * TILE_C, TILE_C)],
-                pos_buf.at[slot], pos_sems.at[slot])
-
-        def out_dma(slot, k, off=off):
-            sl = off + k
-            return pltpu.make_async_copy(
-                out_buf.at[slot],
-                out_hbm.at[:, pl.ds(iy_s[sl] * TILE_R, TILE_R),
-                           pl.ds(jx_s[sl] * TILE_C, TILE_C)],
-                out_sems.at[slot])
-
         flags_ref[t_i, 0] = jnp.int32(0)
 
         qs = range(N_SUB) if kind == "sub" else (0,)
 
         @pl.when(n > 0)
         def _(n=n, t_i=t_i, off=off, wy_t=wy_t, wxe=wxe, x_full=x_full,
-              kind=kind, qs=qs, win_dma=win_dma, pos_dma=pos_dma,
-              out_dma=out_dma):
-            for q in qs:
-                win_dma(0, 0, q).start()
-            pos_dma(0, 0).start()
+              kind=kind, qs=qs, win_dma=win_dma):
+            # prologue: fill the nb-deep window prefetch ring
+            for b in range(nb - 1):
+                @pl.when(b < n)
+                def _(b=b):
+                    for q in qs:
+                        win_dma(b % nb, b, q).start()
 
             def step(k, _, t_i=t_i, off=off, wy_t=wy_t, wxe=wxe,
                      x_full=x_full, kind=kind, qs=qs):
-                slot = (k % 2).astype(jnp.int32)
-                nxt = ((k + 1) % 2).astype(jnp.int32)
+                slot = jax.lax.rem(k, jnp.asarray(nb, k.dtype))
 
-                @pl.when(k + 1 < n)
+                @pl.when(k + nb - 1 < n)
                 def _():
                     for q in qs:
-                        win_dma(nxt, k + 1, q).start()
-                    pos_dma(nxt, k + 1).start()
+                        win_dma(jax.lax.rem(k + nb - 1, jnp.asarray(nb, k.dtype)),
+                                k + nb - 1, q).start()
 
                 for q in qs:
                     win_dma(slot, k, q).wait()
-                pos_dma(slot, k).wait()
-
-                # the out DMA issued two iterations ago reused this
-                # buffer row — drain it before overwriting
-                @pl.when(k >= 2)
-                def _():
-                    out_dma(slot, k - 2).wait()
 
                 sl = off + k
 
@@ -824,32 +822,25 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
                 y0 = y0_s[sl] - ypad
                 if kind == "sub":
                     _sub_tile_body(
-                        pos_buf.at[slot],
+                        pos_view(sl),
                         tuple(win_buf.at[slot, 0, :, :wy_t,
                                          128 * q:128 * (q + 1)]
                               for q in range(N_SUB)),
-                        out_buf.at[slot], write_flag, y0,
+                        out_view(sl), write_flag, y0,
                         tuple(x0q_s[sl * N_SUB + q] - xpad
                               for q in range(N_SUB)),
                         F=F, WY=wy_t, edge=edge_s[sl], **common)
                 else:
                     x0 = (jnp.zeros((), jnp.int32) if x_full
                           else x0_s[sl] - xpad)
-                    body(pos_buf.at[slot],
+                    body(pos_view(sl),
                          win_buf.at[slot, 0, :, :wy_t, :wxe],
-                         out_buf.at[slot], write_flag, y0, x0,
+                         out_view(sl), write_flag, y0, x0,
                          F=F, WY=wy_t, WX=wxe, x_full=x_full,
                          edge=edge_s[sl], **common)
-                out_dma(slot, k).start()
                 return 0
 
             jax.lax.fori_loop(0, n, step, 0)
-
-            def drain(k, _):
-                out_dma((k % 2).astype(jnp.int32), k).wait()
-                return 0
-
-            jax.lax.fori_loop(jnp.maximum(n - 2, 0), n, drain, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -1454,35 +1445,43 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         wxmax = max((N_SUB * 128 if t[0] == "sub"
                      else (wx_full if t[2] is None else t[2]))
                     for t in tiers_static)
+        # window-prefetch ring depth: per-slot cost is DMA-latency-bound
+        # (the body is ~2-6 us), so prefetch a couple of slots ahead
+        nb_e = int(os.environ.get("LCS_ENGINE_NB", "3"))
         kern_e = partial(_engine_kernel, body=body, F=F,
                          tiers=tuple(tiers_static), seg_off=tuple(seg_off),
                          ypad=ypad, xpad=xpad, wx_full=wx_full,
-                         common=common, lean=cw_lean)
+                         common=common, nb=nb_e, lean=cw_lean)
         T_n = len(tiers_static)
+        # folds and the output stay resident in VMEM for the whole
+        # launch (~9 + 2*18 MB at flagship scale) — see _engine_kernel.
+        _ECPARAMS = pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024)
         out_arr, eflags = pl.pallas_call(
             kern_e,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=8,
                 grid=(1,),
-                in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                in_specs=[pl.BlockSpec((2, ny_t, nx_t),
+                                       lambda *_: (0, 0, 0),
+                                       memory_space=pltpu.VMEM),
                           pl.BlockSpec(memory_space=pl.ANY),
-                          pl.BlockSpec(memory_space=pl.ANY)],
-                out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                          pl.BlockSpec((F, ny_t, nx_t),
+                                       lambda *_: (0, 0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=[pl.BlockSpec((F, ny_t, nx_t),
+                                        lambda *_: (0, 0, 0),
+                                        memory_space=pltpu.VMEM),
                            pl.BlockSpec((T_n, 1),
                                         memory_space=pltpu.SMEM)],
                 scratch_shapes=[
-                    pltpu.VMEM((2, 1, F, wymax, wxmax), dtype),
-                    pltpu.VMEM((2, 2, TILE_R, TILE_C), folds.dtype),
-                    pltpu.VMEM((2, F, TILE_R, TILE_C), dtype),
-                    pltpu.SemaphoreType.DMA((2, N_SUB)),
-                    pltpu.SemaphoreType.DMA((2,)),
-                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.VMEM((nb_e, 1, F, wymax, wxmax), dtype),
+                    pltpu.SemaphoreType.DMA((nb_e, N_SUB)),
                 ]),
             out_shape=[jax.ShapeDtypeStruct((F, ny_t, nx_t), dtype),
                        jax.ShapeDtypeStruct((T_n, 1), jnp.int32)],
-            input_output_aliases={10: 0},
             interpret=interpret,
-            compiler_params=_CPARAMS,
+            compiler_params=_ECPARAMS,
         )(jnp.stack(counts_l).astype(jnp.int32),
           jnp.concatenate(iy_l), jnp.concatenate(jx_l),
           jnp.concatenate(y0_l).astype(jnp.int32),
