@@ -101,11 +101,27 @@ _SORT_K = 2        # re-bin every K steps
 _SORT_BX = 32      # spatial key block width (cells)
 # consolidated escalation ladder for sort-binned runs: group-pinned
 # x-sorting leaves y spans as-stored (<=~50) and collapses x spans, so a
-# cheap y-tier plus small-cap wide/full-x tiers cover everything — the
-# default 9-tier ladder's ~1900 capacity slots cost DMA/grid machinery
-# per slot even when dead (tools/probe_deadslot.py)
-_SORT_LADDER = ((64, 256, 128), (32, 512, 64), (64, 512, 96),
-                (32, None, 24), (64, None, 32), (192, None, 8))
+# cheap y-tier plus wide/full-x tiers cover everything.  Capacities are
+# generous: under the manual-DMA engine dead slots are FREE (live-only
+# fori_loop), and the first on-device sort run with the old tight caps
+# (128/64/96/24/32/8) overflowed mid-scan (flag 0x6 — uncovered tiles
+# keep clamped values), corrupting positions by hundreds of cells.
+_SORT_LADDER = ((64, 256, 512), (32, 512, 256), (64, 512, 256),
+                (32, None, 96), (64, None, 96), (192, None, 32))
+
+
+def _sort_ladder():
+    """Sort-mode escalation ladder, overridable per process with
+    LCS_SORT_LADDER (JSON [[wy, wx|null, cap], ...]) for on-device cap
+    tuning — the generic LCS_LADDER hook only applies when the ladder
+    argument is None, which sort mode never passes."""
+    import json
+    import os
+    env = os.environ.get("LCS_SORT_LADDER")
+    if env:
+        return tuple((int(w), None if x is None else int(x), int(c))
+                     for w, x, c in json.loads(env))
+    return _SORT_LADDER
 
 
 def _sort_bands(grid: Grid, order: int):
@@ -339,7 +355,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 retry_tiles=pallas_retry_tiles,
                 retry_wy=pallas_retry_wy,
                 home_rows=home_rows,
-                ladder=_SORT_LADDER if sort_mode else None,
+                ladder=_sort_ladder() if sort_mode else None,
                 engine=pallas_engine,
                 f0=2 * t, nf=nf, raw_prepadded=True)
     else:
