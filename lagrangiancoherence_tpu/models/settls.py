@@ -290,11 +290,15 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
     # tools/census_binned.py).  Single-chip pallas full-grid final-
     # positions path only; the un-sort permutation rides the carry.
     sort_ok = (kernel == "pallas" and home_rows is None
-               and px0.shape == grid.shape and not return_traj
+               and px0.shape == grid.shape
                and not debug_per_step)
     sort_bands = _sort_bands(grid, interp_order) if sort_ok else []
     if rebin == "auto":
-        rebin = False      # flipped to "sort" pending TPU A/B validation
+        # device A/B (tools/probe_sort.py, v5e 2026-08-19, dma-all engine):
+        # sort 1501 ms/field vs off 1804 — sort-binning is the default
+        # wherever it applies (sort_ok); non-qualifying paths fall through
+        # to the plain layout below.
+        rebin = "sort"
     sort_mode = rebin == "sort" and sort_ok and bool(sort_bands)
     if rebin == "sort" and not sort_mode:
         rebin = False
@@ -442,7 +446,14 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
             px, py = _clamp_wrap(px, py, **bounds)
 
         if return_traj:
-            out = (px, py, flag) if debug_per_step else (px, py)
+            if sort_mode:
+                # each stored step must be in home-storage layout: undo
+                # the cumulative band sort on a COPY of the positions
+                # (one cheap lax.sort per band; the carry stays binned)
+                opx, opy = _unsort_bands((px, py), perm, sort_bands, grid)
+            else:
+                opx, opy = px, py
+            out = (opx, opy, flag) if debug_per_step else (opx, opy)
             if rebin:
                 out = out + (shift,)
         else:

@@ -92,11 +92,13 @@ X_GRAN = 128 // X_COPIES
 
 # Launch-machinery default: 'blockspec' (per-tier Element-BlockSpec grid
 # pipelines), 'dma' (manual-DMA engine for the escalation tiers) or
-# 'dma-all' (engine absorbs tiers A/A-sub too; lean 2-slab coefficient
-# layout).  Every ``pallas_engine='auto'`` in the stack resolves to this;
-# flip it to the measured winner of the on-device A/B
-# (tools/probe_engine.py).  LCS_PALLAS_ENGINE overrides for experiments.
-DEFAULT_ENGINE = os.environ.get("LCS_PALLAS_ENGINE", "blockspec")
+# 'dma-all' (engine absorbs tiers A/A-sub too).  Every
+# ``pallas_engine='auto'`` in the stack resolves to this.  Measured on
+# v5e (tools/probe_engine.py + probe_sort.py, 2026-08-19): dma-all
+# 1803 ms flagship scan vs dma 1889 vs blockspec 2013, and 1501 ms with
+# the sort-binning default — 'dma-all' is the device-validated winner.
+# LCS_PALLAS_ENGINE overrides for experiments.
+DEFAULT_ENGINE = os.environ.get("LCS_PALLAS_ENGINE", "dma-all")
 
 
 def resolve_engine(engine: str) -> str:

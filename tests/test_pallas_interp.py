@@ -274,6 +274,50 @@ class TestSortBinning:
                                    atol=1e-12)
         assert int(fl_s) == 0 and int(fl_n) == 0
 
+    def test_sort_mode_return_traj_layout_invariant(self):
+        """Sort mode with return_traj=True: every stored step must come
+        out in home-storage layout (the per-step _unsort_bands emission in
+        settls_scan), matching the unbinned trajectory to f64 rounding."""
+        from lagrangiancoherence_tpu.grid import Grid
+        from lagrangiancoherence_tpu.models import settls
+        from lagrangiancoherence_tpu.models.settls import \
+            parcel_propagation_core
+        import lagrangiancoherence_tpu.ops.pallas_interp as PI
+
+        ny, nx = 97, 128
+        lats = np.linspace(-90.0, 90.0, ny)
+        lons = np.linspace(-180.0, 180.0 - 360.0 / nx, nx)
+        grid = Grid(lats=lats, lons=lons, cyclic_x=True)
+        assert settls._sort_bands(grid, 3)
+        LON, LAT = np.meshgrid(np.deg2rad(lons), np.deg2rad(lats))
+        nt = 4
+        t = np.arange(nt)[:, None, None]
+        u = jnp.asarray((20.0 * np.cos(LAT) + 2.0 * np.cos(3 * LON)
+                         * np.sin(2 * LAT))[None] * (1 + 0.05 * np.sin(t)))
+        v = jnp.asarray((2.0 * np.sin(3 * LON) * np.cos(2 * LAT))[None]
+                        * (1 + 0.05 * np.cos(t)))
+
+        orig = PI.pallas_interp_multi
+        PI.pallas_interp_multi = \
+            lambda *a, **k: orig(*a, **{**k, "interpret": True})
+        try:
+            res = {}
+            for rb in ("sort", False):
+                res[rb] = parcel_propagation_core(
+                    u, v, -6 * 3600.0, grid, settls_order=1,
+                    kernel="pallas", rebin=rb, return_traj=True,
+                    return_overflow=True)
+        finally:
+            PI.pallas_interp_multi = orig
+        tx_s, ty_s, fl_s = res["sort"]
+        tx_n, ty_n, fl_n = res[False]
+        assert tx_s.shape == (nt, ny, nx)
+        np.testing.assert_allclose(np.asarray(tx_s), np.asarray(tx_n),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(ty_s), np.asarray(ty_n),
+                                   atol=1e-12)
+        assert int(fl_s) == 0 and int(fl_n) == 0
+
     def test_to_tile_storage_tiles_hold_consecutive_ranks(self):
         """_to_tile_storage maps rank r to storage so that every kernel
         tile ((8,128) block of the (rows, nx) grid, last x-tile partial)
