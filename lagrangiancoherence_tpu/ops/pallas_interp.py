@@ -72,8 +72,9 @@ __all__ = ["pad_coeffs_for_pallas", "pallas_interp_multi",
 TILE_R = 8      # home rows per tile
 TILE_C = 128    # home cols per tile
 # raw-slab row padding beyond the tile-rounded field: wrap-replicated
-# rows that let the merged N+S pole block remap south-seam reads up by
-# +ny (pole routing below).  Rounded so ny + pad stays 8-aligned for
+# rows that give the sorted-slot pole windows clip headroom near the
+# field top (the pole path uses raw indices and never selects a wrap
+# row with nonzero weight).  Rounded so ny + pad stays 8-aligned for
 # every ny; must match the prepadded-raw contract in models/settls.py.
 POLE_PAD = 48
 _M = TILE_R * TILE_C
@@ -99,6 +100,16 @@ X_GRAN = 128 // X_COPIES
 # the sort-binning default — 'dma-all' is the device-validated winner.
 # LCS_PALLAS_ENGINE overrides for experiments.
 DEFAULT_ENGINE = os.environ.get("LCS_PALLAS_ENGINE", "dma-all")
+
+# Pole-path y-window ladder (rows, each rounded to a multiple of 8):
+# level 1 runs EVERY y0-sorted point slot, taller levels run the
+# compacted residue, the last level clamps + raises the overflow flag.
+# Sorted slots span ~a dozen rows on realistic flows (flagship census:
+# 81% of slots fit 16 rows, 100% fit 160), so level 1 carries almost all
+# of the work at ~1/10 the MXU cost of a 160-row window.  Tunable via
+# LCS_POLE_LADDER="16,160,288" for on-device experiments.
+POLE_LADDER = tuple(max(8, (int(s) // 8) * 8) for s in os.environ.get(
+    "LCS_POLE_LADDER", "16,160,288").split(","))
 
 
 def resolve_engine(engine: str) -> str:
@@ -535,29 +546,23 @@ def _sub_grid_kernel(live_s, y0s, x0q, f0s, pos_ref, w0, w1, w2, w3,
 
 
 def _pole_block_body(yc, xc, vmask, mask, win_ref, out_ref, write_flag,
-                     y0, *, F, ny, nx, WY, WXS, nyc=None, TR=TILE_R):
-    """Order-1 mode='constant' evaluation for the compact pole-row block
-    (/root/reference/LCS/tools.py:31-39): direct (unfolded) indices on the
-    RAW field, out-of-range → 0.  ``yc``/``xc`` are the CLIPPED direct
-    float indices and ``vmask`` the in-range value mask, all computed
-    ONCE by the XLA routing pass (recomputing them here from raw
-    positions can slip a floor vs the routing spans — the same
-    excess-precision hazard as the spline path).  The x window is always
-    the full slab (``WXS`` >= nx), so only the y window can clamp;
-    ``mask`` (TR, TC) selects the block rows that are real pole home rows
-    — only their clamps raise the flag (padding/non-pole candidate rows
-    are discarded by the caller's ``is_pole`` scatter).
-
-    ``TR``: candidate block rows — TILE_R for the per-side fallback,
-    2*TILE_R for the merged N+S block.  ``nyc``: the floor-clip bound
-    matching the routing pass (ny for raw indices; ny + wrap-pad for the
-    merged block's south-seam-remapped indices — see the merged pole
-    routing in ``pallas_interp_multi``)."""
+                     y0, *, F, ny, nx, WY, WXS, TR=TILE_R):
+    """Order-1 mode='constant' evaluation for one (TR, TILE_C) block of
+    pole-row points (/root/reference/LCS/tools.py:31-39): direct
+    (unfolded) indices on the RAW field, out-of-range → 0.  ``yc``/``xc``
+    are the CLIPPED direct float indices and ``vmask`` the in-range value
+    mask, all computed ONCE by the XLA routing pass (recomputing them
+    here from raw positions can slip a floor vs the routing spans — the
+    same excess-precision hazard as the spline path).  The x window is
+    always the full slab (``WXS`` >= nx), so only the y window can clamp;
+    ``mask`` (TR, TC) selects the entries that are real pole points —
+    only their clamps raise the flag (pad-rank / non-pole candidate
+    entries are discarded by the caller's unsort + ``is_pole``
+    scatter)."""
     dtype = out_ref.dtype
     cdt = yc.dtype
-    nyc = ny if nyc is None else nyc
 
-    oy = jnp.clip(jnp.floor(yc), 0, nyc - 2).astype(jnp.int32) - y0
+    oy = jnp.clip(jnp.floor(yc), 0, ny - 2).astype(jnp.int32) - y0
     bad = (oy < 0) | (oy > WY - 2)
     over = jnp.any(bad & (mask > 0)).astype(jnp.int32)
     write_flag(over)
@@ -612,13 +617,11 @@ def _grid_kernel(live_s, y0s, x0s, f0s, pos_ref, win_ref, out_ref,
 
 def _pole_grid_kernel(y0s, f0s, pk_ref, win_ref, out_ref, flag_ref, *,
                       F, WY, WXS, common):
-    """Pole level-1 pass: (gx,) grid over column tiles with the north and
-    south candidate blocks MERGED into one 2*TILE_R-row block.  The two
-    sides' direct y indices sit at opposite ends of the field, but the
-    wrap-padded raw slab (rows ny..ny+pad replicate rows 0..pad) lets the
-    XLA routing remap south-seam indices up by +ny, so ONE window near
-    the top of the slab covers both sides — half the pole-slab DMAs of
-    the former (2, gx) per-side grid."""
+    """Pole level-1 pass: (S,) grid over the y0-SORTED point slots (one
+    (TILE_R, TILE_C)-point block per slot).  Sorting by y0 makes each
+    slot span a handful of consecutive field rows, so a short window
+    suffices no matter how chaotically the pole rows' y positions have
+    diverged (the one-hot-matmul cost is ∝ WY, see _pole_block_body)."""
     j = pl.program_id(0)
 
     def write_flag(v):
@@ -626,33 +629,12 @@ def _pole_grid_kernel(y0s, f0s, pk_ref, win_ref, out_ref, flag_ref, *,
 
     _pole_block_body(pk_ref[0], pk_ref[1], pk_ref[2], pk_ref[3],
                      win_ref, out_ref, write_flag, y0s[j],
-                     F=F, WY=WY, WXS=WXS, TR=2 * TILE_R, **common)
+                     F=F, WY=WY, WXS=WXS, **common)
 
 
 def _pole_list_kernel(n_live, jx, jx_out, y0s, f0s, pk_ref, win_ref,
                       out_ref, flag_ref, *, F, WY, WXS, common):
-    """Merged-block pole escalation pass over a compacted column-tile
-    list; dead slots repeat slot 0's blocks and write the garbage column
-    block."""
-    i = pl.program_id(0)
-    flag_ref[i, 0] = jnp.int32(0)
-
-    @pl.when(i < n_live[0])
-    def _():
-        def write_flag(v):
-            flag_ref[i, 0] = v
-
-        _pole_block_body(pk_ref[0], pk_ref[1], pk_ref[2], pk_ref[3],
-                         win_ref, out_ref, write_flag, y0s[i],
-                         F=F, WY=WY, WXS=WXS, TR=2 * TILE_R, **common)
-
-
-def _pole_side_kernel(n_live, iy, jx, iy_out, y0s, f0s, pk_ref, win_ref,
-                      out_ref, flag_ref, *, F, WY, WXS, common):
-    """Per-side fallback pass over a compacted (side, column-tile) list
-    with RAW (unremapped) y indices — runs the rare tiles whose merged
-    span exceeds the wrapped levels (e.g. south pole rows drifted past
-    the wrap pad).  Channel 4 of the pack holds the raw clipped y.  Dead
+    """Sorted-slot pole escalation pass over a compacted slot list; dead
     slots repeat slot 0's blocks and write the garbage row block."""
     i = pl.program_id(0)
     flag_ref[i, 0] = jnp.int32(0)
@@ -662,7 +644,7 @@ def _pole_side_kernel(n_live, iy, jx, iy_out, y0s, f0s, pk_ref, win_ref,
         def write_flag(v):
             flag_ref[i, 0] = v
 
-        _pole_block_body(pk_ref[4], pk_ref[1], pk_ref[2], pk_ref[3],
+        _pole_block_body(pk_ref[0], pk_ref[1], pk_ref[2], pk_ref[3],
                          win_ref, out_ref, write_flag, y0s[i],
                          F=F, WY=WY, WXS=WXS, **common)
 
@@ -1060,24 +1042,44 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         ladder = [(int(w), None if x is None else int(x), int(c))
                   for w, x, c in json.loads(os.environ["LCS_LADDER"])]
     if ladder is None:
-        # capacities: a tier launch costs its DMA/grid machinery per
-        # SLOT, live or dead, so caps are sized ~2x the flagship's
-        # per-step maxima with tier A-sub active (offline plan census,
-        # max taken [342, 37, 31, 27, 27, 44, 39, 85, 0]); overflow
-        # spills down the ladder (the full-x tiers hold any x span), so
-        # tighter caps trade a rare extra escalation hop, never
-        # exactness
-        ladder = [
-            (64, wx, 384),          # y-stretched
-            (32, 384, 96),          # x-stretched mild
-            (64, 384, 96),          # both mild
-            (32, retry_wx, 64),     # x-stretched
-            (retry_wy, retry_wx, 64),   # both
-            (128, 768, 96),         # violent
-            (32, None, 96),         # polar full-circle
-            (64, None, 128),
-            (192, None, 16),        # polar + tall (rare)
-        ]
+        # capacities: a BLOCKSPEC tier launch costs its DMA/grid
+        # machinery per SLOT, live or dead (~1.6 us/dead slot measured),
+        # so blockspec caps are sized ~2x the flagship's per-step maxima
+        # with tier A-sub active (offline plan census, max taken
+        # [342, 37, 31, 27, 27, 44, 39, 85, 0]); overflow spills down
+        # the ladder (the full-x tiers hold any x span), so tighter caps
+        # trade a rare extra escalation hop, never exactness.  The
+        # manual-DMA engines iterate LIVE slots only (dead capacity is
+        # free — probe_dma: 0.42 ms fixed at n_live=0), so their caps
+        # scale with the tile count instead: arbitrary flows (not just
+        # the drift-accumulated flagship) must route without raising
+        # overflow — e.g. an instant full-circle polar whirl escalates
+        # hundreds of tiles in ONE step (tests_tpu flagship gather).
+        if engine in ("dma", "dma-all"):
+            n = n_tiles
+            ladder = [
+                (64, wx, max(384, n // 2)),      # y-stretched
+                (32, 384, max(96, n // 4)),      # x-stretched mild
+                (64, 384, max(96, n // 4)),      # both mild
+                (32, retry_wx, max(64, n // 8)),     # x-stretched
+                (retry_wy, retry_wx, max(64, n // 8)),   # both
+                (128, 768, max(96, n // 4)),     # violent
+                (32, None, max(96, n // 2)),     # polar full-circle
+                (64, None, max(128, n // 2)),
+                (192, None, max(16, n // 4)),    # polar + tall
+            ]
+        else:
+            ladder = [
+                (64, wx, 384),          # y-stretched
+                (32, 384, 96),          # x-stretched mild
+                (64, 384, 96),          # both mild
+                (32, retry_wx, 64),     # x-stretched
+                (retry_wy, retry_wx, 64),   # both
+                (128, 768, 96),         # violent
+                (32, None, 96),         # polar full-circle
+                (64, None, 128),
+                (192, None, 16),        # polar + tall (rare)
+            ]
     ladder = [(min(wy_, wy_cap),
                None if wx_ is None else min(wx_, wx_cap), cap)
               for wy_, wx_, cap in ladder]
@@ -1517,43 +1519,45 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         overflow = overflow | (resid << (5 + t_i))
 
     # ---- pole-home rows: order-1 mode='constant' on the raw fields,
-    # keyed on HOME row (/root/reference/LCS/tools.py:31-39).  The at most
-    # 2*order pole rows are evaluated as ONE compact TILE_R-row candidate
-    # block (the first/last `order` block rows — shards hold contiguous
-    # home-row ranges, so no other block row can be a pole home row) under
-    # a 2-level y-ladder of full-longitude slabs.  Full-x is structural
-    # here: pole-row positions are decorrelated over the whole circle (the
-    # 1/cos conv_x blowup, /root/reference/LCS/trajectory.py:56), while
-    # their y positions are integrator-clamped and drift slowly. ----
+    # keyed on HOME row (/root/reference/LCS/tools.py:31-39).  The
+    # 2*order pole home rows are evaluated as flat per-side point lists
+    # SORTED by y0 (the floor of the clipped direct y index): each
+    # (TILE_R, TILE_C)-point slot of a sorted list spans a handful of
+    # consecutive field rows, so a SHORT full-longitude window serves it
+    # regardless of how chaotically the rows' y positions diverge over
+    # the integration.  Full-x is structural (pole x positions are
+    # decorrelated over the whole circle — the 1/cos conv_x blowup,
+    # /root/reference/LCS/trajectory.py:56); the one-hot-matmul cost is
+    # M*WXS*F*WY per slot, so the y window height is the ONLY cost
+    # lever — sorting holds it at POLE_LADDER[0] instead of the
+    # O(drift) spans of the home-layout blocks (the former merged-N+S
+    # slab ladder escalated to 288-row windows in ~80% of flagship
+    # steps once rows drifted past its wrap pad: ~0.3-0.4 s/field). ----
     pole_flag = jnp.zeros((), jnp.int32)
     if order > 0:
-        # candidate block rows for the (at most 2*order) pole HOME rows:
-        # shards hold a contiguous home-row range starting at
-        # home_rows[0], so home row h lives at block row h - home_rows[0]
-        # — blocks may be row-PADDED at the end, so "last `order` block
-        # rows" would miss the trailing pole rows.  A candidate only
-        # counts (mask_b) when its home row actually matches; clipped /
-        # out-of-shard candidates evaluate harmlessly and are discarded
-        # by the is_pole scatter.
-        exp_n = np.r_[0:order][:order]
+        # candidate block rows for the 2*order pole HOME rows: shards
+        # hold a contiguous home-row range starting at home_rows[0], so
+        # home row h lives at block row h - home_rows[0].  A candidate
+        # only counts (mask_b) when its home row actually matches;
+        # clipped / out-of-shard candidates evaluate harmlessly (the
+        # clipped block row's positions are valid field positions) and
+        # are discarded by the is_pole scatter.  Duplicated candidates
+        # (ny <= 2*order, or shard clipping) evaluate identical values,
+        # so their overlapping scatter writes are benign.
         exp_s = np.r_[max(ny - order, 0):ny]
-        exp2 = jnp.asarray(np.stack([
-            np.pad(exp_n, (0, TILE_R - exp_n.size), mode="edge"),
-            np.pad(exp_s, (0, TILE_R - exp_s.size), mode="edge")]),
-            jnp.int32)                            # (2, TILE_R) home rows
+        exp_s = np.pad(exp_s, (0, order - exp_s.size), mode="edge")
+        exp2 = jnp.asarray(np.stack([np.r_[0:order], exp_s]), jnp.int32)
         hr0 = (jnp.zeros((), jnp.int32) if home_rows is None
                else home_rows[0, 0].astype(jnp.int32))
-        idx2 = jnp.clip(exp2 - hr0, 0, R - 1)     # (2, TILE_R) block rows
-        px_b = jnp.pad(jnp.take(px, idx2.ravel(), axis=0),
-                       ((0, 0), (0, nx_t - nx)), mode="edge")
-        py_b = jnp.pad(jnp.take(py, idx2.ravel(), axis=0),
-                       ((0, 0), (0, nx_t - nx)), mode="edge")
+        idx2 = jnp.clip(exp2 - hr0, 0, R - 1)     # (2, order) block rows
+        px_b = jnp.take(px, idx2.ravel(), axis=0)      # (2*order, nx)
+        py_b = jnp.take(py, idx2.ravel(), axis=0)
         if home_rows is None:
             hr_b = idx2
         else:
             hr_b = jnp.take(home_rows[:, 0].astype(jnp.int32),
-                            idx2.ravel()).reshape(2, TILE_R)
-        mask_b = (hr_b == exp2).astype(px_b.dtype)
+                            idx2.ravel()).reshape(2, order)
+        mask_b = hr_b == exp2                     # (2, order)
 
         ny_tf = _cdiv(ny, TILE_R) * TILE_R     # field-side row tiling
         pad_rows = ny_tf + POLE_PAD - ny
@@ -1562,32 +1566,18 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             assert raw.shape[-2:] == (ny_p, nx_t), (raw.shape, ny_p, nx_t)
             raw_p = raw
         else:
-            # y-WRAP padding: slab rows ny..ny_p replicate field rows
-            # 0..pad (mod ny for tiny grids) — the merged N+S pole block
-            # reads south-seam candidates through these rows (below)
+            # y-wrap padding (slab rows ny..ny_p replicate field rows
+            # 0..pad): unread by the raw-index pole windows (taps clip
+            # to yc <= ny-1 and the row-(ny-y0) linear weight is 0 when
+            # yc == ny-1 exactly), but keeps the raw_prepadded slab
+            # contract and gives tall windows clip headroom
+            # (ys <= ny_p - WY)
             wrap = jnp.take(raw, jnp.arange(pad_rows) % ny, axis=1)
             raw_p = jnp.pad(jnp.concatenate([raw, wrap], axis=1),
                             ((0, 0), (0, 0), (0, nx_t - nx)))
         ycapP = (ny_p // 8) * 8
-        wy_p = min(max(wyc, 16), ycapP)
-        wy_p2 = min(3 * wy_p, ycapP)
-        wy_p3 = min(9 * wy_p, ycapP)
+        wy1, wy2, wy3 = (min(w, ycapP) for w in POLE_LADDER)
 
-        # ---- merged N+S routing.  The two sides' direct y indices sit
-        # at opposite ends of the field, so historically they ran as a
-        # (2, gx) grid of separate slabs.  With the y-wrap-padded slab,
-        # south-seam indices (yc < pad-1, taps contained in the wrapped
-        # rows) remap up by +ny, putting both sides' reads in one narrow
-        # row band near the slab top: ONE (F, wy_p, nx_t) window per
-        # column tile serves the merged 2*TILE_R-row candidate block —
-        # half the pole DMAs.  Candidates drifted past the wrap pad keep
-        # raw indices; such tiles fail the merged fits and fall through
-        # to the per-side fallback level (raw indices, channel 4).
-        # Spans are +-1-cell conservative (1-ulp floor concern, _fits)
-        # and use the SAME clip bound as the kernel, so bounds cannot
-        # flip.  Non-pole candidate rows are masked out of the spans;
-        # their values are discarded by the is_pole scatter and their
-        # in-kernel flags are masked off. ----
         from .interp import scale_positions
         xi_b, yi_b = scale_positions(px_b, py_b, x_min=x_min, x_max=x_max,
                                      y_min=y_min, y_max=y_max,
@@ -1598,216 +1588,178 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         xc_b = jnp.clip(xi_b, 0.0, float(nx - 1))
         vm_b = ((yi_b >= 0) & (yi_b <= ny - 1)
                 & (xi_b >= 0) & (xi_b <= nx - 1)).astype(px_b.dtype)
-        nyc_m = ny + pad_rows
-        yc_m = jnp.where(yc_b < float(pad_rows - 1), yc_b + ny, yc_b)
+        mk_b = jnp.broadcast_to(mask_b[:, :, None], (2, order, nx)
+                                ).astype(px_b.dtype).reshape(2 * order, nx)
 
-        mrow_m = (mask_b > 0).reshape(2 * TILE_R)[:, None, None]
-        y0m = jnp.clip(jnp.floor(yc_m), 0, nyc_m - 2).astype(jnp.int32)
-        y0mt = y0m.reshape(2 * TILE_R, gx, TILE_C)
-        kymn = jnp.clip(jnp.min(jnp.where(mrow_m, y0mt, nyc_m),
-                                axis=(0, 2)) - 1, 0, nyc_m - 2)
-        kymx = jnp.clip(jnp.max(jnp.where(mrow_m, y0mt, -1),
-                                axis=(0, 2)) + 1, 0, nyc_m - 2)
-        kymn = jnp.minimum(kymn, kymx)            # (gx,)
-        # raw per-side spans for the fallback level
-        y0r_f = jnp.clip(jnp.floor(yc_b), 0, ny - 2).astype(jnp.int32)
-        y0rt = y0r_f.reshape(2, TILE_R, gx, TILE_C)
-        mrow = (mask_b > 0)[:, :, None, None]
-        kymn_r = jnp.clip(jnp.min(jnp.where(mrow, y0rt, ny),
-                                  axis=(1, 3)) - 1, 0, ny - 2)
-        kymx_r = jnp.clip(jnp.max(jnp.where(mrow, y0rt, -1),
-                                  axis=(1, 3)) + 1, 0, ny - 2)
-        kymn_r = jnp.minimum(kymn_r, kymx_r)      # (2, gx)
+        # ---- flat per-side point lists, sorted by y0.  Pad ranks
+        # replicate the side's last point (mode='edge'): they evaluate a
+        # real point's values (discarded on unsort) and can only raise
+        # flags that point itself would raise. ----
+        Ms = order * nx                        # real points per side
+        Mpad = _cdiv(Ms, TILE_R * TILE_C) * (TILE_R * TILE_C)
+        ns = Mpad // (TILE_R * TILE_C)
+        S = 2 * ns                             # total (8,128) point slots
 
-        # one packed operand: merged indices, raw indices, value mask and
-        # the pole-row flag mask — a single DMA per pole tile
-        mask_w = jnp.broadcast_to(mask_b.reshape(2 * TILE_R)[:, None],
-                                  (2 * TILE_R, nx_t))
-        pole_pack = jnp.stack([yc_m, xc_b, vm_b,
-                               mask_w.astype(px_b.dtype), yc_b])
-        pcommon_m = dict(ny=ny, nx=nx, nyc=nyc_m)
-        pcommon_r = dict(ny=ny, nx=nx)
+        def side_flat(a):                      # (2*order, nx) → (2, Mpad)
+            return jnp.pad(a.reshape(2, Ms), ((0, 0), (0, Mpad - Ms)),
+                           mode="edge")
+
+        y0_f = jnp.clip(jnp.floor(side_flat(yc_b)), 0,
+                        ny - 2).astype(jnp.int32)
+        perm = jnp.argsort(y0_f, axis=1)       # (2, Mpad) sorted ranks
+
+        def sortp(a):
+            return jnp.take_along_axis(side_flat(a), perm, axis=1)
+
+        # one packed operand [yc, xc, vmask, flagmask] in sorted-rank
+        # storage: rank r of side k at row k*ns*TILE_R + r//TILE_C
+        pack = jnp.stack([sortp(yc_b), sortp(xc_b), sortp(vm_b),
+                          sortp(mk_b)]).reshape(4, S * TILE_R, TILE_C)
+        y0_s = jnp.take_along_axis(y0_f, perm, axis=1).reshape(
+            S, TILE_R * TILE_C)
+        kymn = jnp.clip(jnp.min(y0_s, axis=1) - 1, 0, ny - 2)
+        kymx = jnp.clip(jnp.max(y0_s, axis=1) + 1, 0, ny - 2)
+        kymn = jnp.minimum(kymn, kymx)         # (S,)
+        pcommon = dict(ny=ny, nx=nx)
 
         def pole_fit(wy_):
             ys = jnp.clip((kymn // 8) * 8, 0, max(ny_p - wy_, 0))
             return (kymn >= ys) & (kymx + 1 <= ys + wy_ - 1), ys
 
-        def pole_fit_side(wy_):
-            ys = jnp.clip((kymn_r // 8) * 8, 0, max(ny_p - wy_, 0))
-            return (kymn_r >= ys) & (kymx_r + 1 <= ys + wy_ - 1), ys
-
-        # ---- level 1: merged blocks, (gx,) grid, every tile live ----
-        fit1, ys1 = pole_fit(wy_p)                # (gx,) each
-        kern1 = partial(_pole_grid_kernel, F=F, WY=wy_p, WXS=nx_t,
-                        common=pcommon_m)
+        # ---- level 1: EVERY slot, short window ----
+        fit1, ys1 = pole_fit(wy1)
+        kern1 = partial(_pole_grid_kernel, F=F, WY=wy1, WXS=nx_t,
+                        common=pcommon)
         grid1 = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(gx,),
+            grid=(S,),
             in_specs=[
-                pl.BlockSpec((5, 2 * TILE_R, TILE_C),
-                             lambda j, y0r, f0r: (0, 0, j),
+                pl.BlockSpec((4, TILE_R, TILE_C),
+                             lambda i, y0r, f0r: (0, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((pl.Element(F), pl.Element(wy_p),
+                pl.BlockSpec((pl.Element(F), pl.Element(wy1),
                               pl.Element(nx_t)),
-                             lambda j, y0r, f0r:
-                             (f0r[0], pl.multiple_of(y0r[j], 8), 0),
+                             lambda i, y0r, f0r:
+                             (f0r[0], pl.multiple_of(y0r[i], 8), 0),
                              memory_space=pltpu.VMEM)],
-            out_specs=[pl.BlockSpec((F, 2 * TILE_R, TILE_C),
-                                    lambda j, y0r, f0r: (0, 0, j),
+            out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
+                                    lambda i, *_: (0, i, 0),
                                     memory_space=pltpu.VMEM),
-                       pl.BlockSpec((1, gx), lambda j, *_: (0, 0),
+                       pl.BlockSpec((1, S), lambda i, *_: (0, 0),
                                     memory_space=pltpu.SMEM)],
         )
         blk1, pflags1 = pl.pallas_call(
             kern1, grid_spec=grid1,
-            out_shape=[jax.ShapeDtypeStruct((F, 2 * TILE_R, nx_t), dtype),
-                       jax.ShapeDtypeStruct((1, gx), jnp.int32)],
+            out_shape=[jax.ShapeDtypeStruct((F, S * TILE_R, TILE_C),
+                                            dtype),
+                       jax.ShapeDtypeStruct((1, S), jnp.int32)],
             interpret=interpret,
             compiler_params=_CPARAMS,
-        )(ys1, f0_arr, pole_pack, raw_p)
+        )(ys1, f0_arr, pack, raw_p)
 
-        blk_vals = blk1                           # (F, 2*TILE_R, nx_t)
-        covP = fit1                               # level-1 values valid
+        vals = blk1                            # (F, S*TILE_R, TILE_C)
+        covP = fit1
         residP = jnp.zeros((), jnp.int32)
 
-        # ---- level 2: merged blocks, taller slab, compacted unfit list
-        # (rare — pole-row y drift is slow) ----
-        fit2, ys2 = pole_fit(wy_p2)
-        want2 = (~covP) & fit2
-        flat2 = want2.astype(jnp.int32)
-        sel2 = jnp.nonzero(flat2, size=gx, fill_value=0)[0].astype(
-            jnp.int32)
-        count2 = jnp.sum(flat2)
-        live2 = jnp.arange(gx) < count2
-        jx2 = jnp.where(live2, sel2, sel2[0])
-        jx_out2 = jnp.where(live2, jx2, gx)       # dead → garbage block
-        y02 = jnp.where(live2, ys2[jx2], ys2[jx2[0]])
-        n2 = jnp.full((1,), count2, jnp.int32)
-        kern2p = partial(_pole_list_kernel, F=F, WY=wy_p2, WXS=nx_t,
-                         common=pcommon_m)
-        grid2p = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
-            grid=(gx,),
-            in_specs=[
-                pl.BlockSpec((5, 2 * TILE_R, TILE_C),
-                             lambda i, nl, jxr, jxo, y0r, f0r:
-                             (0, 0, jxr[i]),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((pl.Element(F), pl.Element(wy_p2),
-                              pl.Element(nx_t)),
-                             lambda i, nl, jxr, jxo, y0r, f0r:
-                             (f0r[0], pl.multiple_of(y0r[i], 8), 0),
-                             memory_space=pltpu.VMEM)],
-            out_specs=[pl.BlockSpec((F, 2 * TILE_R, TILE_C),
-                                    lambda i, nl, jxr, jxo, y0r, f0r:
-                                    (0, 0, jxo[i]),
-                                    memory_space=pltpu.VMEM),
-                       pl.BlockSpec((gx, 1), lambda i, *_: (0, 0),
-                                    memory_space=pltpu.SMEM)],
-        )
+        def compacted_level(wy_, want, ys_, kern_):
+            """Run `kern_` over the compacted slot list `want` with
+            per-slot window starts `ys_`; returns (blk, pflags, ran,
+            live)."""
+            flat = want.astype(jnp.int32)
+            sel = jnp.nonzero(flat, size=S, fill_value=0)[0].astype(
+                jnp.int32)
+            count = jnp.sum(flat)
+            live = jnp.arange(S) < count
+            jx = jnp.where(live, sel, sel[0])
+            jx_out = jnp.where(live, jx, S)    # dead → garbage block
+            y0v = jnp.where(live, ys_[jx], ys_[jx[0]])
+            nl = jnp.full((1,), count, jnp.int32)
+            gridL = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(S,),
+                in_specs=[
+                    pl.BlockSpec((4, TILE_R, TILE_C),
+                                 lambda i, nl, jxr, jxo, y0r, f0r:
+                                 (0, jxr[i], 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((pl.Element(F), pl.Element(wy_),
+                                  pl.Element(nx_t)),
+                                 lambda i, nl, jxr, jxo, y0r, f0r:
+                                 (f0r[0], pl.multiple_of(y0r[i], 8), 0),
+                                 memory_space=pltpu.VMEM)],
+                out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
+                                        lambda i, nl, jxr, jxo, y0r,
+                                        f0r: (0, jxo[i], 0),
+                                        memory_space=pltpu.VMEM),
+                           pl.BlockSpec((S, 1), lambda i, *_: (0, 0),
+                                        memory_space=pltpu.SMEM)],
+            )
 
-        def go2(n2, jx2, jx_out2, y02):
-            return pl.pallas_call(
-                kern2p, grid_spec=grid2p,
-                out_shape=[
-                    jax.ShapeDtypeStruct((F, 2 * TILE_R, nx_t + TILE_C),
-                                         dtype),
-                    jax.ShapeDtypeStruct((gx, 1), jnp.int32)],
-                interpret=interpret,
-                compiler_params=_CPARAMS,
-            )(n2, jx2, jx_out2, y02, f0_arr, pole_pack, raw_p)
+            def go(nl, jx, jx_out, y0v):
+                return pl.pallas_call(
+                    kern_, grid_spec=gridL,
+                    out_shape=[
+                        jax.ShapeDtypeStruct(
+                            (F, (S + 1) * TILE_R, TILE_C), dtype),
+                        jax.ShapeDtypeStruct((S, 1), jnp.int32)],
+                    interpret=interpret,
+                    compiler_params=_CPARAMS,
+                )(nl, jx, jx_out, y0v, f0_arr, pack, raw_p)
 
-        def skip2(n2, jx2, jx_out2, y02):
-            return (jnp.zeros((F, 2 * TILE_R, nx_t + TILE_C), dtype),
-                    jnp.zeros((gx, 1), jnp.int32))
+            def skip(nl, jx, jx_out, y0v):
+                return (jnp.zeros((F, (S + 1) * TILE_R, TILE_C), dtype),
+                        jnp.zeros((S, 1), jnp.int32))
 
-        blk2, pflags2 = jax.lax.cond(count2 > 0, go2, skip2,
-                                     n2, jx2, jx_out2, y02)
-        ran2 = jnp.zeros((gx + 1,), jnp.int32).at[jx_out2].max(
-            live2.astype(jnp.int32))[:gx] > 0
+            blk, pflags = jax.lax.cond(count > 0, go, skip,
+                                       nl, jx, jx_out, y0v)
+            ran = jnp.zeros((S + 1,), jnp.int32).at[jx_out].max(
+                live.astype(jnp.int32))[:S] > 0
+            return blk, pflags, ran, live
+
+        # ---- level 2: compacted escalation (sorted-slot spans make
+        # this rare — flagship census: ~2 of 10 slots, late steps) ----
+        fit2, ys2 = pole_fit(wy2)
+        kern2 = partial(_pole_list_kernel, F=F, WY=wy2, WXS=nx_t,
+                        common=pcommon)
+        blk2, pflags2, ran2, live2 = compacted_level(
+            wy2, (~covP) & fit2, ys2, kern2)
         cov2 = ran2 & fit2
-        colmask2 = jnp.repeat(cov2, TILE_C)       # (nx_t,)
-        blk_vals = jnp.where(colmask2[None, None, :], blk2[:, :, :nx_t],
-                             blk_vals)
+        rowm2 = jnp.repeat(cov2, TILE_R)       # (S*TILE_R,)
+        vals = jnp.where(rowm2[None, :, None], blk2[:, :S * TILE_R],
+                         vals)
         covP = covP | cov2
         residP = residP | jnp.max(pflags2[:, 0] * live2.astype(jnp.int32))
 
-        # ---- final level: per-SIDE fallback with raw indices — runs
-        # every leftover tile (clamp + flag beyond wy_p3, same exactness
-        # ceiling per side as the former per-side ladder) ----
-        fit3, ys3 = pole_fit_side(wy_p3)
-        cap2 = 2 * gx
-        wantS = jnp.broadcast_to(~covP, (2, gx))
-        flatS = wantS.ravel().astype(jnp.int32)
-        selS = jnp.nonzero(flatS, size=cap2, fill_value=0)[0].astype(
-            jnp.int32)
-        countS = jnp.sum(flatS)
-        liveS = jnp.arange(cap2) < countS
-        iy_s = selS // gx
-        jx_s = selS - gx * iy_s
-        iyS = jnp.where(liveS, iy_s, iy_s[0])
-        jxS = jnp.where(liveS, jx_s, jx_s[0])
-        iy_outS = jnp.where(liveS, iyS, 2)        # dead → garbage block
-        y0S = jnp.where(liveS, ys3[iyS, jxS], ys3[iyS[0], jxS[0]])
-        nS = jnp.full((1,), countS, jnp.int32)
-        kernS = partial(_pole_side_kernel, F=F, WY=wy_p3, WXS=nx_t,
-                        common=pcommon_r)
-        gridS = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
-            grid=(cap2,),
-            in_specs=[
-                pl.BlockSpec((5, TILE_R, TILE_C),
-                             lambda i, nl, iyr, jxr, iyo, y0r, f0r:
-                             (0, iyr[i], jxr[i]),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((pl.Element(F), pl.Element(wy_p3),
-                              pl.Element(nx_t)),
-                             lambda i, nl, iyr, jxr, iyo, y0r, f0r:
-                             (f0r[0], pl.multiple_of(y0r[i], 8), 0),
-                             memory_space=pltpu.VMEM)],
-            out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
-                                    lambda i, nl, iyr, jxr, iyo, y0r,
-                                    f0r: (0, iyo[i], jxr[i]),
-                                    memory_space=pltpu.VMEM),
-                       pl.BlockSpec((cap2, 1), lambda i, *_: (0, 0),
-                                    memory_space=pltpu.SMEM)],
-        )
-
-        def goS(nS, iyS, jxS, iy_outS, y0S):
-            return pl.pallas_call(
-                kernS, grid_spec=gridS,
-                out_shape=[
-                    jax.ShapeDtypeStruct((F, 3 * TILE_R, nx_t), dtype),
-                    jax.ShapeDtypeStruct((cap2, 1), jnp.int32)],
-                interpret=interpret,
-                compiler_params=_CPARAMS,
-            )(nS, iyS, jxS, iy_outS, y0S, f0_arr, pole_pack, raw_p)
-
-        def skipS(nS, iyS, jxS, iy_outS, y0S):
-            return (jnp.zeros((F, 3 * TILE_R, nx_t), dtype),
-                    jnp.zeros((cap2, 1), jnp.int32))
-
-        blkS, pflagsS = jax.lax.cond(countS > 0, goS, skipS,
-                                     nS, iyS, jxS, iy_outS, y0S)
-        # the final level's values are taken for every tile it ran —
-        # even clamped (flagged) ones, whose tallest-window values are
-        # the closest available
-        ranS = jnp.zeros((3, gx), jnp.int32).at[iy_outS, jxS].max(
-            liveS.astype(jnp.int32))[:2] > 0      # (2, gx)
-        sidemask = jnp.repeat(jnp.repeat(ranS, TILE_R, axis=0), TILE_C,
-                              axis=1)             # (2*TILE_R, nx_t)
-        blk_vals = jnp.where(sidemask[None], blkS[:, :2 * TILE_R],
-                             blk_vals)
-        covP = covP | (ranS[0] & ranS[1])
-        residP = residP | jnp.max(pflagsS[:, 0] * liveS.astype(jnp.int32))
+        # ---- final level: every leftover slot, tallest window; values
+        # are taken for every slot it ran — even clamped (flagged) ones,
+        # whose tallest-window values are the closest available ----
+        _, ys3 = pole_fit(wy3)
+        kern3 = partial(_pole_list_kernel, F=F, WY=wy3, WXS=nx_t,
+                        common=pcommon)
+        blk3, pflags3, ran3, live3 = compacted_level(
+            wy3, ~covP, ys3, kern3)
+        rowm3 = jnp.repeat(ran3, TILE_R)
+        vals = jnp.where(rowm3[None, :, None], blk3[:, :S * TILE_R],
+                         vals)
+        covP = covP | ran3
+        residP = residP | jnp.max(pflags3[:, 0] * live3.astype(jnp.int32))
 
         pole_flag = \
             (jnp.max(pflags1[0] * (1 - covP.astype(jnp.int32))) << 3) \
             | (residP << 4)
 
-        # scatter the block rows back to their block positions (duplicate
-        # candidate rows carry identical values, so overlap is benign)
-        pole_vals = out_arr.at[:, idx2.ravel()].set(blk_vals)
+        # un-sort and place: sorted rank j of side k holds original
+        # point perm[k, j], so original point i reads back via inv[k, i]
+        ar = jnp.broadcast_to(jnp.arange(Mpad, dtype=perm.dtype),
+                              (2, Mpad))
+        inv = jnp.zeros_like(perm).at[jnp.arange(2)[:, None], perm].set(
+            ar)
+        vals_u = jnp.take_along_axis(
+            vals.reshape(F, 2, Mpad),
+            jnp.broadcast_to(inv[None], (F, 2, Mpad)), axis=2)[:, :, :Ms]
+        blk_rows = jnp.pad(vals_u.reshape(F, 2 * order, nx),
+                           ((0, 0), (0, 0), (0, nx_t - nx)))
+        pole_vals = out_arr.at[:, idx2.ravel()].set(blk_rows)
         if home_rows is None:
             row = jax.lax.broadcasted_iota(jnp.int32, (ny_t, nx_t), 0)
             is_pole = (row < order) | ((row >= ny - order) & (row < ny))

@@ -131,7 +131,11 @@ class TestDeviceGatherParity:
 
         got = np.asarray(pallas_path(raw, px, py))
         want = np.asarray(xla_path(raw, px, py))
-        np.testing.assert_allclose(got, want, atol=2e-6)
+        # rtol covers benign f32 reduction-order noise (different pole
+        # window heights change the one-hot-matmul summation order,
+        # measured rel diff ~3e-7); the guarded seam-corruption class is
+        # O(1e-2) absolute — still ~200x above this gate.
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
 
 
 class TestDeviceEndToEnd:
