@@ -87,12 +87,20 @@ def main():
     engine = os.environ.get("LCS_BENCH_ENGINE",
                             cfg.get("engine", "blockspec"))
     rebin = os.environ.get("LCS_BENCH_REBIN", cfg.get("rebin", "auto"))
+    # Launch-config knobs recorded by tools/probe_config.py (trace-time
+    # env vars + kwargs; absent keys keep the library defaults).
+    wy = int(cfg.get("wy", 32))
+    if "half_tile" in cfg:
+        os.environ.setdefault("LCS_HALF_TILE",
+                              "1" if cfg["half_tile"] else "0")
+    if "pole_ladder" in cfg:
+        os.environ.setdefault("LCS_POLE_LADDER", str(cfg["pole_ladder"]))
 
-    def make_run(eng, reb):
+    def make_run(eng, reb, wy=wy):
         def run():
             return ftle_pipeline(u_j, v_j, -6.0 * 3600.0, grid,
                                  settls_order=4, interp_order=3,
-                                 kernel=kernel, rebin=reb,
+                                 kernel=kernel, rebin=reb, pallas_wy=wy,
                                  pallas_engine=eng, return_overflow=True)
         return run
 
@@ -121,8 +129,9 @@ def main():
               file=sys.stderr, flush=True)
         os.environ["LCS_LADDER"] = FALLBACK_LADDER
         os.environ["LCS_HALF_TILE"] = "0"
+        os.environ.pop("LCS_POLE_LADDER", None)
         engine, rebin, fallback = "blockspec", False, True
-        run = make_run(engine, rebin)
+        run = make_run(engine, rebin, wy=32)
         out, overflow = run()
         oh = np.asarray(out)
     assert np.isfinite(oh[2:-2]).all(), "non-finite FTLE"
@@ -188,6 +197,12 @@ def main():
                                or fallback):
         rec["config"] = {"engine": engine, "rebin": rebin,
                          "fallback": fallback}
+        if not fallback and (wy != 32 or "half_tile" in cfg
+                             or "pole_ladder" in cfg):
+            rec["config"].update(
+                {"wy": wy,
+                 "half_tile": cfg.get("half_tile", True),
+                 "pole_ladder": cfg.get("pole_ladder", "16,160,288")})
     if pallas_vs_xla is not None:
         rec["pallas_vs_xla_maxabs"] = pallas_vs_xla
     print(json.dumps(rec))

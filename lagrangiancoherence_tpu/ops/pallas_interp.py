@@ -107,9 +107,15 @@ DEFAULT_ENGINE = os.environ.get("LCS_PALLAS_ENGINE", "dma-all")
 # Sorted slots span ~a dozen rows on realistic flows (flagship census:
 # 81% of slots fit 16 rows, 100% fit 160), so level 1 carries almost all
 # of the work at ~1/10 the MXU cost of a 160-row window.  Tunable via
-# LCS_POLE_LADDER="16,160,288" for on-device experiments.
-POLE_LADDER = tuple(max(8, (int(s) // 8) * 8) for s in os.environ.get(
-    "LCS_POLE_LADDER", "16,160,288").split(","))
+# LCS_POLE_LADDER="16,160,288" for on-device experiments — read at TRACE
+# time (like LCS_LADDER / LCS_HALF_TILE), so one sweep process can A/B
+# several values by re-tracing.
+def _pole_ladder():
+    return tuple(max(8, (int(s) // 8) * 8) for s in os.environ.get(
+        "LCS_POLE_LADDER", "16,160,288").split(","))
+
+
+POLE_LADDER = _pole_ladder()
 
 
 def resolve_engine(engine: str) -> str:
@@ -673,7 +679,7 @@ def _list_kernel(n_live, iy, jx, iy_out, y0s, x0s, edges, f0s, pos_ref,
 def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
                    folds_ref, cw_hbm, outA_ref, out_ref, flags_ref,
                    win_buf, win_sems, *, body, F, tiers, seg_off, ypad,
-                   xpad, wx_full, common, nb=2, lean=False):
+                   xpad, wx_full, common, nb=2, lean=False, unroll=1):
     """Manual-DMA escalation engine: ONE grid step services every
     escalation tier's LIVE slots — VMEM-resident edition.
 
@@ -775,9 +781,79 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
 
         qs = range(N_SUB) if kind == "sub" else (0,)
 
+        def run_body(slot, k, t_i=t_i, off=off, wy_t=wy_t, wxe=wxe,
+                     x_full=x_full, kind=kind):
+            sl = off + k
+
+            def write_flag(v, t_i=t_i):
+                flags_ref[t_i, 0] = jnp.maximum(flags_ref[t_i, 0], v)
+
+            y0 = y0_s[sl] - ypad
+            if kind == "sub":
+                _sub_tile_body(
+                    pos_view(sl),
+                    tuple(win_buf.at[slot, 0, :, :wy_t,
+                                     128 * q:128 * (q + 1)]
+                          for q in range(N_SUB)),
+                    out_view(sl), write_flag, y0,
+                    tuple(x0q_s[sl * N_SUB + q] - xpad
+                          for q in range(N_SUB)),
+                    F=F, WY=wy_t, edge=edge_s[sl], **common)
+            else:
+                x0 = (jnp.zeros((), jnp.int32) if x_full
+                      else x0_s[sl] - xpad)
+                body(pos_view(sl),
+                     win_buf.at[slot, 0, :, :wy_t, :wxe],
+                     out_view(sl), write_flag, y0, x0,
+                     F=F, WY=wy_t, WX=wxe, x_full=x_full,
+                     edge=edge_s[sl], **common)
+
         @pl.when(n > 0)
         def _(n=n, t_i=t_i, off=off, wy_t=wy_t, wxe=wxe, x_full=x_full,
-              kind=kind, qs=qs, win_dma=win_dma):
+              kind=kind, qs=qs, win_dma=win_dma, run_body=run_body):
+            if unroll > 1:
+                # K-way unrolled, block-double-buffered: the serial
+                # fori_loop body is issue/latency-bound (~7 us/slot vs
+                # the grid pipeline's ~2.8 us for the same tile body —
+                # ROUND3_NOTES engine v2), so process K independent
+                # slots per iteration: the K bodies share no data (each
+                # has its own window buffer and output tile), letting
+                # the VLIW scheduler interleave their dependency chains
+                # and amortising per-iteration scalar/loop overhead.
+                # Ring = 2K buffers: block b computes on set b%2 while
+                # block b+1's K window DMAs fill set (b+1)%2.
+                K = unroll
+                for j in range(K):
+                    @pl.when(j < n)
+                    def _(j=j):
+                        for q in qs:
+                            win_dma(j, j, q).start()
+
+                def blk(b, _, n=n, qs=qs, win_dma=win_dma,
+                        run_body=run_body, K=K):
+                    par = jax.lax.rem(b, jnp.asarray(2, b.dtype)) * K
+                    nxt_par = K - par  # (b+1)%2 * K
+                    base = b * K
+                    for j in range(K):
+                        @pl.when(base + K + j < n)
+                        def _(j=j):
+                            for q in qs:
+                                win_dma(nxt_par + j, base + K + j,
+                                        q).start()
+                    for j in range(K):
+                        @pl.when(base + j < n)
+                        def _(j=j):
+                            for q in qs:
+                                win_dma(par + j, base + j, q).wait()
+                    for j in range(K):
+                        @pl.when(base + j < n)
+                        def _(j=j):
+                            run_body(par + j, base + j)
+                    return 0
+
+                jax.lax.fori_loop(0, (n + K - 1) // K, blk, 0)
+                return
+
             # prologue: fill the nb-deep window prefetch ring
             for b in range(nb - 1):
                 @pl.when(b < n)
@@ -785,8 +861,7 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
                     for q in qs:
                         win_dma(b % nb, b, q).start()
 
-            def step(k, _, t_i=t_i, off=off, wy_t=wy_t, wxe=wxe,
-                     x_full=x_full, kind=kind, qs=qs):
+            def step(k, _, qs=qs):
                 slot = jax.lax.rem(k, jnp.asarray(nb, k.dtype))
 
                 @pl.when(k + nb - 1 < n)
@@ -797,31 +872,7 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
 
                 for q in qs:
                     win_dma(slot, k, q).wait()
-
-                sl = off + k
-
-                def write_flag(v, t_i=t_i):
-                    flags_ref[t_i, 0] = jnp.maximum(flags_ref[t_i, 0], v)
-
-                y0 = y0_s[sl] - ypad
-                if kind == "sub":
-                    _sub_tile_body(
-                        pos_view(sl),
-                        tuple(win_buf.at[slot, 0, :, :wy_t,
-                                         128 * q:128 * (q + 1)]
-                              for q in range(N_SUB)),
-                        out_view(sl), write_flag, y0,
-                        tuple(x0q_s[sl * N_SUB + q] - xpad
-                              for q in range(N_SUB)),
-                        F=F, WY=wy_t, edge=edge_s[sl], **common)
-                else:
-                    x0 = (jnp.zeros((), jnp.int32) if x_full
-                          else x0_s[sl] - xpad)
-                    body(pos_view(sl),
-                         win_buf.at[slot, 0, :, :wy_t, :wxe],
-                         out_view(sl), write_flag, y0, x0,
-                         F=F, WY=wy_t, WX=wxe, x_full=x_full,
-                         edge=edge_s[sl], **common)
+                run_body(slot, k)
                 return 0
 
             jax.lax.fori_loop(0, n, step, 0)
@@ -1450,12 +1501,18 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                      else (wx_full if t[2] is None else t[2]))
                     for t in tiers_static)
         # window-prefetch ring depth: per-slot cost is DMA-latency-bound
-        # (the body is ~2-6 us), so prefetch a couple of slots ahead
-        nb_e = int(os.environ.get("LCS_ENGINE_NB", "3"))
+        # (the body is ~2-6 us), so prefetch a couple of slots ahead.
+        # LCS_ENGINE_UNROLL=K (trace-time) switches the serial loop to
+        # K slots per iteration with block double buffering (ring = 2K)
+        # — see _engine_kernel.
+        unroll_e = max(1, int(os.environ.get("LCS_ENGINE_UNROLL", "1")))
+        nb_e = (2 * unroll_e if unroll_e > 1
+                else int(os.environ.get("LCS_ENGINE_NB", "3")))
         kern_e = partial(_engine_kernel, body=body, F=F,
                          tiers=tuple(tiers_static), seg_off=tuple(seg_off),
                          ypad=ypad, xpad=xpad, wx_full=wx_full,
-                         common=common, nb=nb_e, lean=cw_lean)
+                         common=common, nb=nb_e, lean=cw_lean,
+                         unroll=unroll_e)
         T_n = len(tiers_static)
         # folds and the output stay resident in VMEM for the whole
         # launch (~9 + 2*18 MB at flagship scale) — see _engine_kernel.
@@ -1576,7 +1633,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             raw_p = jnp.pad(jnp.concatenate([raw, wrap], axis=1),
                             ((0, 0), (0, 0), (0, nx_t - nx)))
         ycapP = (ny_p // 8) * 8
-        wy1, wy2, wy3 = (min(w, ycapP) for w in POLE_LADDER)
+        wy1, wy2, wy3 = (min(w, ycapP) for w in _pole_ladder())
 
         from .interp import scale_positions
         xi_b, yi_b = scale_positions(px_b, py_b, x_min=x_min, x_max=x_max,

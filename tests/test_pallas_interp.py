@@ -476,6 +476,34 @@ class TestDmaEngine:
         assert flag == 0
         np.testing.assert_allclose(out, ref, atol=1e-10)
 
+    @pytest.mark.parametrize("displacement", ["smooth", "violent", "whirl"])
+    @pytest.mark.parametrize("K", ["2", "4"])
+    def test_engine_unrolled_matches_serial(self, displacement, K,
+                                            monkeypatch):
+        """LCS_ENGINE_UNROLL=K (K slots per loop iteration, block double
+        buffering) is a pure scheduling change — results must be
+        bit-identical to the serial engine across every tier shape the
+        displacement spectra exercise."""
+        out_s, flag_s, ref = run_case(64, 256, 3, 2, 2, 256,
+                                      displacement=displacement,
+                                      engine="dma-all")
+        monkeypatch.setenv("LCS_ENGINE_UNROLL", K)
+        out_u, flag_u, _ = run_case(64, 256, 3, 2, 2, 256,
+                                    displacement=displacement,
+                                    engine="dma-all")
+        assert flag_u == flag_s == 0
+        np.testing.assert_array_equal(out_u, out_s)
+        np.testing.assert_allclose(out_u, ref, atol=1e-10)
+
+    def test_engine_unrolled_partial_tail(self, monkeypatch):
+        """Live counts that are not a multiple of K exercise the gated
+        tail slots (engine='dma' keeps the counts small and ragged)."""
+        monkeypatch.setenv("LCS_ENGINE_UNROLL", "4")
+        out_u, flag_u, ref = run_case(73, 144, 3, 2, 2, 256,
+                                      displacement="shear", engine="dma")
+        assert flag_u == 0
+        np.testing.assert_allclose(out_u, ref, atol=1e-10)
+
     @pytest.mark.parametrize("eng,lean", [("dma", False), ("dma-all", False),
                                           ("dma-all", True)])
     def test_engine_partial_and_tall_grids(self, eng, lean):

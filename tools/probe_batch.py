@@ -34,18 +34,28 @@ def main():
     # default to the device-measured winner recorded by probe_engine.py
     # (the contact queue runs that first); --engine= overrides
     engine = "blockspec"
+    wy = 32
     cfg_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".bench_config.json")
     if os.path.exists(cfg_path):
         try:
             import json
-            engine = json.load(open(cfg_path)).get("engine", engine)
+            cfg = json.load(open(cfg_path))
+            engine = cfg.get("engine", engine)
+            wy = int(cfg.get("wy", wy))
+            if "half_tile" in cfg:
+                os.environ.setdefault(
+                    "LCS_HALF_TILE", "1" if cfg["half_tile"] else "0")
+            if "pole_ladder" in cfg:
+                os.environ.setdefault("LCS_POLE_LADDER",
+                                      str(cfg["pole_ladder"]))
         except Exception:
             pass
     for a in sys.argv:
         if a.startswith("--engine="):
             engine = a.split("=", 1)[1]
-    print("devices:", jax.devices(), "engine:", engine, flush=True)
+    print("devices:", jax.devices(), "engine:", engine, "wy:", wy,
+          flush=True)
     grid = global_quarter_degree_grid()
     u, v = flagship_winds(grid)
     for B in (1, 2, 4):
@@ -55,7 +65,8 @@ def main():
             * (1.0 + 0.01 * jnp.arange(B)[:, None, None, None])
         fn = jax.jit(jax.vmap(lambda uu, vv: ftle_pipeline(
             uu, vv, -6.0 * 3600.0, grid, settls_order=4, interp_order=3,
-            kernel="pallas", pallas_engine=engine, return_overflow=True)))
+            kernel="pallas", pallas_engine=engine, pallas_wy=wy,
+            return_overflow=True)))
         try:
             t0 = time.perf_counter()
             out, fl = fn(ub, vb)

@@ -1,0 +1,139 @@
+"""One-shot device sweep of the pallas launch-config space on the real
+flagship pipeline: engine x tier-A-sub x tier-A window height x pole
+ladder — the combinations the per-knob probes (probe_engine/probe_sort)
+never crossed.  Every knob here is trace-time (env or kwarg), so one
+process sweeps them all; each leg is independently fault-tolerant.
+
+Rationale (ROUND3_NOTES session 5/6): the serial manual-DMA engine runs
+~7 us/slot compute-bound with no cross-iteration pipelining, while the
+blockspec grid pipeline hits ~2.8 us/tile but pays ~1.6 us per DEAD
+ladder slot and a second full-grid pass for tier A-sub.  Sort-binning
+(now default) collapses tap spans, which changes every one of those
+trade-offs — the winners must be re-crossed on silicon.
+
+Run: python tools/probe_config.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from lagrangiancoherence_tpu.grid import global_quarter_degree_grid
+from lagrangiancoherence_tpu.models.pipeline import ftle_pipeline
+
+
+def flagship_winds(grid, nt=33):
+    LON, LAT = np.meshgrid(np.deg2rad(grid.lons), np.deg2rad(grid.lats))
+    base_u = 25.0 * np.cos(LAT) + 3.0 * np.cos(3 * LON) * np.sin(2 * LAT)
+    base_v = 3.0 * np.sin(3 * LON) * np.cos(2 * LAT)
+    t = np.arange(nt)[:, None, None]
+    u = (base_u[None] * (1.0 + 0.05 * np.sin(2 * np.pi * t / nt))
+         ).astype(np.float32)
+    v = (base_v[None] * (1.0 + 0.05 * np.cos(2 * np.pi * t / nt))
+         ).astype(np.float32)
+    return jnp.asarray(u), jnp.asarray(v)
+
+
+# (name, engine, half_tile, pallas_wy, pole_ladder, unroll)
+CONFIGS = [
+    ("head",         "dma-all",   True,  32, "16,160,288", 1),
+    ("head-u2",      "dma-all",   True,  32, "16,160,288", 2),
+    ("head-u4",      "dma-all",   True,  32, "16,160,288", 4),
+    ("dma-half0",    "dma",       False, 32, "16,160,288", 1),
+    ("bs-half0",     "blockspec", False, 32, "16,160,288", 1),
+    ("dmaall-half0", "dma-all",   False, 32, "16,160,288", 1),
+    ("head-wy16",    "dma-all",   True,  16, "16,160,288", 1),
+    ("head-wy24",    "dma-all",   True,  24, "16,160,288", 1),
+    ("dma-half1",    "dma",       True,  32, "16,160,288", 1),
+    ("head-pole8",   "dma-all",   True,  32, "8,160,288",  1),
+    ("dma-half0-wy16", "dma",     False, 16, "16,160,288", 1),
+]
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    grid = global_quarter_degree_grid()
+    u, v = flagship_winds(grid)
+    table = {}
+    ref = None
+    for name, eng, half, wy, pole, unroll in CONFIGS:
+        os.environ["LCS_HALF_TILE"] = "1" if half else "0"
+        os.environ["LCS_POLE_LADDER"] = pole
+        os.environ["LCS_ENGINE_UNROLL"] = str(unroll)
+        try:
+            fn = jax.jit(lambda u, v, eng=eng, wy=wy: ftle_pipeline(
+                u, v, -6.0 * 3600.0, grid, settls_order=4, interp_order=3,
+                kernel="pallas", pallas_engine=eng, pallas_wy=wy,
+                return_overflow=True))
+            t0 = time.perf_counter()
+            out, fl = fn(u, v)
+            oh = np.asarray(out)
+            print(f"{name:14} compile+first {time.perf_counter()-t0:6.1f} s",
+                  flush=True)
+            t0 = time.perf_counter()
+            for _ in range(3):
+                out, fl = fn(u, v)
+            oh = np.asarray(out)
+            dt = (time.perf_counter() - t0) / 3
+            flag = int(fl)
+            ok = flag == 0 and np.isfinite(oh[2:-2]).all()
+            print(f"{name:14} {dt*1e3:8.1f} ms/field ({1.0/dt:.3f} fields/s)"
+                  f" flag={flag:#x}{'' if ok else '  [EXCLUDED]'}",
+                  flush=True)
+            if ok:
+                table[name] = 1.0 / dt
+            if name == "head":
+                ref = oh
+            elif ref is not None:
+                # layout/engine changes must be numerically inert beyond
+                # chaos-amplified ulps; report p99 |dlogFTLE| for the record
+                a = np.log(np.maximum(oh[2:-2], 1e-30)) / 2
+                b = np.log(np.maximum(ref[2:-2], 1e-30)) / 2
+                print(f"{name:14} p99|dlogFTLE vs head| = "
+                      f"{np.percentile(np.abs(a-b), 99):.2e}", flush=True)
+        except Exception as e:  # noqa: BLE001 — report and move on
+            print(f"{name:14} FAILED: {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
+    for k in ("LCS_HALF_TILE", "LCS_POLE_LADDER"):
+        os.environ.pop(k, None)
+
+    if table:
+        best = max(table, key=table.get)
+        spec = dict((c[0], c) for c in CONFIGS)[best]
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".bench_config.json")
+        rec = {}
+        if os.path.exists(path):
+            try:
+                rec = json.load(open(path))
+            except Exception:
+                rec = {}
+        rec.update({
+            "engine": spec[1],
+            "half_tile": bool(spec[2]),
+            "wy": int(spec[3]),
+            "pole_ladder": spec[4],
+            "config_fields_per_sec": {k: round(v, 4)
+                                      for k, v in table.items()},
+            "source": (rec.get("source", "") +
+                       "+tools/probe_config.py").lstrip("+"),
+        })
+        with open(path, "w") as f:
+            json.dump(rec, f)
+        print(f"wrote {path}: {best} -> engine={spec[1]} half={spec[2]} "
+              f"wy={spec[3]} pole={spec[4]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,27 +39,21 @@ log "2/7 tests_tpu (device parity)"
 timeout 2400 python -m pytest tests_tpu/ -x -q >/tmp/contact_tests.out 2>&1
 rc=$?; log "tests_tpu rc=$rc"; tail -3 /tmp/contact_tests.out; guard_cache "$rc"
 
-log "3/7 probe_engine (blockspec vs dma vs dma-all)"
-timeout 3600 python -u tools/probe_engine.py >/tmp/contact_engine.out 2>&1
-rc=$?; log "engine rc=$rc"; grep -v WARNING /tmp/contact_engine.out | tail -8; guard_cache "$rc"
+log "3/6 probe_config (engine x A-sub x wy x pole-ladder sweep)"
+timeout 5400 python -u tools/probe_config.py >/tmp/contact_config.out 2>&1
+rc=$?; log "config rc=$rc"; grep -v WARNING /tmp/contact_config.out | tail -14; guard_cache "$rc"
 
-log "4/7 probe_deadslot + probe_dma (slot-cost model)"
-timeout 1200 python -u tools/probe_deadslot.py >/tmp/contact_dead.out 2>&1
-rc=$?; log "deadslot rc=$rc"; tail -4 /tmp/contact_dead.out; guard_cache "$rc"
-timeout 1200 python -u tools/probe_dma.py >/tmp/contact_dma.out 2>&1
-rc=$?; log "dma rc=$rc"; tail -4 /tmp/contact_dma.out; guard_cache "$rc"
-
-log "5/7 probe_sort (sort-binning A/B)"
-timeout 3600 python -u tools/probe_sort.py >/tmp/contact_sort.out 2>&1
-rc=$?; log "sort rc=$rc"; grep -v WARNING /tmp/contact_sort.out | tail -6; guard_cache "$rc"
-
-log "6/7 probe_batch (vmap throughput, best engine per step 3)"
+log "4/6 probe_batch (vmap throughput, recorded winner config)"
 timeout 3000 python -u tools/probe_batch.py >/tmp/contact_batch.out 2>&1
 rc=$?; log "batch rc=$rc"; grep -v WARNING /tmp/contact_batch.out | tail -5; guard_cache "$rc"
 
-log "7/7 probe_sharded (1-dev mesh overhead)"
+log "5/6 probe_sharded (1-dev mesh overhead)"
 timeout 3000 python -u tools/probe_sharded.py >/tmp/contact_sharded.out 2>&1
 rc=$?; log "sharded rc=$rc"; grep -v WARNING /tmp/contact_sharded.out | tail -4; guard_cache "$rc"
+
+log "6/6 re-bench at the recorded winner config"
+timeout 3000 python bench.py >/tmp/contact_rebench.out 2>&1
+rc=$?; log "re-bench rc=$rc"; grep -v WARNING /tmp/contact_rebench.out | tail -2; guard_cache "$rc"
 
 log "queue done"
 touch /tmp/tpu_contact_done
