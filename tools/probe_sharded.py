@@ -58,10 +58,18 @@ def main():
         print(f"{name:14} {dt*1e3:8.1f} ms/field ({1.0/dt:.3f} fields/s) "
               f"flag={int(fl):#x}", flush=True)
         res[name] = (out_h, dt)
-    d = np.nanmax(np.abs(res["fused"][0] - res["sharded-1dev"][0]))
+    # compare interior rows only: pole-home rows carry reference-quirk
+    # garbage (conv_x ~ 1e10 at |lat|=90 flings their parcels to O(2^27)
+    # deg — see pallas_interp_multi's pole-row docstring), and fused
+    # (sort-binned) vs sharded (no-sort) are DIFFERENT programs whose
+    # ulp-level splits 8-day chaos amplifies — garbage rows dominate a
+    # whole-field max.  FTLE agreement is asserted interior-only, like
+    # bench.py's finiteness check.
+    a, b = res["fused"][0], res["sharded-1dev"][0]
+    d = np.nanmax(np.abs(a[2:-2] - b[2:-2]))
     ovh = res["sharded-1dev"][1] / res["fused"][1] - 1.0
-    print(f"max|fused - sharded| = {d:.3e}; shard_map overhead "
-          f"{100 * ovh:+.1f}%", flush=True)
+    print(f"max|fused - sharded| (interior rows) = {d:.3e}; "
+          f"shard_map overhead {100 * ovh:+.1f}%", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,180 @@
+"""Decompose the per-slot cost of the manual-DMA engine's tile body.
+
+Standings (ROUND3_NOTES session 7): the flagship scan sits at ~1363 ms
+~= 160 gather-group launches x ~8.5 ms, and the launch-config sweep is
+exhausted — the remaining time is INSIDE the slot bodies.  This probe
+times ONE real gather group (``pallas_interp_multi``, flagship geometry,
+F=4, dma-all engine, sort-mode ladder) repeatedly inside a single
+program, then re-times it with individual body stages monkeypatched to
+no-ops.  The deltas attribute the ~7 us/slot to:
+
+  full        — baseline (real body)
+  noflag      — tap-offset builds + the 20 any-reductions of the
+                overflow flag skipped (interior path keeps direct basis)
+  nofinish    — _finish_y (y-basis eval + masked per-field lane reduce)
+                replaced by a single cheap lane slice
+  nobasis     — _basis_direct (piecewise-B3 lane evaluation) replaced by
+                a constant basis (broadcast + iota costs stay)
+  defaultprec — MXU contraction at DEFAULT precision instead of HIGHEST
+                (numerics-invalid; measures the 6-pass premium)
+  nounwrap    — _unwrap_k period math replaced by zeros
+
+Each variant is a separate trace/compile (env-knob-free monkeypatching).
+Run: timeout 3600 python tools/probe_slotbody.py [variant ...]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from lagrangiancoherence_tpu.grid import global_quarter_degree_grid
+from lagrangiancoherence_tpu.models.settls import _sort_ladder
+from lagrangiancoherence_tpu.ops import pallas_interp as pi
+from lagrangiancoherence_tpu.ops.interp import prefilter
+
+K_REPS = 40
+
+
+def build_inputs():
+    """Flagship-like single gather group: F=4 fields, displacement field
+    shaped like the post-sort mid-scan state (most tiles quarter-fit,
+    a realistic minority escalated)."""
+    grid = global_quarter_degree_grid()
+    ny, nx = grid.shape
+    LON, LAT = np.meshgrid(np.deg2rad(grid.lons), np.deg2rad(grid.lats))
+    flds = np.stack([
+        25.0 * np.cos(LAT) + 3.0 * np.cos(3 * LON) * np.sin(2 * LAT),
+        3.0 * np.sin(3 * LON) * np.cos(2 * LAT),
+        20.0 * np.cos(LAT) - 2.0 * np.sin(2 * LON) * np.sin(LAT),
+        2.0 * np.cos(4 * LON) * np.cos(2 * LAT),
+    ]).astype(np.float32)                        # (4, ny, nx)
+
+    # displacement: smooth few-cell drift + a capped polar amplification
+    # (the sort keeps storage-local spans; emulate with a tanh cap)
+    lat = np.deg2rad(grid.lats)[:, None]
+    amp = np.tanh(1.0 / np.maximum(np.cos(lat), 1e-3) / 20.0) * 20.0
+    dx = (3.0 * np.sin(2 * LON + 1.0) + amp) * 0.25      # deg
+    dy = 1.5 * np.cos(3 * LON) * np.cos(lat) * 0.25
+    px = (grid.lons[None, :] + dx).astype(np.float32)
+    py = np.clip(grid.lats[:, None] + dy, grid.y_min,
+                 grid.y_max).astype(np.float32) + 0 * LON.astype(np.float32)
+    return grid, jnp.asarray(flds), jnp.asarray(px), jnp.asarray(py)
+
+
+def make_fn(grid, flds, engine):
+    ny, nx = grid.shape
+    ladder = _sort_ladder()
+
+    def run(flds, px, py):
+        cw = prefilter(flds, order=3)
+        cwp = pi.pad_coeffs_for_pallas(cw)
+        ny_tf = -(-ny // pi.TILE_R) * pi.TILE_R
+        nx_t = -(-nx // pi.TILE_C) * pi.TILE_C
+        pr = ny_tf + pi.POLE_PAD - ny
+        wrap = jnp.take(flds, jnp.arange(pr) % ny, axis=1)
+        raw_p = jnp.pad(jnp.concatenate([flds, wrap], axis=1),
+                        ((0, 0), (0, 0), (0, nx_t - nx)))
+
+        def body(i, acc):
+            out, fl = pi.pallas_interp_multi(
+                raw_p, cwp, px + acc * 1e-30, py, ny=ny, nx=nx,
+                y_min=grid.y_min, y_max=grid.y_max,
+                x_min=grid.x_min, x_max=grid.x_max,
+                order=3, wy=32, wx=256, ladder=ladder, engine=engine,
+                f0=0, nf=4, raw_prepadded=True)
+            return acc + jnp.mean(out) * 1e-20 + fl.astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, K_REPS, body, jnp.zeros(()))
+
+    return jax.jit(run)
+
+
+def patch(variant):
+    """Monkeypatch pi internals for one variant; returns an undo fn."""
+    saved = {}
+
+    def sub(name, fn):
+        saved[name] = getattr(pi, name)
+        setattr(pi, name, fn)
+
+    if variant == "noflag":
+        # constant offsets: the bounds compares and any-reductions fold
+        # away, and the tap-offset mirror/select chains are never built
+        sub("_tap_offsets",
+            lambda fold_c, kper, base, n, order:
+            [jnp.zeros_like(jnp.floor(fold_c).astype(jnp.int32))
+             for _ in range(4 if order == 3 else 2)])
+    elif variant == "nofinish":
+        def cheap_finish(g3, build_y, out_ref, F, WY, dtype,
+                         in_range=None, tr=pi.TILE_R):
+            v = g3[:, :, 0].astype(dtype)   # one lane extract, reused
+            for f in range(F):
+                out_ref[f] = v
+        sub("_finish_y", cheap_finish)
+    elif variant == "nobasis":
+        sub("_basis_direct",
+            lambda pos_rel, iota, order:
+            jnp.full(iota.shape, 0.25, pos_rel.dtype))
+    elif variant == "defaultprec":
+        sub("_HIGH", jax.lax.Precision.DEFAULT)
+    elif variant == "nounwrap":
+        sub("_unwrap_k",
+            lambda fold_c, anchor, n:
+            jnp.zeros(fold_c.shape, jnp.int32))
+    elif variant != "full":
+        raise SystemExit(f"unknown variant {variant}")
+
+    def undo():
+        for k, v in saved.items():
+            setattr(pi, k, v)
+
+    return undo
+
+
+def main():
+    variants = [a for a in sys.argv[1:] if not a.startswith("-")] or \
+        ["full", "noflag", "nofinish", "nobasis", "defaultprec",
+         "nounwrap"]
+    engine = os.environ.get("LCS_PALLAS_ENGINE", "dma-all")
+    print("devices:", jax.devices(), "engine:", engine, flush=True)
+    grid, flds, px, py = build_inputs()
+    results = {}
+    for variant in variants:
+        undo = patch(variant)
+        try:
+            fn = make_fn(grid, flds, engine)
+            t0 = time.perf_counter()
+            acc = float(np.asarray(fn(flds, px, py)))
+            comp = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            acc = float(np.asarray(fn(flds, px, py)))
+            dt = (time.perf_counter() - t0) / K_REPS
+            results[variant] = dt
+            print(f"{variant:12s}: {dt*1e3:8.3f} ms/group "
+                  f"(compile {comp:.0f}s, acc={acc:.3g})", flush=True)
+        except Exception as e:  # keep sweeping on per-variant failures
+            print(f"{variant:12s}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+        finally:
+            undo()
+    if "full" in results:
+        base = results["full"]
+        print(f"\nbaseline {base*1e3:.3f} ms/group; deltas:", flush=True)
+        for k, v in results.items():
+            if k != "full":
+                print(f"  full - {k:12s} = {(base-v)*1e3:7.3f} ms/group "
+                      f"({(base-v)/base*100:5.1f}%)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
