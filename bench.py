@@ -129,6 +129,7 @@ def main():
               file=sys.stderr, flush=True)
         os.environ["LCS_LADDER"] = FALLBACK_LADDER
         os.environ["LCS_HALF_TILE"] = "0"
+        os.environ["LCS_FUSE"] = "0"          # fused-iterate engine off
         os.environ.pop("LCS_POLE_LADDER", None)
         engine, rebin, fallback = "blockspec", False, True
         run = make_run(engine, rebin, wy=32)

@@ -24,6 +24,7 @@ Reference semantics replicated exactly (SURVEY.md quirks):
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -346,7 +347,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
         # special case locates its candidate rows from the traced GLOBAL
         # home rows directly (see pallas_interp_multi).
 
-        def pallas_gather(t, px, py, nf):
+        def pallas_gather(t, px, py, nf, **kw):
             # the MXU contraction's N dim is F*WY, quantised at 128: the
             # F=2 Euler gathers get WY=64 base windows for free, halving
             # their y-escalations
@@ -361,7 +362,50 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 home_rows=home_rows,
                 ladder=_sort_ladder() if sort_mode else None,
                 engine=pallas_engine,
-                f0=2 * t, nf=nf, raw_prepadded=True)
+                f0=2 * t, nf=nf, raw_prepadded=True, **kw)
+
+        # fused SETTLS iterates (ops/pallas_interp._fused_engine_kernel):
+        # ONE engine launch runs all settls_order fixed-point iterations
+        # in-kernel — launch/routing/DMA floor paid once per step instead
+        # of once per iterate (device-measured ~3.5 of ~6.5 ms/group,
+        # tools/probe_slotbody.py).  Pole home rows iterate separately
+        # through the dedicated pole path (2*order rows, XLA glue).
+        # LCS_FUSE=1 enables (trace-time); OFF by default pending the
+        # on-device A/B — the first device run measured the
+        # slack/spread-expanded windows costing more than the fused
+        # launches save (3436 vs 1363 ms/field flagship scan).
+        fuse_iters = (settls_order > 0 and pallas_engine == "dma-all"
+                      and home_rows is None and px0.shape == grid.shape
+                      and not return_traj and not debug_per_step
+                      and ny > 4 * interp_order
+                      and os.environ.get("LCS_FUSE", "0") == "1")
+
+        def fused_settls(t, px, py, ua, va, cx2d):
+            sc = jnp.stack([0.5 * dt * conv_y,
+                            0.5 * dt * jnp.ones((), dtype)]).astype(dtype)
+            pos, fl = pallas_gather(
+                t, px, py, 4,
+                settls_upd=dict(eul=(ua, va), cx=cx2d, sc=sc,
+                                n_iters=settls_order,
+                                cyclic_x=grid.cyclic_x))
+            py2, px2 = pos[0], pos[1]
+            # pole rows: iterate the order-1/constant pole semantics with
+            # the same Q3/Q5 update glue (cx at pole rows carries the
+            # reference's 1/cos blowup, as in the unfused path)
+            rows = np.r_[0:interp_order, ny - interp_order:ny]
+            pxp, pyp = px[rows], py[rows]
+            uap, vap, cxp = ua[rows], va[rows], cx2d[rows]
+            for _ in range(settls_order):
+                vals, pf = pallas_gather(t, pxp, pyp, 4, pole_block=True)
+                fl = fl | pf
+                pyp = pyp + 0.5 * dt * conv_y * (
+                    vap + 2.0 * vals[1] - vals[3])
+                pxp = pxp + 0.5 * dt * cxp * (
+                    uap + 2.0 * vals[0] - vals[2])
+                pxp, pyp = _clamp_wrap(pxp, pyp, **bounds)
+            px2 = px2.at[rows].set(pxp)
+            py2 = py2.at[rows].set(pyp)
+            return px2, py2, fl
     else:
         def interp_multi(fields_coeffs_0, fields_coeffs_1, px, py):
             out = interp_at_parcels_multi(
@@ -432,18 +476,26 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
         if settls_order and kernel != "pallas":
             A_tn = jnp.concatenate([A_t, A_n], axis=0)
             B_tn = jnp.concatenate([B_t, B_n], axis=0)
-        for _ in range(settls_order):
-            if kernel == "pallas":
-                # the (u, v) pairs at t and t+1 are adjacent in the
-                # resident (T*2, ...) stacks: one 4-field window at 2*t
-                dep, fl = pallas_gather(t, px, py, 4)
-            else:
-                dep, fl = interp_multi(A_tn, B_tn, px, py)
+        if kernel == "pallas" and fuse_iters:
+            # all settls_order iterations in ONE fused engine launch
+            # (in-kernel gather + Q3 update + Q5 clamp/wrap per iterate)
+            cx2d = cx if cx.ndim == 2 and cx.shape == px.shape \
+                else jnp.broadcast_to(cx, px.shape).astype(dtype)
+            px, py, fl = fused_settls(t, px, py, ua, va, cx2d)
             flag = flag | fl
-            u_t_d, v_t_d, u_n_d, v_n_d = dep[0], dep[1], dep[2], dep[3]
-            py = py + 0.5 * dt * conv_y * (va + 2.0 * v_t_d - v_n_d)
-            px = px + 0.5 * dt * cx * (ua + 2.0 * u_t_d - u_n_d)
-            px, py = _clamp_wrap(px, py, **bounds)
+        else:
+            for _ in range(settls_order):
+                if kernel == "pallas":
+                    # the (u, v) pairs at t and t+1 are adjacent in the
+                    # resident (T*2, ...) stacks: one 4-field window at 2*t
+                    dep, fl = pallas_gather(t, px, py, 4)
+                else:
+                    dep, fl = interp_multi(A_tn, B_tn, px, py)
+                flag = flag | fl
+                u_t_d, v_t_d, u_n_d, v_n_d = dep[0], dep[1], dep[2], dep[3]
+                py = py + 0.5 * dt * conv_y * (va + 2.0 * v_t_d - v_n_d)
+                px = px + 0.5 * dt * cx * (ua + 2.0 * u_t_d - u_n_d)
+                px, py = _clamp_wrap(px, py, **bounds)
 
         if return_traj:
             if sort_mode:

@@ -315,6 +315,20 @@ def _finish_y(g3, build_y, out_ref, F, WY, dtype, in_range=None,
         out_ref[f] = val.astype(dtype)
 
 
+def _offs_oob(offs, W):
+    """Elementwise out-of-bounds mask for a tap-offset list: min/max over
+    the taps then ONE bounds compare — same truth value as checking every
+    tap, at 2 compares instead of 2 per tap, and lets callers OR several
+    groups together before the (expensive, relayouting) any-reduce.
+    Device-measured: the per-tap any-reduces were ~11% of a gather
+    group's engine time (tools/probe_slotbody.py)."""
+    mn, mx = offs[0], offs[0]
+    for o in offs[1:]:
+        mn = jnp.minimum(mn, o)
+        mx = jnp.maximum(mx, o)
+    return (mn < 0) | (mx >= W)
+
+
 def _onehot_basis(offs, ws, iota, W):
     """Weighted one-hot basis (TR, TC, W): B = sum_k w_k * [lane == off_k].
 
@@ -339,7 +353,8 @@ def _onehot_basis(offs, ws, iota, W):
 # ---------------------------------------------------------------------------
 
 def _spline_tile_body(fyx, win_ref, out_ref, write_flag, y0, x0, *,
-                      F, ny, nx, WY, WX, order, x_full, edge=None):
+                      F, ny, nx, WY, WX, order, x_full, edge=None,
+                      anchor=None):
     """Evaluate one (TILE_R, TILE_C) tile: whole-tile one-hot contraction.
 
     ``fy``/``fx``: (TR, TC) FOLDED fractional grid coordinates (period
@@ -361,15 +376,23 @@ def _spline_tile_body(fyx, win_ref, out_ref, write_flag, y0, x0, *,
     remaps.  ``pl.when`` branches on the scalar, so only one path runs.
     """
     dtype = out_ref.dtype
-    cdt = fyx.dtype
-    yfold = fyx[0]
+    yfold = fyx[0]      # fyx: (2, TR, TC) ref, array, or (y, x) pair
     xfold = fyx[1]
-    ky = _unwrap_k(yfold, yfold[0, 0], ny)
+    cdt = yfold.dtype
+    # period-count anchor: default = the tile's first fold (identical to
+    # the routing frame).  The fused engine passes the WINDOW CENTER
+    # instead: its iterates' folds can cross a period boundary relative
+    # to the tile's own first element, but any in-window parcel unwraps
+    # to the same taps under either anchor (they differ only beyond
+    # n/2 from the window — out-of-window, flagged, either way).
+    ya = yfold[0, 0] if anchor is None else anchor[0]
+    ky = _unwrap_k(yfold, ya, ny)
     # full-x tiles evaluate against the mirror-baked slab (lane = fold+1,
     # see pad_coeffs_for_pallas) — mirrors are in the data, so x always
     # takes the direct basis there
     if not x_full:
-        kx = _unwrap_k(xfold, xfold[0, 0], nx)
+        xa = xfold[0, 0] if anchor is None else anchor[1]
+        kx = _unwrap_k(xfold, xa, nx)
 
     # tap offsets (window-relative, mirror-remapped) and weights — tiny
     # (TR, TC) arrays; only the basis builds below touch (TR, TC, W)
@@ -380,14 +403,11 @@ def _spline_tile_body(fyx, win_ref, out_ref, write_flag, y0, x0, *,
         ws_x = _tap_weights(xfold, order)
 
     # safety flag: exact routing makes this 0; capacity overflow and
-    # mis-routed tiles clamp and raise it
-    over = jnp.zeros((), jnp.int32)
-    for off in offs_y:
-        over = over | jnp.any((off < 0) | (off >= WY)).astype(jnp.int32)
+    # mis-routed tiles clamp and raise it.  One fused any-reduce.
+    oob = _offs_oob(offs_y, WY)
     if not x_full:
-        for off in offs_x:
-            over = over | jnp.any((off < 0) | (off >= WX)).astype(jnp.int32)
-    write_flag(over)
+        oob = oob | _offs_oob(offs_x, WX)
+    write_flag(jnp.any(oob).astype(jnp.int32))
 
     def eval_pipeline(build_y, build_x):
         # MXU contraction over x, in <=512-lane chunks so the
@@ -452,7 +472,7 @@ _SUBW = TILE_C // N_SUB
 
 
 def _sub_tile_body(fyx, win_refs, out_ref, write_flag, y0, x0s, *,
-                   F, ny, nx, WY, order, edge):
+                   F, ny, nx, WY, order, edge, anchor=None):
     """Sub-tile fast path (tier A-sub): each 32-lane sub-block of the
     tile contracts against its own (F, WY, 128) window.
 
@@ -467,17 +487,18 @@ def _sub_tile_body(fyx, win_refs, out_ref, write_flag, y0, x0s, *,
     the one-hot build (integer offsets carry the exact mirror remaps);
     interior tiles the direct B-spline evaluation, as in tier A."""
     dtype = out_ref.dtype
-    cdt = fyx.dtype
-    yfold = fyx[0]
-    ky = _unwrap_k(yfold, yfold[0, 0], ny)
+    yfold = fyx[0]      # fyx: (2, TR, TC) ref, array, or (y, x) pair
+    xfold_full = fyx[1]
+    cdt = yfold.dtype
+    # anchor: see _spline_tile_body — (ya, (xa_q0..xa_q3)) or None
+    ya = yfold[0, 0] if anchor is None else anchor[0]
+    ky = _unwrap_k(yfold, ya, ny)
     yq = jnp.floor(yfold).astype(jnp.int32) + ny * ky - y0
     ypos = jnp.clip(yq.astype(cdt) + (yfold - jnp.floor(yfold)),
                     0.0, WY - 1.0)
     offs_y = _tap_offsets(yfold, ky, y0, ny, order)
     ws_y = _tap_weights(yfold, order)
-    over = jnp.zeros((), jnp.int32)
-    for off in offs_y:
-        over = over | jnp.any((off < 0) | (off >= WY)).astype(jnp.int32)
+    oob_y = _offs_oob(offs_y, WY)
 
     def x_contract(build_x_q):
         gs = []
@@ -496,15 +517,17 @@ def _sub_tile_body(fyx, win_refs, out_ref, write_flag, y0, x0s, *,
     # per-sub-block folded coords / period counts / offsets (tiny arrays)
     sub = []
     for q in range(N_SUB):
-        xfold_q = fyx[1, :, _SUBW * q:_SUBW * (q + 1)]
-        kx_q = _unwrap_k(xfold_q, xfold_q[0, 0], nx)
+        xfold_q = xfold_full[:, _SUBW * q:_SUBW * (q + 1)]
+        xa_q = xfold_q[0, 0] if anchor is None else anchor[1][q]
+        kx_q = _unwrap_k(xfold_q, xa_q, nx)
         sub.append((xfold_q, kx_q))
+    oob_x = None
     for q in range(N_SUB):
         offs_q = _tap_offsets(sub[q][0], sub[q][1], x0s[q], nx, order)
-        for off in offs_q:
-            over = over | jnp.any((off < 0) | (off >= 128)
-                                  ).astype(jnp.int32)
-    write_flag(over)
+        oq = _offs_oob(offs_q, 128)
+        oob_x = oq if oob_x is None else (oob_x | oq)
+    # two any-reduces total (y is (TR, TC), the x quarters (TR, SUBW))
+    write_flag((jnp.any(oob_y) | jnp.any(oob_x)).astype(jnp.int32))
 
     @pl.when(edge == 0)
     def _interior():
@@ -878,6 +901,257 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
             jax.lax.fori_loop(0, n, step, 0)
 
 
+def _fused_engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s,
+                         dx_s, dy_s, f0_s, folds_ref, pos_ref, eul_ref,
+                         cx_ref, sc_ref, cw_hbm, out_ref, flags_ref,
+                         win_buf, win_sems, vals_buf, *, body, F, tiers,
+                         seg_off, ypad, xpad, wx_full, common, upd,
+                         n_iters, ylims, xlims, xlim_sub):
+    """SETTLS-iterate-fused manual-DMA engine: each live slot runs ALL
+    ``n_iters`` SETTLS fixed-point iterations IN-KERNEL — gather, Q3
+    cumulative update, Q5 clamp/wrap, re-fold — against per-iterate
+    PREDICTED windows, writing only the final positions.
+
+    Why: a SETTLS step pays the per-gather-group launch/routing/loop
+    floor (~3.1 of ~6.5 ms/group, tools/probe_slotbody.py) once per
+    iterate; fusing pays it once per STEP.  The iterates read the SAME
+    (u,v)@(t,t+1) stack, but quirk Q3's cumulative form displaces each
+    iterate by roughly a FULL step (dt*cx*u ~ 17-68 cells at 0.25 deg) —
+    far beyond any affordable static window.  The drift is predictable
+    from the Euler winds, so the routing passes a per-tile per-iterate
+    window offset (``dx_s``/``dy_s``, alignment-granular): iterate k's
+    window sits at (y0 + k*dy clipped, (x0 + k*dx) mod nx), its size
+    still tier-routed from the iterate-1 spans plus a slack that only
+    has to cover the PREDICTION ERROR (temporal wind drift + within-tile
+    spread).  Mirrors /root/reference/LCS/trajectory.py:100-124.
+
+    Consistency contract: iterate 1 evaluates the XLA-routed ``folds``
+    operand (never recomputed); iterates 2+ scale/fold in-kernel ONLY.
+    Window fit violations on any iterate raise the per-tier flag via the
+    bodies' tap bounds check — prediction and slack are perf knobs,
+    never correctness assumptions.  Period anchors are the (shifted)
+    window centers (see _spline_tile_body's ``anchor``).
+
+    Extra operands vs _engine_kernel: ``pos`` (2, ny_t, nx_t) [py, px]
+    degrees (pole rows substituted — the caller overwrites them),
+    ``eul`` (2, ny_t, nx_t) [ua, va] Euler winds, ``cx`` (1, ny_t, nx_t)
+    per-parcel m/s->deg conversion, ``sc`` (1, 2) SMEM
+    [0.5*dt*conv_y, 0.5*dt].  ``ylims``: per-tier static aligned max y
+    window start.  Output: final positions (2, ny_t, nx_t)."""
+    f0 = f0_s[0]
+    out_ref[...] = pos_ref[...]
+    a_y = sc_ref[0, 0]
+    b_x = sc_ref[0, 1]
+    ny, nx = common["ny"], common["nx"]
+    x_min, x_max = upd["x_min"], upd["x_max"]
+    y_min, y_max = upd["y_min"], upd["y_max"]
+    sx_i = nx / (x_max - x_min)
+    sy_i = ny / (y_max - y_min)
+    K = n_iters
+    B = win_buf.shape[0]            # window ring depth (units = slot*K+it)
+    # x window drift: shift by whole periods when the period is start-
+    # granular (the padded slab is periodic with period nx, so a
+    # period-shifted window reads identical values); otherwise clip into
+    # the slab (the pad is ~nx/2 wide — clipping binds only under
+    # extreme drift, where the tap bounds check flags)
+    x_mod_ok = (nx % X_GRAN) == 0
+
+    def shift_x(x0, it, dx, xlim):
+        # dx is CELL-granular (alignment applied to the shifted start,
+        # not the delta — granule-rounding the delta would accumulate
+        # +-X_GRAN/2 error per iterate)
+        v = ((x0 + it * dx) // X_GRAN) * X_GRAN
+        if x_mod_ok:
+            return pl.multiple_of(
+                jax.lax.rem(v + 8 * nx, jnp.asarray(nx, jnp.int32)),
+                X_GRAN)
+        return pl.multiple_of(jnp.clip(v, 0, xlim), X_GRAN)
+
+    def tile_view(ref, sl):
+        return ref.at[...,
+                      pl.ds(pl.multiple_of(iy_s[sl] * TILE_R, TILE_R),
+                            TILE_R),
+                      pl.ds(pl.multiple_of(jx_s[sl] * TILE_C, TILE_C),
+                            TILE_C)]
+
+    for t_i, (kind, wy_t, wx_t) in enumerate(tiers):
+        x_full = wx_t is None and kind == "spline"
+        if kind == "sub":
+            wxe = N_SUB * 128
+        else:
+            wxe = wx_full if x_full else wx_t
+        n = counts[t_i]
+        off = seg_off[t_i]
+        ylim = ylims[t_i]
+        xlim = xlims[t_i]
+
+        def starts_kit(k, it, wy_t=wy_t, x_full=x_full, kind=kind,
+                       ylim=ylim, xlim=xlim):
+            """Iterate-``it`` window starts for slot ``k`` (PADDED
+            space): y drifts by it*dy (clipped, 8-granular), x by it*dx
+            (period-shifted or clipped, X_GRAN-granular — see
+            shift_x)."""
+            sl = off + k
+            y0 = jnp.clip(((y0_s[sl] + it * dy_s[sl]) // 8) * 8, 0, ylim)
+            y0 = pl.multiple_of(y0, 8)
+            if x_full or kind == "sub":
+                return sl, y0
+            return sl, y0, shift_x(x0_s[sl], it, dx_s[sl], xlim)
+
+        def xq_kit(sl, it, q):
+            return shift_x(x0q_s[sl * N_SUB + q], it, dx_s[sl], xlim_sub)
+
+        def win_dma(u, k, it, q, wy_t=wy_t, wxe=wxe, x_full=x_full,
+                    kind=kind, ylim=ylim):
+            slot = jax.lax.rem(u, jnp.asarray(B, u.dtype))
+            if kind == "sub":
+                sl, y0 = starts_kit(k, it)
+                xq = xq_kit(sl, it, q)
+                c = (xq % 128) // X_GRAN
+                x128 = pl.multiple_of((xq // 128) * 128, 128)
+                return pltpu.make_async_copy(
+                    cw_hbm.at[pl.ds(c, 1), pl.ds(f0, F),
+                              pl.ds(y0, wy_t), pl.ds(x128, 128)],
+                    win_buf.at[slot, :, :, :wy_t,
+                               128 * q:128 * (q + 1)],
+                    win_sems.at[slot, q])
+            if x_full:
+                sl, y0 = starts_kit(k, it)
+                c, x128 = X_COPIES, 0
+            else:
+                sl, y0, x0 = starts_kit(k, it)
+                c = (x0 % 128) // X_GRAN
+                x128 = pl.multiple_of((x0 // 128) * 128, 128)
+            return pltpu.make_async_copy(
+                cw_hbm.at[pl.ds(c, 1), pl.ds(f0, F), pl.ds(y0, wy_t),
+                          pl.ds(x128, wxe)],
+                win_buf.at[slot, :, :, :wy_t, :wxe], win_sems.at[slot, 0])
+
+        flags_ref[t_i, 0] = jnp.int32(0)
+        qs = range(N_SUB) if kind == "sub" else (0,)
+
+        def slot_body(k, t_i=t_i, off=off, wy_t=wy_t, wxe=wxe,
+                      x_full=x_full, kind=kind, qs=qs, win_dma=win_dma,
+                      starts_kit=starts_kit, n=n):
+            sl = off + k
+
+            def write_flag(v, t_i=t_i):
+                flags_ref[t_i, 0] = jnp.maximum(flags_ref[t_i, 0], v)
+
+            fold_t = tile_view(folds_ref, sl)
+            yfold = fold_t[0]
+            xfold = fold_t[1]
+            pos_t = tile_view(pos_ref, sl)
+            py_t = pos_t[0]
+            px_t = pos_t[1]
+            eul_t = tile_view(eul_ref, sl)
+            ua = eul_t[0]
+            va = eul_t[1]
+            cxt = tile_view(cx_ref, sl)[0]
+            cdt = yfold.dtype
+
+            for it in range(K):
+                u = k * K + it
+                # start the window DMA B-1 units ahead (starts are
+                # position-independent predictions, so every unit's DMA
+                # is issuable at any time); unit u+B-1 = slot
+                # k + (it+B-1)//K, iterate (it+B-1)%K
+                da, di = divmod(it + B - 1, K)
+
+                @pl.when(k + da < n)
+                def _(k=k, da=da, di=di):
+                    for q in qs:
+                        win_dma(u + B - 1, k + da, di, q).start()
+
+                for q in qs:
+                    win_dma(u, k, it, q).wait()
+
+                slot = jax.lax.rem(u, jnp.asarray(B, u.dtype))
+                if kind == "sub":
+                    sl_, y0p = starts_kit(k, it)
+                    y0 = y0p - ypad
+                    x0qs = tuple(xq_kit(sl, it, q) - xpad
+                                 for q in range(N_SUB))
+                    _sub_tile_body(
+                        (yfold, xfold),
+                        tuple(win_buf.at[slot, 0, :, :wy_t,
+                                         128 * q:128 * (q + 1)]
+                              for q in range(N_SUB)),
+                        vals_buf, write_flag, y0, x0qs,
+                        F=F, WY=wy_t, edge=edge_s[sl],
+                        anchor=(y0.astype(cdt) + wy_t * 0.5,
+                                tuple(x.astype(cdt) + 64.0
+                                      for x in x0qs)), **common)
+                elif x_full:
+                    sl_, y0p = starts_kit(k, it)
+                    y0 = y0p - ypad
+                    x0 = jnp.zeros((), jnp.int32)
+                    body((yfold, xfold),
+                         win_buf.at[slot, 0, :, :wy_t, :wxe],
+                         vals_buf, write_flag, y0, x0,
+                         F=F, WY=wy_t, WX=wxe, x_full=True,
+                         edge=edge_s[sl],
+                         anchor=(y0.astype(cdt) + wy_t * 0.5,
+                                 jnp.zeros((), cdt)), **common)
+                else:
+                    sl_, y0p, x0p = starts_kit(k, it)
+                    y0 = y0p - ypad
+                    x0 = x0p - xpad
+                    body((yfold, xfold),
+                         win_buf.at[slot, 0, :, :wy_t, :wxe],
+                         vals_buf, write_flag, y0, x0,
+                         F=F, WY=wy_t, WX=wxe, x_full=False,
+                         edge=edge_s[sl],
+                         anchor=(y0.astype(cdt) + wy_t * 0.5,
+                                 x0.astype(cdt) + wxe * 0.5), **common)
+                u_t = vals_buf[0]
+                v_t = vals_buf[1]
+                u_n = vals_buf[2]
+                v_n = vals_buf[3]
+                # Q3 cumulative correction + Q5 clamp/wrap, exactly as
+                # models/settls.py step()/_clamp_wrap
+                py_t = py_t + a_y * (va + 2.0 * v_t - v_n)
+                px_t = px_t + b_x * cxt * (ua + 2.0 * u_t - u_n)
+                py_t = jnp.where(py_t > y_min, py_t, y_min)
+                py_t = jnp.where(py_t < y_max, py_t, y_max)
+                if upd["cyclic_x"]:
+                    px_t = jnp.where(px_t > -180.0, px_t,
+                                     jnp.mod(px_t, 180.0))
+                    px_t = jnp.where(px_t < 180.0, px_t,
+                                     -180.0 + jnp.mod(px_t, 180.0))
+                else:
+                    px_t = jnp.where(px_t < x_min, x_min, px_t)
+                    px_t = jnp.where(px_t > x_max, x_max, px_t)
+                if it < K - 1:
+                    # next iterate's index scaling + fold (Q4), in-kernel
+                    # only — see the consistency contract above
+                    xi = (px_t - x_min) * sx_i
+                    yi = (py_t - y_min) * sy_i
+                    yfold = _fold(yi, ny)
+                    xfold = _fold(xi, nx)
+            out_t = tile_view(out_ref, sl)
+            out_t[0] = py_t
+            out_t[1] = px_t
+
+        @pl.when(n > 0)
+        def _(n=n, qs=qs, win_dma=win_dma, slot_body=slot_body):
+            # prologue: fill the ring with the first B-1 units
+            for u0 in range(B - 1):
+                da, di = divmod(u0, K)
+
+                @pl.when(da < n)
+                def _(u0=u0, da=da, di=di):
+                    for q in qs:
+                        win_dma(jnp.asarray(u0, jnp.int32), da, di,
+                                q).start()
+
+            def step(k, _):
+                slot_body(k)
+                return 0
+
+            jax.lax.fori_loop(0, n, step, 0)
+
+
 # ---------------------------------------------------------------------------
 # XLA-side routing
 # ---------------------------------------------------------------------------
@@ -938,6 +1212,203 @@ def _fits(mn, mx, s_pad, pad, w, margin, ulp=2):
 # Public entry
 # ---------------------------------------------------------------------------
 
+def _pole_eval_block(px_b, py_b, mask_b, raw_p, f0_arr, *, F, order,
+                     ny, nx, nx_t, ny_p, dtype, x_min, x_max, y_min,
+                     y_max, interpret=False):
+    """Sorted-slot pole evaluation for one (2*order, nx) pole-row
+    position block in exp2 row order ([0..order-1, ny-order..ny-1]):
+    order-1 mode='constant' on the raw fields, 3-level y-window
+    ladder over y0-sorted point slots.  Factored from the pole
+    section of pallas_interp_multi so the fused SETTLS path can
+    iterate it per fixed-point step (``pole_block=True``).  Returns
+    ``(blk_rows (F, 2*order, nx_t), pole_flag int32)``."""
+    ycapP = (ny_p // 8) * 8
+    wy1, wy2, wy3 = (min(w, ycapP) for w in _pole_ladder())
+
+    from .interp import scale_positions
+    xi_b, yi_b = scale_positions(px_b, py_b, x_min=x_min, x_max=x_max,
+                                 y_min=y_min, y_max=y_max,
+                                 nx=nx, ny=ny)
+    # clipped direct float indices + in-range value mask, computed
+    # once here and handed to the kernels (no Mosaic recomputation)
+    yc_b = jnp.clip(yi_b, 0.0, float(ny - 1))
+    xc_b = jnp.clip(xi_b, 0.0, float(nx - 1))
+    vm_b = ((yi_b >= 0) & (yi_b <= ny - 1)
+            & (xi_b >= 0) & (xi_b <= nx - 1)).astype(px_b.dtype)
+    mk_b = jnp.broadcast_to(mask_b[:, :, None], (2, order, nx)
+                            ).astype(px_b.dtype).reshape(2 * order, nx)
+
+    # ---- flat per-side point lists, sorted by y0.  Pad ranks
+    # replicate the side's last point (mode='edge'): they evaluate a
+    # real point's values (discarded on unsort) and can only raise
+    # flags that point itself would raise. ----
+    Ms = order * nx                        # real points per side
+    Mpad = _cdiv(Ms, TILE_R * TILE_C) * (TILE_R * TILE_C)
+    ns = Mpad // (TILE_R * TILE_C)
+    S = 2 * ns                             # total (8,128) point slots
+
+    def side_flat(a):                      # (2*order, nx) → (2, Mpad)
+        return jnp.pad(a.reshape(2, Ms), ((0, 0), (0, Mpad - Ms)),
+                       mode="edge")
+
+    y0_f = jnp.clip(jnp.floor(side_flat(yc_b)), 0,
+                    ny - 2).astype(jnp.int32)
+    perm = jnp.argsort(y0_f, axis=1)       # (2, Mpad) sorted ranks
+
+    def sortp(a):
+        return jnp.take_along_axis(side_flat(a), perm, axis=1)
+
+    # one packed operand [yc, xc, vmask, flagmask] in sorted-rank
+    # storage: rank r of side k at row k*ns*TILE_R + r//TILE_C
+    pack = jnp.stack([sortp(yc_b), sortp(xc_b), sortp(vm_b),
+                      sortp(mk_b)]).reshape(4, S * TILE_R, TILE_C)
+    y0_s = jnp.take_along_axis(y0_f, perm, axis=1).reshape(
+        S, TILE_R * TILE_C)
+    kymn = jnp.clip(jnp.min(y0_s, axis=1) - 1, 0, ny - 2)
+    kymx = jnp.clip(jnp.max(y0_s, axis=1) + 1, 0, ny - 2)
+    kymn = jnp.minimum(kymn, kymx)         # (S,)
+    pcommon = dict(ny=ny, nx=nx)
+
+    def pole_fit(wy_):
+        ys = jnp.clip((kymn // 8) * 8, 0, max(ny_p - wy_, 0))
+        return (kymn >= ys) & (kymx + 1 <= ys + wy_ - 1), ys
+
+    # ---- level 1: EVERY slot, short window ----
+    fit1, ys1 = pole_fit(wy1)
+    kern1 = partial(_pole_grid_kernel, F=F, WY=wy1, WXS=nx_t,
+                    common=pcommon)
+    grid1 = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((4, TILE_R, TILE_C),
+                         lambda i, y0r, f0r: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pl.Element(F), pl.Element(wy1),
+                          pl.Element(nx_t)),
+                         lambda i, y0r, f0r:
+                         (f0r[0], pl.multiple_of(y0r[i], 8), 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
+                                lambda i, *_: (0, i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, S), lambda i, *_: (0, 0),
+                                memory_space=pltpu.SMEM)],
+    )
+    blk1, pflags1 = pl.pallas_call(
+        kern1, grid_spec=grid1,
+        out_shape=[jax.ShapeDtypeStruct((F, S * TILE_R, TILE_C),
+                                        dtype),
+                   jax.ShapeDtypeStruct((1, S), jnp.int32)],
+        interpret=interpret,
+        compiler_params=_CPARAMS,
+    )(ys1, f0_arr, pack, raw_p)
+
+    vals = blk1                            # (F, S*TILE_R, TILE_C)
+    covP = fit1
+    residP = jnp.zeros((), jnp.int32)
+
+    def compacted_level(wy_, want, ys_, kern_):
+        """Run `kern_` over the compacted slot list `want` with
+        per-slot window starts `ys_`; returns (blk, pflags, ran,
+        live)."""
+        flat = want.astype(jnp.int32)
+        sel = jnp.nonzero(flat, size=S, fill_value=0)[0].astype(
+            jnp.int32)
+        count = jnp.sum(flat)
+        live = jnp.arange(S) < count
+        jx = jnp.where(live, sel, sel[0])
+        jx_out = jnp.where(live, jx, S)    # dead → garbage block
+        y0v = jnp.where(live, ys_[jx], ys_[jx[0]])
+        nl = jnp.full((1,), count, jnp.int32)
+        gridL = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(S,),
+            in_specs=[
+                pl.BlockSpec((4, TILE_R, TILE_C),
+                             lambda i, nl, jxr, jxo, y0r, f0r:
+                             (0, jxr[i], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pl.Element(F), pl.Element(wy_),
+                              pl.Element(nx_t)),
+                             lambda i, nl, jxr, jxo, y0r, f0r:
+                             (f0r[0], pl.multiple_of(y0r[i], 8), 0),
+                             memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
+                                    lambda i, nl, jxr, jxo, y0r,
+                                    f0r: (0, jxo[i], 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((S, 1), lambda i, *_: (0, 0),
+                                    memory_space=pltpu.SMEM)],
+        )
+
+        def go(nl, jx, jx_out, y0v):
+            return pl.pallas_call(
+                kern_, grid_spec=gridL,
+                out_shape=[
+                    jax.ShapeDtypeStruct(
+                        (F, (S + 1) * TILE_R, TILE_C), dtype),
+                    jax.ShapeDtypeStruct((S, 1), jnp.int32)],
+                interpret=interpret,
+                compiler_params=_CPARAMS,
+            )(nl, jx, jx_out, y0v, f0_arr, pack, raw_p)
+
+        def skip(nl, jx, jx_out, y0v):
+            return (jnp.zeros((F, (S + 1) * TILE_R, TILE_C), dtype),
+                    jnp.zeros((S, 1), jnp.int32))
+
+        blk, pflags = jax.lax.cond(count > 0, go, skip,
+                                   nl, jx, jx_out, y0v)
+        ran = jnp.zeros((S + 1,), jnp.int32).at[jx_out].max(
+            live.astype(jnp.int32))[:S] > 0
+        return blk, pflags, ran, live
+
+    # ---- level 2: compacted escalation (sorted-slot spans make
+    # this rare — flagship census: ~2 of 10 slots, late steps) ----
+    fit2, ys2 = pole_fit(wy2)
+    kern2 = partial(_pole_list_kernel, F=F, WY=wy2, WXS=nx_t,
+                    common=pcommon)
+    blk2, pflags2, ran2, live2 = compacted_level(
+        wy2, (~covP) & fit2, ys2, kern2)
+    cov2 = ran2 & fit2
+    rowm2 = jnp.repeat(cov2, TILE_R)       # (S*TILE_R,)
+    vals = jnp.where(rowm2[None, :, None], blk2[:, :S * TILE_R],
+                     vals)
+    covP = covP | cov2
+    residP = residP | jnp.max(pflags2[:, 0] * live2.astype(jnp.int32))
+
+    # ---- final level: every leftover slot, tallest window; values
+    # are taken for every slot it ran — even clamped (flagged) ones,
+    # whose tallest-window values are the closest available ----
+    _, ys3 = pole_fit(wy3)
+    kern3 = partial(_pole_list_kernel, F=F, WY=wy3, WXS=nx_t,
+                    common=pcommon)
+    blk3, pflags3, ran3, live3 = compacted_level(
+        wy3, ~covP, ys3, kern3)
+    rowm3 = jnp.repeat(ran3, TILE_R)
+    vals = jnp.where(rowm3[None, :, None], blk3[:, :S * TILE_R],
+                     vals)
+    covP = covP | ran3
+    residP = residP | jnp.max(pflags3[:, 0] * live3.astype(jnp.int32))
+
+    pole_flag = \
+        (jnp.max(pflags1[0] * (1 - covP.astype(jnp.int32))) << 3) \
+        | (residP << 4)
+
+    # un-sort and place: sorted rank j of side k holds original
+    # point perm[k, j], so original point i reads back via inv[k, i]
+    ar = jnp.broadcast_to(jnp.arange(Mpad, dtype=perm.dtype),
+                          (2, Mpad))
+    inv = jnp.zeros_like(perm).at[jnp.arange(2)[:, None], perm].set(
+        ar)
+    vals_u = jnp.take_along_axis(
+        vals.reshape(F, 2, Mpad),
+        jnp.broadcast_to(inv[None], (F, 2, Mpad)), axis=2)[:, :, :Ms]
+    blk_rows = jnp.pad(vals_u.reshape(F, 2 * order, nx),
+                       ((0, 0), (0, 0), (0, nx_t - nx)))
+    return blk_rows, pole_flag
+
+
 def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                         px: jax.Array, py: jax.Array, *,
                         ny: int, nx: int, y_min, y_max, x_min, x_max,
@@ -951,7 +1422,8 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                         ladder=None, half_tile: bool = True,
                         engine: str = "auto",
                         interpret: bool = False,
-                        debug_flags: bool = False):
+                        debug_flags: bool = False,
+                        settls_upd=None, pole_block: bool = False):
     """Evaluate F stacked fields at parcel positions — the TPU fast path.
 
     ``raw``: (F, ny, nx) raw fields (pole-home path); ``cw_pad``:
@@ -1020,6 +1492,44 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                          f"({ny + 2 * ypad},{nxp_c})")
     wx_full = nx_t + 128   # full-x slab: covers folded taps up to nx+1
 
+    if pole_block:
+        # ---- pole-rows-only fast path (fused SETTLS): ``px``/``py`` are
+        # the (2*order, nx) pole-row position block in exp2 row order
+        # ([0..order-1, ny-order..ny-1]); evaluates the order-1/constant
+        # pole semantics and returns the values block directly — no
+        # spline routing, no tiers.  The fused step iterates this with
+        # its own XLA position updates (the pole rows are 2*order rows;
+        # their per-iterate update glue is negligible). ----
+        assert order > 0 and home_rows is None and not debug_flags
+        assert py.shape[0] == 2 * order, py.shape
+        ny_tf = _cdiv(ny, TILE_R) * TILE_R
+        pad_rows = ny_tf + POLE_PAD - ny
+        ny_p = ny + pad_rows
+        if raw_prepadded:
+            assert raw.shape[-2:] == (ny_p, nx_t), (raw.shape, ny_p, nx_t)
+            raw_p = raw
+        else:
+            wrap = jnp.take(raw, jnp.arange(pad_rows) % ny, axis=1)
+            raw_p = jnp.pad(jnp.concatenate([raw, wrap], axis=1),
+                            ((0, 0), (0, 0), (0, nx_t - nx)))
+        blk_rows, pole_flag = _pole_eval_block(
+            px, py, jnp.ones((2, order), bool), raw_p, f0_arr, F=F,
+            order=order, ny=ny, nx=nx, nx_t=nx_t, ny_p=ny_p, dtype=dtype,
+            x_min=x_min, x_max=x_max, y_min=y_min, y_max=y_max,
+            interpret=interpret)
+        return blk_rows[:, :, :nx], pole_flag
+
+    fused = settls_upd is not None
+    if fused:
+        # fused SETTLS iterates require the manual-DMA engine over every
+        # tile (window slack + in-kernel updates live there) and the
+        # plain single-chip block layout
+        assert engine == "dma-all" and not debug_flags \
+            and home_rows is None and retry_tiles > 0, \
+            "settls_upd requires engine='dma-all' single-chip routing"
+        sl_env = os.environ.get("LCS_FUSE_SLACK", "8,16")
+        slack_y, slack_x = (int(v) for v in sl_env.split(","))
+
     def pad_pos(p):
         return jnp.pad(p, ((0, ny_t - R), (0, nx_t - nx)), mode="edge")
 
@@ -1055,7 +1565,6 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     xfold = _fold(xi, nx)
     ymn, ymx = _tile_minmax(yfold, ny)
     xmn, xmx = _tile_minmax(xfold, nx)
-    folds = jnp.stack([yfold, xfold])      # one packed position operand
 
     # conservative mirror-edge flag per tile: folded floors within one
     # cell of the remap zones (fold < 1 / floor >= n-2, _tap_offsets) —
@@ -1066,11 +1575,76 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         return (t.min(axis=(1, 3)).astype(jnp.int32),
                 t.max(axis=(1, 3)).astype(jnp.int32))
 
+    if fused:
+        # per-tile predicted per-iterate window drift, in scaled cells
+        # (quirk Q3's cumulative form displaces each iterate by ~ one
+        # full Euler step dt*cx*ua — see _fused_engine_kernel).  CELL-
+        # granular: the kernel aligns the shifted START, so granule
+        # rounding doesn't accumulate across iterates.
+        # pole-home rows' conv_x is the reference's 1/cos blowup (~1e10)
+        # — a tile-mean drift poisoned by them would fling the whole
+        # tile's windows.  Substitute the nearest safe row, exactly like
+        # the position substitution above (the engine's pole-row outputs
+        # are overwritten by the caller's pole loop either way).
+        ua_pp = pad_pos(jnp.take(settls_upd["eul"][0], safe_idx, axis=0))
+        va_pp = pad_pos(jnp.take(settls_upd["eul"][1], safe_idx, axis=0))
+        cx_pp = pad_pos(jnp.take(settls_upd["cx"], safe_idx, axis=0))
+        sc_j = jnp.asarray(settls_upd["sc"], dtype).reshape(1, 2)
+        dt_j = 2.0 * sc_j[0, 1]
+        dxi = jnp.nan_to_num(dt_j * cx_pp * ua_pp
+                             * (nx / (x_max - x_min)))
+        dyi = jnp.nan_to_num(dt_j * (sc_j[0, 0] / sc_j[0, 1]) * va_pp
+                             * (ny / (y_max - y_min)))
+        dxi4 = dxi.reshape(gy, TILE_R, gx, TILE_C)
+        dyi4 = dyi.reshape(gy, TILE_R, gx, TILE_C)
+        d_x_t = jnp.clip(jnp.round(dxi4.mean((1, 3))),
+                         -nx, nx).astype(jnp.int32)
+        d_y_t = jnp.clip(jnp.round(dyi4.mean((1, 3))),
+                         -ny, ny).astype(jnp.int32)
+        K_f = int(settls_upd["n_iters"])
+        # slack-expanded spans: the routed window must also hold the
+        # in-kernel iterates' taps.  The tile-MEAN per-iterate drift is
+        # removed by the predicted window offsets, so the expansion
+        # covers (a) the cumulative WITHIN-TILE drift spread — parcel p
+        # drifts ~it*dxi[p] while the window tracks it*mean, so by the
+        # last iterate the residual is (K-1)*(dxi[p]-mean), per tile and
+        # per side; wild-spread (whirl) tiles thereby fail the windowed
+        # tiers into full-x, exactly as their per-iterate routing would
+        # — (b) the scalar slack for temporal wind drift the Euler winds
+        # can't see, and (c) the one-sided start-alignment loss (the
+        # shifted start aligns DOWN by up to the granule).  The
+        # in-kernel bounds check still guards exactness.
+        Km = K_f - 1
+        ex_x_lo = Km * (d_x_t - jnp.floor(dxi4.min((1, 3))
+                                          ).astype(jnp.int32))
+        ex_x_hi = Km * (jnp.ceil(dxi4.max((1, 3))).astype(jnp.int32)
+                        - d_x_t)
+        ex_y_lo = Km * (d_y_t - jnp.floor(dyi4.min((1, 3))
+                                          ).astype(jnp.int32))
+        ex_y_hi = Km * (jnp.ceil(dyi4.max((1, 3))).astype(jnp.int32)
+                        - d_y_t)
+        cap = 4 * nx
+        ymn = ymn - jnp.clip(ex_y_lo, 0, cap) - slack_y
+        ymx = ymx + jnp.clip(ex_y_hi, 0, cap) + slack_y + 7
+        xmn = xmn - jnp.clip(ex_x_lo, 0, cap) - slack_x
+        xmx = xmx + jnp.clip(ex_x_hi, 0, cap) + slack_x + X_GRAN - 1
+    folds = jnp.stack([yfold, xfold])      # one packed position operand
+
     yfmn, yfmx = _fold_floor_mm(yfold, ny)
     xfmn, xfmx = _fold_floor_mm(xfold, nx)
-    edge_y_t = ((yfmn <= 1) | (yfmx >= ny - 3)).astype(jnp.int32)
+    # fused iterates can drift INTO the mirror zones from an interior
+    # tile — widen the edge zone by the slack PLUS the full predicted
+    # fold-space sweep K*|d| so they take the exact one-hot path
+    # (me/mex = 1 when not fused)
+    if fused:
+        me = 1 + slack_y + K_f * jnp.abs(d_y_t)
+        mex = 1 + slack_x + K_f * jnp.abs(d_x_t)
+    else:
+        me = 1
+        mex = 1
+    edge_y_t = ((yfmn <= me) | (yfmx >= ny - 2 - me)).astype(jnp.int32)
     edge_t = (edge_y_t
-              | (xfmn <= 1) | (xfmx >= nx - 3)).astype(jnp.int32)
+              | (xfmn <= mex) | (xfmx >= nx - 2 - mex)).astype(jnp.int32)
 
     # ---- escalation ladder: (wy, wx or None=full-x, capacity) ----
     # Tuned on flagship-final-step span histograms (ROUND2_NOTES): y spans
@@ -1134,6 +1708,23 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     ladder = [(min(wy_, wy_cap),
                None if wx_ is None else min(wx_, wx_cap), cap)
               for wy_, wx_, cap in ladder]
+    if fused:
+        # the fused engine iterates LIVE slots only, so capacity is free
+        # — run every tier at full tile count (the spread-expanded spans
+        # crowd the tall tiers far harder than per-iterate routing did;
+        # a saturated cap means uncovered tiles, measured on the 1-deg
+        # drift repro).  Also densify the tall full-longitude coverage:
+        # whirl tiles land between the 64- and 192-row windows, and the
+        # 192-row one-hot slab is ~3x a 96-row one's area.  Full-x tiers
+        # are re-sorted ascending so first-fit picks the cheapest.
+        win_x = [t for t in ladder if t[1] is not None]
+        fullx = [t for t in ladder if t[1] is None]
+        have = {t[0] for t in fullx}
+        for wy_e in (96, 128):
+            if wy_e not in have and wy_e <= wy_cap:
+                fullx.append((wy_e, None, 0))
+        fullx = sorted(fullx, key=lambda t: t[0])
+        ladder = [(w, x, n_tiles) for (w, x, _) in win_x + fullx]
 
     # lowest tap offset after mirror remaps is mn-2 (order 3, fold >= n-1
     # case of _tap_offsets) / mn-1 (order 1); highest is mx+2
@@ -1190,6 +1781,11 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         f2 = jnp.floor(xt).astype(jnp.int32) + nx * k2
         xmn2 = jnp.min(f2, axis=(1, 4))                    # (gy,gx,NS)
         xmx2 = jnp.max(f2, axis=(1, 4))
+        if fused:
+            xmn2 = xmn2 - (jnp.clip(ex_x_lo, 0, 4 * nx)
+                           + slack_x)[..., None]
+            xmx2 = xmx2 + (jnp.clip(ex_x_hi, 0, 4 * nx)
+                           + slack_x + X_GRAN - 1)[..., None]
         slop2 = slop_t[..., None]
         ulp2 = ulp_t[..., None]
         xs2 = jnp.clip(((xmn2 - slop2 + xpad) // X_GRAN) * X_GRAN, 0,
@@ -1339,6 +1935,25 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         # it keeps tier-A clamped values.  The overflow word is a
         # diagnostic bitmask; callers test nonzero.
         uncovered = jnp.sum((~fit_base) & (~covered))
+        if fused and os.environ.get("LCS_FUSE_DEBUG"):
+            um = (~fit_base) & (~covered)
+            jax.debug.print(
+                "FUSE_DEBUG uncov={u} tiles={t} cnt={c}\n"
+                "  yspan mn={ymn} mx={ymx} xspan mn={xmn} mx={xmx}\n"
+                "  exy=({eyl},{eyh}) exx=({exl},{exh}) d=({dy},{dx})",
+                u=uncovered, t=jnp.nonzero(um.ravel(), size=8,
+                                           fill_value=-1)[0],
+                c=cnt,
+                ymn=ymn.ravel()[jnp.argmax(um)],
+                ymx=ymx.ravel()[jnp.argmax(um)],
+                xmn=xmn.ravel()[jnp.argmax(um)],
+                xmx=xmx.ravel()[jnp.argmax(um)],
+                eyl=ex_y_lo.ravel()[jnp.argmax(um)],
+                eyh=ex_y_hi.ravel()[jnp.argmax(um)],
+                exl=ex_x_lo.ravel()[jnp.argmax(um)],
+                exh=ex_x_hi.ravel()[jnp.argmax(um)],
+                dy=d_y_t.ravel()[jnp.argmax(um)],
+                dx=d_x_t.ravel()[jnp.argmax(um)])
         overflow = overflow | ((uncovered > 0).astype(jnp.int32) << 1)
     elif retry_tiles > 0:
         uncovered = jnp.sum(~fit_base)
@@ -1508,16 +2123,88 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         unroll_e = max(1, int(os.environ.get("LCS_ENGINE_UNROLL", "1")))
         nb_e = (2 * unroll_e if unroll_e > 1
                 else int(os.environ.get("LCS_ENGINE_NB", "3")))
+        T_n = len(tiers_static)
+        _ECPARAMS = pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024)
+        if fused:
+            # ---- fused SETTLS-iterate engine: one launch runs all
+            # n_iters fixed-point iterations in-kernel and returns the
+            # FINAL POSITIONS (see _fused_engine_kernel).  Positions at
+            # pole home rows are the substituted copies — the caller
+            # overwrites them from its own pole iterate loop. ----
+            # operands: pole-substituted winds/conv (computed with the
+            # drift prediction above) — pole-row position COPIES evolve
+            # like their safe row, staying finite and in-window; the
+            # caller overwrites them from its own pole loop
+            pos_in = jnp.stack([pyt, pxt])
+            eul_in = jnp.stack([ua_pp, va_pp])
+            cx_in = cx_pp
+            sc_in = sc_j
+            sel_idx = jnp.concatenate(iy_l) * gx + jnp.concatenate(jx_l)
+            dx_l = d_x_t.ravel()[sel_idx]
+            dy_l = d_y_t.ravel()[sel_idx]
+            ylims = tuple(((ny + 2 * ypad - t[1]) // 8) * 8
+                          for t in tiers_static)
+            xlims = tuple(
+                0 if t[2] is None or t[0] == "sub" else
+                ((nx + 2 * xpad - 128 - t[2]) // X_GRAN) * X_GRAN
+                for t in tiers_static)
+            xlim_sub = ((nx + 2 * xpad - 256) // X_GRAN) * X_GRAN
+            kern_f = partial(
+                _fused_engine_kernel, body=body, F=F,
+                tiers=tuple(tiers_static), seg_off=tuple(seg_off),
+                ypad=ypad, xpad=xpad, wx_full=wx_full, common=common,
+                upd=dict(x_min=float(x_min), x_max=float(x_max),
+                         y_min=float(y_min), y_max=float(y_max),
+                         cyclic_x=bool(settls_upd.get("cyclic_x", True))),
+                n_iters=int(settls_upd["n_iters"]), ylims=ylims,
+                xlims=xlims, xlim_sub=xlim_sub)
+            full_spec = pl.BlockSpec((2, ny_t, nx_t),
+                                     lambda *_: (0, 0, 0),
+                                     memory_space=pltpu.VMEM)
+            pos_out, eflags = pl.pallas_call(
+                kern_f,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=10,
+                    grid=(1,),
+                    in_specs=[full_spec, full_spec, full_spec,
+                              pl.BlockSpec((1, ny_t, nx_t),
+                                           lambda *_: (0, 0, 0),
+                                           memory_space=pltpu.VMEM),
+                              pl.BlockSpec((1, 2), lambda *_: (0, 0),
+                                           memory_space=pltpu.SMEM),
+                              pl.BlockSpec(memory_space=pl.ANY)],
+                    out_specs=[full_spec,
+                               pl.BlockSpec((T_n, 1),
+                                            memory_space=pltpu.SMEM)],
+                    scratch_shapes=[
+                        pltpu.VMEM((nb_e, 1, F, wymax, wxmax), dtype),
+                        pltpu.SemaphoreType.DMA((nb_e, N_SUB)),
+                        pltpu.VMEM((F, TILE_R, TILE_C), dtype),
+                    ]),
+                out_shape=[jax.ShapeDtypeStruct((2, ny_t, nx_t), dtype),
+                           jax.ShapeDtypeStruct((T_n, 1), jnp.int32)],
+                interpret=interpret,
+                compiler_params=_ECPARAMS,
+            )(jnp.stack(counts_l).astype(jnp.int32),
+              jnp.concatenate(iy_l), jnp.concatenate(jx_l),
+              jnp.concatenate(y0_l).astype(jnp.int32),
+              jnp.concatenate(x0_l).astype(jnp.int32),
+              jnp.concatenate(x0q_l, axis=0).astype(jnp.int32
+                                                    ).reshape(-1),
+              jnp.concatenate(ed_l).astype(jnp.int32),
+              dx_l.astype(jnp.int32), dy_l.astype(jnp.int32), f0_arr,
+              folds, pos_in, eul_in, cx_in[None], sc_in, cw_pad)
+            for t_i in range(T_n):
+                overflow = overflow | (eflags[t_i, 0] << flag_bits[t_i])
+            return pos_out[:, :R, :nx], overflow
         kern_e = partial(_engine_kernel, body=body, F=F,
                          tiers=tuple(tiers_static), seg_off=tuple(seg_off),
                          ypad=ypad, xpad=xpad, wx_full=wx_full,
                          common=common, nb=nb_e, lean=cw_lean,
                          unroll=unroll_e)
-        T_n = len(tiers_static)
         # folds and the output stay resident in VMEM for the whole
         # launch (~9 + 2*18 MB at flagship scale) — see _engine_kernel.
-        _ECPARAMS = pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024)
         out_arr, eflags = pl.pallas_call(
             kern_e,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1632,190 +2319,11 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             wrap = jnp.take(raw, jnp.arange(pad_rows) % ny, axis=1)
             raw_p = jnp.pad(jnp.concatenate([raw, wrap], axis=1),
                             ((0, 0), (0, 0), (0, nx_t - nx)))
-        ycapP = (ny_p // 8) * 8
-        wy1, wy2, wy3 = (min(w, ycapP) for w in _pole_ladder())
-
-        from .interp import scale_positions
-        xi_b, yi_b = scale_positions(px_b, py_b, x_min=x_min, x_max=x_max,
-                                     y_min=y_min, y_max=y_max,
-                                     nx=nx, ny=ny)
-        # clipped direct float indices + in-range value mask, computed
-        # once here and handed to the kernels (no Mosaic recomputation)
-        yc_b = jnp.clip(yi_b, 0.0, float(ny - 1))
-        xc_b = jnp.clip(xi_b, 0.0, float(nx - 1))
-        vm_b = ((yi_b >= 0) & (yi_b <= ny - 1)
-                & (xi_b >= 0) & (xi_b <= nx - 1)).astype(px_b.dtype)
-        mk_b = jnp.broadcast_to(mask_b[:, :, None], (2, order, nx)
-                                ).astype(px_b.dtype).reshape(2 * order, nx)
-
-        # ---- flat per-side point lists, sorted by y0.  Pad ranks
-        # replicate the side's last point (mode='edge'): they evaluate a
-        # real point's values (discarded on unsort) and can only raise
-        # flags that point itself would raise. ----
-        Ms = order * nx                        # real points per side
-        Mpad = _cdiv(Ms, TILE_R * TILE_C) * (TILE_R * TILE_C)
-        ns = Mpad // (TILE_R * TILE_C)
-        S = 2 * ns                             # total (8,128) point slots
-
-        def side_flat(a):                      # (2*order, nx) → (2, Mpad)
-            return jnp.pad(a.reshape(2, Ms), ((0, 0), (0, Mpad - Ms)),
-                           mode="edge")
-
-        y0_f = jnp.clip(jnp.floor(side_flat(yc_b)), 0,
-                        ny - 2).astype(jnp.int32)
-        perm = jnp.argsort(y0_f, axis=1)       # (2, Mpad) sorted ranks
-
-        def sortp(a):
-            return jnp.take_along_axis(side_flat(a), perm, axis=1)
-
-        # one packed operand [yc, xc, vmask, flagmask] in sorted-rank
-        # storage: rank r of side k at row k*ns*TILE_R + r//TILE_C
-        pack = jnp.stack([sortp(yc_b), sortp(xc_b), sortp(vm_b),
-                          sortp(mk_b)]).reshape(4, S * TILE_R, TILE_C)
-        y0_s = jnp.take_along_axis(y0_f, perm, axis=1).reshape(
-            S, TILE_R * TILE_C)
-        kymn = jnp.clip(jnp.min(y0_s, axis=1) - 1, 0, ny - 2)
-        kymx = jnp.clip(jnp.max(y0_s, axis=1) + 1, 0, ny - 2)
-        kymn = jnp.minimum(kymn, kymx)         # (S,)
-        pcommon = dict(ny=ny, nx=nx)
-
-        def pole_fit(wy_):
-            ys = jnp.clip((kymn // 8) * 8, 0, max(ny_p - wy_, 0))
-            return (kymn >= ys) & (kymx + 1 <= ys + wy_ - 1), ys
-
-        # ---- level 1: EVERY slot, short window ----
-        fit1, ys1 = pole_fit(wy1)
-        kern1 = partial(_pole_grid_kernel, F=F, WY=wy1, WXS=nx_t,
-                        common=pcommon)
-        grid1 = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(S,),
-            in_specs=[
-                pl.BlockSpec((4, TILE_R, TILE_C),
-                             lambda i, y0r, f0r: (0, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((pl.Element(F), pl.Element(wy1),
-                              pl.Element(nx_t)),
-                             lambda i, y0r, f0r:
-                             (f0r[0], pl.multiple_of(y0r[i], 8), 0),
-                             memory_space=pltpu.VMEM)],
-            out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
-                                    lambda i, *_: (0, i, 0),
-                                    memory_space=pltpu.VMEM),
-                       pl.BlockSpec((1, S), lambda i, *_: (0, 0),
-                                    memory_space=pltpu.SMEM)],
-        )
-        blk1, pflags1 = pl.pallas_call(
-            kern1, grid_spec=grid1,
-            out_shape=[jax.ShapeDtypeStruct((F, S * TILE_R, TILE_C),
-                                            dtype),
-                       jax.ShapeDtypeStruct((1, S), jnp.int32)],
-            interpret=interpret,
-            compiler_params=_CPARAMS,
-        )(ys1, f0_arr, pack, raw_p)
-
-        vals = blk1                            # (F, S*TILE_R, TILE_C)
-        covP = fit1
-        residP = jnp.zeros((), jnp.int32)
-
-        def compacted_level(wy_, want, ys_, kern_):
-            """Run `kern_` over the compacted slot list `want` with
-            per-slot window starts `ys_`; returns (blk, pflags, ran,
-            live)."""
-            flat = want.astype(jnp.int32)
-            sel = jnp.nonzero(flat, size=S, fill_value=0)[0].astype(
-                jnp.int32)
-            count = jnp.sum(flat)
-            live = jnp.arange(S) < count
-            jx = jnp.where(live, sel, sel[0])
-            jx_out = jnp.where(live, jx, S)    # dead → garbage block
-            y0v = jnp.where(live, ys_[jx], ys_[jx[0]])
-            nl = jnp.full((1,), count, jnp.int32)
-            gridL = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=5,
-                grid=(S,),
-                in_specs=[
-                    pl.BlockSpec((4, TILE_R, TILE_C),
-                                 lambda i, nl, jxr, jxo, y0r, f0r:
-                                 (0, jxr[i], 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((pl.Element(F), pl.Element(wy_),
-                                  pl.Element(nx_t)),
-                                 lambda i, nl, jxr, jxo, y0r, f0r:
-                                 (f0r[0], pl.multiple_of(y0r[i], 8), 0),
-                                 memory_space=pltpu.VMEM)],
-                out_specs=[pl.BlockSpec((F, TILE_R, TILE_C),
-                                        lambda i, nl, jxr, jxo, y0r,
-                                        f0r: (0, jxo[i], 0),
-                                        memory_space=pltpu.VMEM),
-                           pl.BlockSpec((S, 1), lambda i, *_: (0, 0),
-                                        memory_space=pltpu.SMEM)],
-            )
-
-            def go(nl, jx, jx_out, y0v):
-                return pl.pallas_call(
-                    kern_, grid_spec=gridL,
-                    out_shape=[
-                        jax.ShapeDtypeStruct(
-                            (F, (S + 1) * TILE_R, TILE_C), dtype),
-                        jax.ShapeDtypeStruct((S, 1), jnp.int32)],
-                    interpret=interpret,
-                    compiler_params=_CPARAMS,
-                )(nl, jx, jx_out, y0v, f0_arr, pack, raw_p)
-
-            def skip(nl, jx, jx_out, y0v):
-                return (jnp.zeros((F, (S + 1) * TILE_R, TILE_C), dtype),
-                        jnp.zeros((S, 1), jnp.int32))
-
-            blk, pflags = jax.lax.cond(count > 0, go, skip,
-                                       nl, jx, jx_out, y0v)
-            ran = jnp.zeros((S + 1,), jnp.int32).at[jx_out].max(
-                live.astype(jnp.int32))[:S] > 0
-            return blk, pflags, ran, live
-
-        # ---- level 2: compacted escalation (sorted-slot spans make
-        # this rare — flagship census: ~2 of 10 slots, late steps) ----
-        fit2, ys2 = pole_fit(wy2)
-        kern2 = partial(_pole_list_kernel, F=F, WY=wy2, WXS=nx_t,
-                        common=pcommon)
-        blk2, pflags2, ran2, live2 = compacted_level(
-            wy2, (~covP) & fit2, ys2, kern2)
-        cov2 = ran2 & fit2
-        rowm2 = jnp.repeat(cov2, TILE_R)       # (S*TILE_R,)
-        vals = jnp.where(rowm2[None, :, None], blk2[:, :S * TILE_R],
-                         vals)
-        covP = covP | cov2
-        residP = residP | jnp.max(pflags2[:, 0] * live2.astype(jnp.int32))
-
-        # ---- final level: every leftover slot, tallest window; values
-        # are taken for every slot it ran — even clamped (flagged) ones,
-        # whose tallest-window values are the closest available ----
-        _, ys3 = pole_fit(wy3)
-        kern3 = partial(_pole_list_kernel, F=F, WY=wy3, WXS=nx_t,
-                        common=pcommon)
-        blk3, pflags3, ran3, live3 = compacted_level(
-            wy3, ~covP, ys3, kern3)
-        rowm3 = jnp.repeat(ran3, TILE_R)
-        vals = jnp.where(rowm3[None, :, None], blk3[:, :S * TILE_R],
-                         vals)
-        covP = covP | ran3
-        residP = residP | jnp.max(pflags3[:, 0] * live3.astype(jnp.int32))
-
-        pole_flag = \
-            (jnp.max(pflags1[0] * (1 - covP.astype(jnp.int32))) << 3) \
-            | (residP << 4)
-
-        # un-sort and place: sorted rank j of side k holds original
-        # point perm[k, j], so original point i reads back via inv[k, i]
-        ar = jnp.broadcast_to(jnp.arange(Mpad, dtype=perm.dtype),
-                              (2, Mpad))
-        inv = jnp.zeros_like(perm).at[jnp.arange(2)[:, None], perm].set(
-            ar)
-        vals_u = jnp.take_along_axis(
-            vals.reshape(F, 2, Mpad),
-            jnp.broadcast_to(inv[None], (F, 2, Mpad)), axis=2)[:, :, :Ms]
-        blk_rows = jnp.pad(vals_u.reshape(F, 2 * order, nx),
-                           ((0, 0), (0, 0), (0, nx_t - nx)))
+        blk_rows, pole_flag = _pole_eval_block(
+            px_b, py_b, mask_b, raw_p, f0_arr, F=F, order=order,
+            ny=ny, nx=nx, nx_t=nx_t, ny_p=ny_p, dtype=dtype,
+            x_min=x_min, x_max=x_max, y_min=y_min, y_max=y_max,
+            interpret=interpret)
         pole_vals = out_arr.at[:, idx2.ravel()].set(blk_rows)
         if home_rows is None:
             row = jax.lax.broadcasted_iota(jnp.int32, (ny_t, nx_t), 0)

@@ -99,13 +99,29 @@ def make_fn(grid, flds, engine):
     return jax.jit(run)
 
 
+def _patch_empty_bodies(sub):
+    def empty_sub(fyx, win_refs, out_ref, write_flag, y0, x0s, *,
+                  F, ny, nx, WY, order, edge):
+        write_flag(jnp.zeros((), jnp.int32))
+        for f in range(F):
+            out_ref[f] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
+
+    def empty_spline(fyx, win_ref, out_ref, write_flag, y0, x0, *,
+                     F, ny, nx, WY, WX, order, x_full, edge=None):
+        write_flag(jnp.zeros((), jnp.int32))
+        for f in range(F):
+            out_ref[f] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
+    sub("_sub_tile_body", empty_sub)
+    sub("_spline_tile_body", empty_spline)
+
+
 def patch(variant):
     """Monkeypatch pi internals for one variant; returns an undo fn."""
-    saved = {}
+    saved = []   # (obj, attr, original) triples
 
-    def sub(name, fn):
-        saved[name] = getattr(pi, name)
-        setattr(pi, name, fn)
+    def sub(name, fn, obj=pi):
+        saved.append((obj, name, getattr(obj, name)))
+        setattr(obj, name, fn)
 
     if variant == "noflag":
         # constant offsets: the bounds compares and any-reductions fold
@@ -131,12 +147,149 @@ def patch(variant):
         sub("_unwrap_k",
             lambda fold_c, anchor, n:
             jnp.zeros(fold_c.shape, jnp.int32))
+    elif variant == "combo":
+        # noflag + nofinish + nobasis together (tests additivity)
+        sub("_tap_offsets",
+            lambda fold_c, kper, base, n, order:
+            [jnp.zeros_like(jnp.floor(fold_c).astype(jnp.int32))
+             for _ in range(4 if order == 3 else 2)])
+
+        def cheap_finish(g3, build_y, out_ref, F, WY, dtype,
+                         in_range=None, tr=pi.TILE_R):
+            v = g3[:, :, 0].astype(dtype)
+            for f in range(F):
+                out_ref[f] = v
+        sub("_finish_y", cheap_finish)
+        sub("_basis_direct",
+            lambda pos_rel, iota, order:
+            jnp.full(iota.shape, 0.25, pos_rel.dtype))
+    elif variant == "finB":
+        # log-shift segmented lane reduce: 5 circular lane-rolls + adds
+        # replace the F masked full-lane reduces; lane f*WY then holds
+        # field f's sum (segments are 2^k-aligned, no wrap contamination
+        # at the read lanes).  One static lane extract per field.
+        from jax.experimental.pallas import tpu as pltpu
+
+        def finish_logshift(g3, build_y, out_ref, F, WY, dtype,
+                            in_range=None, tr=pi.TILE_R):
+            F_WY = F * WY
+            i3e = jax.lax.broadcasted_iota(jnp.int32,
+                                           (tr, pi.TILE_C, F_WY), 2)
+            P = g3 * build_y(i3e % WY)
+            s = WY // 2
+            while s >= 1:
+                # pull lane l+s into l == circular roll by (L - s)
+                P = P + pltpu.roll(P, F_WY - s, 2)
+                s //= 2
+            for f in range(F):
+                val = P[:, :, f * WY]
+                if in_range is not None:
+                    val = jnp.where(in_range, val, 0.0)
+                out_ref[f] = val.astype(dtype)
+        sub("_finish_y", finish_logshift)
+    elif variant == "finC":
+        # MXU segment-sum: ONE (M,F*WY)@(F*WY,F*WY) dot against a 0/1
+        # block-replicate matrix replaces the F masked lane reduces; the
+        # per-field sums land replicated across each 32-lane segment,
+        # read back with one static lane extract per field.
+        def finish_dot(g3, build_y, out_ref, F, WY, dtype,
+                       in_range=None, tr=pi.TILE_R):
+            F_WY = F * WY
+            cdt = g3.dtype
+            i3e = jax.lax.broadcasted_iota(jnp.int32,
+                                           (tr, pi.TILE_C, F_WY), 2)
+            P = g3 * build_y(i3e % WY)
+            il = jax.lax.broadcasted_iota(jnp.int32, (F_WY, F_WY), 0)
+            jl = jax.lax.broadcasted_iota(jnp.int32, (F_WY, F_WY), 1)
+            S = (il // WY == jl // WY).astype(cdt)
+            o2 = jax.lax.dot_general(P.reshape(tr * pi.TILE_C, F_WY), S,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=cdt,
+                                     precision=pi._HIGH)
+            o3 = o2.reshape(tr, pi.TILE_C, F_WY)
+            for f in range(F):
+                val = o3[:, :, f * WY]
+                if in_range is not None:
+                    val = jnp.where(in_range, val, 0.0)
+                out_ref[f] = val.astype(dtype)
+        sub("_finish_y", finish_dot)
+    elif variant == "flagmm":
+        # exact flag via ONE any-reduce: bounds-check min/max of the tap
+        # offsets instead of any-reducing each tap separately.  Same
+        # truth value (offsets unchanged), ~1/4 the reduce passes.
+        real_offsets = pi._tap_offsets
+
+        # the bodies do `for off in offs: over |= any(...)`; intercept by
+        # returning a list-alike whose ITERATION yields only [mn, mx]
+        # (flag loops see 2 entries, 1/2 the reduces and no per-tap
+        # compare chains) while INDEXING still sees the real taps (the
+        # edge one-hot path is built by index in the real code path; the
+        # probe's zip-based _onehot_basis consumes the 2-iter view, which
+        # skews edge tiles only — rare, acceptable for timing)
+        def offsets_two(fold_c, kper, base, n, order):
+            offs = real_offsets(fold_c, kper, base, n, order)
+            mn, mx = offs[0], offs[0]
+            for o in offs[1:]:
+                mn = jnp.minimum(mn, o)
+                mx = jnp.maximum(mx, o)
+            return _TapsMM(offs, mn, mx)
+
+        class _TapsMM:
+            """List-alike: iterating for the FLAG sees only [mn, mx];
+            indexing (edge one-hot path) sees the real taps."""
+            def __init__(self, offs, mn, mx):
+                self.offs = offs
+                self.mm = [mn, mx]
+
+            def __iter__(self):
+                return iter(self.mm)
+
+            def __getitem__(self, i):
+                return self.offs[i]
+
+            def __len__(self):
+                return len(self.offs)
+        sub("_tap_offsets", offsets_two)
+    elif variant == "nodma":
+        # empty bodies AND no window DMAs: isolates the per-slot DMA
+        # issue/wait cost from the loop/launch machinery.  (Quarters
+        # issue FOUR async copies + waits per slot.)
+        class _NopCopy:
+            def start(self):
+                pass
+
+            def wait(self):
+                pass
+
+        sub("make_async_copy", lambda *a, **k: _NopCopy(), obj=pi.pltpu)
+        _patch_empty_bodies(sub)
+    elif variant == "nokern":
+        # engine kernel replaced by a constant writer: measures routing
+        # + pole pass + launch/operand machinery without the engine loop
+        def noop_engine(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s,
+                        f0_s, folds_ref, cw_hbm, outA_ref, out_ref,
+                        flags_ref, win_buf, win_sems, **kw):
+            out_ref[...] = outA_ref[...]
+            for t_i in range(flags_ref.shape[0]):   # SMEM: scalar stores
+                flags_ref[t_i, 0] = jnp.int32(0)
+        sub("_engine_kernel", noop_engine)
+    elif variant == "nopole":
+        # pole compute body trivialised (launches + DMAs remain)
+        def empty_pole(yc, xc, vmask, mask, win_ref, out_ref, write_flag,
+                       y0, **kw):
+            write_flag(jnp.zeros((), jnp.int32))
+            out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+        sub("_pole_block_body", empty_pole)
+    elif variant == "empty":
+        # trivial tile bodies: measures the launch + routing + DMA +
+        # loop/scalar floor with ZERO tile compute
+        _patch_empty_bodies(sub)
     elif variant != "full":
         raise SystemExit(f"unknown variant {variant}")
 
     def undo():
-        for k, v in saved.items():
-            setattr(pi, k, v)
+        for obj, name, orig in saved:
+            setattr(obj, name, orig)
 
     return undo
 
