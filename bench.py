@@ -95,6 +95,10 @@ def main():
                               "1" if cfg["half_tile"] else "0")
     if "pole_ladder" in cfg:
         os.environ.setdefault("LCS_POLE_LADDER", str(cfg["pole_ladder"]))
+    if cfg.get("fuse"):
+        os.environ.setdefault("LCS_FUSE", "1")
+        if cfg.get("fuse_slack"):
+            os.environ.setdefault("LCS_FUSE_SLACK", str(cfg["fuse_slack"]))
 
     def make_run(eng, reb, wy=wy):
         def run():

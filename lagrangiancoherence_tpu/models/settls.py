@@ -366,14 +366,16 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
 
         # fused SETTLS iterates (ops/pallas_interp._fused_engine_kernel):
         # ONE engine launch runs all settls_order fixed-point iterations
-        # in-kernel — launch/routing/DMA floor paid once per step instead
-        # of once per iterate (device-measured ~3.5 of ~6.5 ms/group,
-        # tools/probe_slotbody.py).  Pole home rows iterate separately
-        # through the dedicated pole path (2*order rows, XLA glue).
-        # LCS_FUSE=1 enables (trace-time); OFF by default pending the
-        # on-device A/B — the first device run measured the
-        # slack/spread-expanded windows costing more than the fused
-        # launches save (3436 vs 1363 ms/field flagship scan).
+        # in-kernel — the per-gather-group launch floor (~3.1 of ~6.5
+        # ms/group, tools/probe_slotbody.py) paid once per step instead
+        # of once per iterate.  Every (tile, iterate) pair is routed to
+        # its own tier from per-parcel PREDICTED positions (the first
+        # fused design shared one spread-expanded window across the
+        # iterates and lost on device, 3436 vs 1363 ms/field).  Pole
+        # home rows iterate separately through the dedicated pole path
+        # (2*order rows, XLA glue).  LCS_FUSE=1 enables (trace-time);
+        # OFF by default pending the on-device A/B of the per-iterate
+        # routed design.
         fuse_iters = (settls_order > 0 and pallas_engine == "dma-all"
                       and home_rows is None and px0.shape == grid.shape
                       and not return_traj and not debug_per_step

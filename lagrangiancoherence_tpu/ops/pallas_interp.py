@@ -902,42 +902,55 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
 
 
 def _fused_engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s,
-                         dx_s, dy_s, f0_s, folds_ref, pos_ref, eul_ref,
-                         cx_ref, sc_ref, cw_hbm, out_ref, flags_ref,
-                         win_buf, win_sems, vals_buf, *, body, F, tiers,
-                         seg_off, ypad, xpad, wx_full, common, upd,
-                         n_iters, ylims, xlims, xlim_sub):
-    """SETTLS-iterate-fused manual-DMA engine: each live slot runs ALL
-    ``n_iters`` SETTLS fixed-point iterations IN-KERNEL — gather, Q3
-    cumulative update, Q5 clamp/wrap, re-fold — against per-iterate
-    PREDICTED windows, writing only the final positions.
+                         f0_s, folds_ref, pos_ref, eul_ref, cx_ref,
+                         sc_ref, cw_hbm, out_ref, flags_ref, win_buf,
+                         win_sems, vals_buf, *, body, F, tiers, seg_off,
+                         sub_off, ypad, xpad, wx_full, common, upd, nb):
+    """SETTLS-iterate-fused manual-DMA engine, per-(tile, iterate)
+    routing: ONE launch runs all ``n_iters`` SETTLS fixed-point
+    iterations — gather, Q3 cumulative update, Q5 clamp/wrap, re-fold —
+    with every (tile, iterate) pair routed by XLA to ITS OWN tier.
 
     Why: a SETTLS step pays the per-gather-group launch/routing/loop
     floor (~3.1 of ~6.5 ms/group, tools/probe_slotbody.py) once per
-    iterate; fusing pays it once per STEP.  The iterates read the SAME
-    (u,v)@(t,t+1) stack, but quirk Q3's cumulative form displaces each
-    iterate by roughly a FULL step (dt*cx*u ~ 17-68 cells at 0.25 deg) —
-    far beyond any affordable static window.  The drift is predictable
-    from the Euler winds, so the routing passes a per-tile per-iterate
-    window offset (``dx_s``/``dy_s``, alignment-granular): iterate k's
-    window sits at (y0 + k*dy clipped, (x0 + k*dx) mod nx), its size
-    still tier-routed from the iterate-1 spans plus a slack that only
-    has to cover the PREDICTION ERROR (temporal wind drift + within-tile
-    spread).  Mirrors /root/reference/LCS/trajectory.py:100-124.
+    iterate; fusing pays it once per STEP.  The first fused design
+    routed each tile ONE window sized for all iterates (predicted
+    per-iterate window SHIFTS, spread-expanded sizes) and lost on
+    device (3436 vs 1363 ms flagship scan) — the drift-spread-expanded
+    spans crowded the tall full-x tiers, whose one-hot cost scales with
+    window height.  Here the XLA routing instead builds ``n_iters``
+    INDEPENDENT tier plans: iterate 0 from the exact folds (identical
+    to unfused routing), iterate k from the PER-PARCEL predicted
+    positions ``p + k*d`` (d = the parcel's Euler drift, quirk Q3's
+    cumulative form displaces each iterate by ~one full step) plus a
+    ramped slack for the prediction error.  Window sizes then match the
+    unfused per-iterate distribution, and only the launch floor is
+    amortised.  Mirrors /root/reference/LCS/trajectory.py:100-124.
 
-    Consistency contract: iterate 1 evaluates the XLA-routed ``folds``
-    operand (never recomputed); iterates 2+ scale/fold in-kernel ONLY.
-    Window fit violations on any iterate raise the per-tier flag via the
-    bodies' tap bounds check — prediction and slack are perf knobs,
-    never correctness assumptions.  Period anchors are the (shifted)
-    window centers (see _spline_tile_body's ``anchor``).
+    ``tiers``: static ``(it, kind, wy, wx_or_None)`` per section, in
+    ITERATE-MAJOR order — all of iterate k's sections complete before
+    iterate k+1's start (the kernel is one serial program), so each
+    section's tiles read positions already updated by the previous
+    iterate.  Positions live in ``out_ref`` (VMEM-resident, seeded from
+    ``pos_ref``); every tile belongs to EXACTLY ONE section per iterate
+    (A / A-sub / ladder partition), so each read-modify-write is
+    unambiguous.  Iterate 0 evaluates the XLA-routed ``folds`` operand
+    (never recomputed — the ulp contract of _spline_tile_body);
+    iterates 1+ re-fold in-kernel from the updated positions with the
+    quirk-Q4 ``scale_positions`` formula.  Window-fit violations on any
+    iterate raise the per-section flag via the bodies' tap bounds check
+    — prediction and slack are perf knobs, never correctness
+    assumptions.
 
-    Extra operands vs _engine_kernel: ``pos`` (2, ny_t, nx_t) [py, px]
-    degrees (pole rows substituted — the caller overwrites them),
-    ``eul`` (2, ny_t, nx_t) [ua, va] Euler winds, ``cx`` (1, ny_t, nx_t)
-    per-parcel m/s->deg conversion, ``sc`` (1, 2) SMEM
-    [0.5*dt*conv_y, 0.5*dt].  ``ylims``: per-tier static aligned max y
-    window start.  Output: final positions (2, ny_t, nx_t)."""
+    ``sub_off``: static per-section base into the COMPACT ``x0q_s``
+    flat array (only "sub" sections carry quarter starts; a full-width
+    per-section x0q at engine slot counts would blow the 1 MiB SMEM
+    budget).  Extra operands vs _engine_kernel: ``pos`` (2, ny_t, nx_t)
+    [py, px] degrees (pole rows substituted — the caller overwrites
+    them), ``eul`` (2, ny_t, nx_t) [ua, va] Euler winds, ``cx``
+    (1, ny_t, nx_t) per-parcel m/s->deg conversion, ``sc`` (1, 2) SMEM
+    [0.5*dt*conv_y, 0.5*dt].  Output: final positions (2, ny_t, nx_t).
+    """
     f0 = f0_s[0]
     out_ref[...] = pos_ref[...]
     a_y = sc_ref[0, 0]
@@ -945,27 +958,6 @@ def _fused_engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s,
     ny, nx = common["ny"], common["nx"]
     x_min, x_max = upd["x_min"], upd["x_max"]
     y_min, y_max = upd["y_min"], upd["y_max"]
-    sx_i = nx / (x_max - x_min)
-    sy_i = ny / (y_max - y_min)
-    K = n_iters
-    B = win_buf.shape[0]            # window ring depth (units = slot*K+it)
-    # x window drift: shift by whole periods when the period is start-
-    # granular (the padded slab is periodic with period nx, so a
-    # period-shifted window reads identical values); otherwise clip into
-    # the slab (the pad is ~nx/2 wide — clipping binds only under
-    # extreme drift, where the tap bounds check flags)
-    x_mod_ok = (nx % X_GRAN) == 0
-
-    def shift_x(x0, it, dx, xlim):
-        # dx is CELL-granular (alignment applied to the shifted start,
-        # not the delta — granule-rounding the delta would accumulate
-        # +-X_GRAN/2 error per iterate)
-        v = ((x0 + it * dx) // X_GRAN) * X_GRAN
-        if x_mod_ok:
-            return pl.multiple_of(
-                jax.lax.rem(v + 8 * nx, jnp.asarray(nx, jnp.int32)),
-                X_GRAN)
-        return pl.multiple_of(jnp.clip(v, 0, xlim), X_GRAN)
 
     def tile_view(ref, sl):
         return ref.at[...,
@@ -974,7 +966,7 @@ def _fused_engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s,
                       pl.ds(pl.multiple_of(jx_s[sl] * TILE_C, TILE_C),
                             TILE_C)]
 
-    for t_i, (kind, wy_t, wx_t) in enumerate(tiers):
+    for t_i, (it, kind, wy_t, wx_t) in enumerate(tiers):
         x_full = wx_t is None and kind == "spline"
         if kind == "sub":
             wxe = N_SUB * 128
@@ -982,33 +974,18 @@ def _fused_engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s,
             wxe = wx_full if x_full else wx_t
         n = counts[t_i]
         off = seg_off[t_i]
-        ylim = ylims[t_i]
-        xlim = xlims[t_i]
+        soff = sub_off[t_i]
 
-        def starts_kit(k, it, wy_t=wy_t, x_full=x_full, kind=kind,
-                       ylim=ylim, xlim=xlim):
-            """Iterate-``it`` window starts for slot ``k`` (PADDED
-            space): y drifts by it*dy (clipped, 8-granular), x by it*dx
-            (period-shifted or clipped, X_GRAN-granular — see
-            shift_x)."""
+        def win_dma(slot, k, q, wy_t=wy_t, wxe=wxe, x_full=x_full,
+                    off=off, soff=soff, kind=kind):
             sl = off + k
-            y0 = jnp.clip(((y0_s[sl] + it * dy_s[sl]) // 8) * 8, 0, ylim)
-            y0 = pl.multiple_of(y0, 8)
-            if x_full or kind == "sub":
-                return sl, y0
-            return sl, y0, shift_x(x0_s[sl], it, dx_s[sl], xlim)
-
-        def xq_kit(sl, it, q):
-            return shift_x(x0q_s[sl * N_SUB + q], it, dx_s[sl], xlim_sub)
-
-        def win_dma(u, k, it, q, wy_t=wy_t, wxe=wxe, x_full=x_full,
-                    kind=kind, ylim=ylim):
-            slot = jax.lax.rem(u, jnp.asarray(B, u.dtype))
+            # Mosaic must PROVE HBM slice starts divisible by the (8,128)
+            # memref tiling (see _engine_kernel.win_dma)
+            y0 = pl.multiple_of(y0_s[sl], 8)
             if kind == "sub":
-                sl, y0 = starts_kit(k, it)
-                xq = xq_kit(sl, it, q)
-                c = (xq % 128) // X_GRAN
-                x128 = pl.multiple_of((xq // 128) * 128, 128)
+                x0 = x0q_s[(soff + k) * N_SUB + q]
+                c = (x0 % 128) // X_GRAN
+                x128 = pl.multiple_of((x0 // 128) * 128, 128)
                 return pltpu.make_async_copy(
                     cw_hbm.at[pl.ds(c, 1), pl.ds(f0, F),
                               pl.ds(y0, wy_t), pl.ds(x128, 128)],
@@ -1016,10 +993,9 @@ def _fused_engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s,
                                128 * q:128 * (q + 1)],
                     win_sems.at[slot, q])
             if x_full:
-                sl, y0 = starts_kit(k, it)
-                c, x128 = X_COPIES, 0
+                c, x128 = X_COPIES, 0   # mirror-baked slab
             else:
-                sl, y0, x0 = starts_kit(k, it)
+                x0 = x0_s[sl]
                 c = (x0 % 128) // X_GRAN
                 x128 = pl.multiple_of((x0 // 128) * 128, 128)
             return pltpu.make_async_copy(
@@ -1030,123 +1006,106 @@ def _fused_engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s,
         flags_ref[t_i, 0] = jnp.int32(0)
         qs = range(N_SUB) if kind == "sub" else (0,)
 
-        def slot_body(k, t_i=t_i, off=off, wy_t=wy_t, wxe=wxe,
-                      x_full=x_full, kind=kind, qs=qs, win_dma=win_dma,
-                      starts_kit=starts_kit, n=n):
+        def run_body(slot, k, t_i=t_i, it=it, off=off, soff=soff,
+                     wy_t=wy_t, wxe=wxe, x_full=x_full, kind=kind):
             sl = off + k
 
             def write_flag(v, t_i=t_i):
                 flags_ref[t_i, 0] = jnp.maximum(flags_ref[t_i, 0], v)
 
-            fold_t = tile_view(folds_ref, sl)
-            yfold = fold_t[0]
-            xfold = fold_t[1]
-            pos_t = tile_view(pos_ref, sl)
-            py_t = pos_t[0]
-            px_t = pos_t[1]
+            out_t = tile_view(out_ref, sl)
+            py_t = out_t[0]
+            px_t = out_t[1]
+            if it == 0:
+                # iterate 0: the XLA-routed folds, never recomputed
+                fyx = tile_view(folds_ref, sl)
+            else:
+                # iterates 1+: re-fold in-kernel from the updated
+                # positions — quirk-Q4 scaling, the exact op sequence of
+                # ops/interp.scale_positions (mul-then-div)
+                xi = nx * (px_t - x_min) / (x_max - x_min)
+                yi = ny * (py_t - y_min) / (y_max - y_min)
+                fyx = (_fold(yi, ny), _fold(xi, nx))
+            y0 = y0_s[sl] - ypad
+            cdt = pos_ref.dtype
+            # period anchors = WINDOW CENTERS, not the tile's first
+            # fold: a predicted-vs-actual fold crossing the period seam
+            # unwraps into a different period than the routed frame
+            # under a tile-element anchor (full-period tap-offset miss,
+            # flagged oob); any in-window parcel unwraps identically
+            # under the window-center anchor (see _spline_tile_body)
+            ya = y0.astype(cdt) + wy_t * 0.5
+            if kind == "sub":
+                x0qs = tuple(x0q_s[(soff + k) * N_SUB + q] - xpad
+                             for q in range(N_SUB))
+                _sub_tile_body(
+                    fyx,
+                    tuple(win_buf.at[slot, 0, :, :wy_t,
+                                     128 * q:128 * (q + 1)]
+                          for q in range(N_SUB)),
+                    vals_buf, write_flag, y0, x0qs,
+                    F=F, WY=wy_t, edge=edge_s[sl],
+                    anchor=(ya, tuple(x.astype(cdt) + 64.0
+                                      for x in x0qs)), **common)
+            else:
+                x0 = (jnp.zeros((), jnp.int32) if x_full
+                      else x0_s[sl] - xpad)
+                body(fyx, win_buf.at[slot, 0, :, :wy_t, :wxe],
+                     vals_buf, write_flag, y0, x0,
+                     F=F, WY=wy_t, WX=wxe, x_full=x_full,
+                     edge=edge_s[sl],
+                     anchor=(ya, (jnp.zeros((), cdt) if x_full
+                                  else x0.astype(cdt) + wxe * 0.5)),
+                     **common)
+            # Q3 cumulative correction + Q5 clamp/wrap, exactly as
+            # models/settls.py step()/_clamp_wrap
             eul_t = tile_view(eul_ref, sl)
             ua = eul_t[0]
             va = eul_t[1]
             cxt = tile_view(cx_ref, sl)[0]
-            cdt = yfold.dtype
-
-            for it in range(K):
-                u = k * K + it
-                # start the window DMA B-1 units ahead (starts are
-                # position-independent predictions, so every unit's DMA
-                # is issuable at any time); unit u+B-1 = slot
-                # k + (it+B-1)//K, iterate (it+B-1)%K
-                da, di = divmod(it + B - 1, K)
-
-                @pl.when(k + da < n)
-                def _(k=k, da=da, di=di):
-                    for q in qs:
-                        win_dma(u + B - 1, k + da, di, q).start()
-
-                for q in qs:
-                    win_dma(u, k, it, q).wait()
-
-                slot = jax.lax.rem(u, jnp.asarray(B, u.dtype))
-                if kind == "sub":
-                    sl_, y0p = starts_kit(k, it)
-                    y0 = y0p - ypad
-                    x0qs = tuple(xq_kit(sl, it, q) - xpad
-                                 for q in range(N_SUB))
-                    _sub_tile_body(
-                        (yfold, xfold),
-                        tuple(win_buf.at[slot, 0, :, :wy_t,
-                                         128 * q:128 * (q + 1)]
-                              for q in range(N_SUB)),
-                        vals_buf, write_flag, y0, x0qs,
-                        F=F, WY=wy_t, edge=edge_s[sl],
-                        anchor=(y0.astype(cdt) + wy_t * 0.5,
-                                tuple(x.astype(cdt) + 64.0
-                                      for x in x0qs)), **common)
-                elif x_full:
-                    sl_, y0p = starts_kit(k, it)
-                    y0 = y0p - ypad
-                    x0 = jnp.zeros((), jnp.int32)
-                    body((yfold, xfold),
-                         win_buf.at[slot, 0, :, :wy_t, :wxe],
-                         vals_buf, write_flag, y0, x0,
-                         F=F, WY=wy_t, WX=wxe, x_full=True,
-                         edge=edge_s[sl],
-                         anchor=(y0.astype(cdt) + wy_t * 0.5,
-                                 jnp.zeros((), cdt)), **common)
-                else:
-                    sl_, y0p, x0p = starts_kit(k, it)
-                    y0 = y0p - ypad
-                    x0 = x0p - xpad
-                    body((yfold, xfold),
-                         win_buf.at[slot, 0, :, :wy_t, :wxe],
-                         vals_buf, write_flag, y0, x0,
-                         F=F, WY=wy_t, WX=wxe, x_full=False,
-                         edge=edge_s[sl],
-                         anchor=(y0.astype(cdt) + wy_t * 0.5,
-                                 x0.astype(cdt) + wxe * 0.5), **common)
-                u_t = vals_buf[0]
-                v_t = vals_buf[1]
-                u_n = vals_buf[2]
-                v_n = vals_buf[3]
-                # Q3 cumulative correction + Q5 clamp/wrap, exactly as
-                # models/settls.py step()/_clamp_wrap
-                py_t = py_t + a_y * (va + 2.0 * v_t - v_n)
-                px_t = px_t + b_x * cxt * (ua + 2.0 * u_t - u_n)
-                py_t = jnp.where(py_t > y_min, py_t, y_min)
-                py_t = jnp.where(py_t < y_max, py_t, y_max)
-                if upd["cyclic_x"]:
-                    px_t = jnp.where(px_t > -180.0, px_t,
-                                     jnp.mod(px_t, 180.0))
-                    px_t = jnp.where(px_t < 180.0, px_t,
-                                     -180.0 + jnp.mod(px_t, 180.0))
-                else:
-                    px_t = jnp.where(px_t < x_min, x_min, px_t)
-                    px_t = jnp.where(px_t > x_max, x_max, px_t)
-                if it < K - 1:
-                    # next iterate's index scaling + fold (Q4), in-kernel
-                    # only — see the consistency contract above
-                    xi = (px_t - x_min) * sx_i
-                    yi = (py_t - y_min) * sy_i
-                    yfold = _fold(yi, ny)
-                    xfold = _fold(xi, nx)
-            out_t = tile_view(out_ref, sl)
+            u_t = vals_buf[0]
+            v_t = vals_buf[1]
+            u_n = vals_buf[2]
+            v_n = vals_buf[3]
+            py_t = py_t + a_y * (va + 2.0 * v_t - v_n)
+            px_t = px_t + b_x * cxt * (ua + 2.0 * u_t - u_n)
+            py_t = jnp.where(py_t > y_min, py_t, y_min)
+            py_t = jnp.where(py_t < y_max, py_t, y_max)
+            if upd["cyclic_x"]:
+                px_t = jnp.where(px_t > -180.0, px_t,
+                                 jnp.mod(px_t, 180.0))
+                px_t = jnp.where(px_t < 180.0, px_t,
+                                 -180.0 + jnp.mod(px_t, 180.0))
+            else:
+                px_t = jnp.where(px_t < x_min, x_min, px_t)
+                px_t = jnp.where(px_t > x_max, x_max, px_t)
             out_t[0] = py_t
             out_t[1] = px_t
 
         @pl.when(n > 0)
-        def _(n=n, qs=qs, win_dma=win_dma, slot_body=slot_body):
-            # prologue: fill the ring with the first B-1 units
-            for u0 in range(B - 1):
-                da, di = divmod(u0, K)
-
-                @pl.when(da < n)
-                def _(u0=u0, da=da, di=di):
+        def _(n=n, qs=qs, win_dma=win_dma, run_body=run_body):
+            # prologue: fill the nb-deep window prefetch ring (window
+            # starts are scalar-routed — position-independent, so every
+            # slot's DMA is issuable at any time)
+            for b in range(nb - 1):
+                @pl.when(b < n)
+                def _(b=b):
                     for q in qs:
-                        win_dma(jnp.asarray(u0, jnp.int32), da, di,
-                                q).start()
+                        win_dma(b, b, q).start()
 
-            def step(k, _):
-                slot_body(k)
+            def step(k, _, qs=qs):
+                slot = jax.lax.rem(k, jnp.asarray(nb, k.dtype))
+
+                @pl.when(k + nb - 1 < n)
+                def _():
+                    for q in qs:
+                        win_dma(jax.lax.rem(k + nb - 1,
+                                            jnp.asarray(nb, k.dtype)),
+                                k + nb - 1, q).start()
+
+                for q in qs:
+                    win_dma(slot, k, q).wait()
+                run_body(slot, k)
                 return 0
 
             jax.lax.fori_loop(0, n, step, 0)
@@ -1576,15 +1535,13 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                 t.max(axis=(1, 3)).astype(jnp.int32))
 
     if fused:
-        # per-tile predicted per-iterate window drift, in scaled cells
-        # (quirk Q3's cumulative form displaces each iterate by ~ one
-        # full Euler step dt*cx*ua — see _fused_engine_kernel).  CELL-
-        # granular: the kernel aligns the shifted START, so granule
-        # rounding doesn't accumulate across iterates.
+        # per-PARCEL predicted per-iterate positions, in scaled index
+        # cells (quirk Q3's cumulative form displaces each iterate by
+        # ~ one full Euler step dt*cx*ua — see _fused_engine_kernel).
         # pole-home rows' conv_x is the reference's 1/cos blowup (~1e10)
-        # — a tile-mean drift poisoned by them would fling the whole
-        # tile's windows.  Substitute the nearest safe row, exactly like
-        # the position substitution above (the engine's pole-row outputs
+        # — a drift poisoned by them would fling the whole tile's
+        # windows.  Substitute the nearest safe row, exactly like the
+        # position substitution above (the engine's pole-row outputs
         # are overwritten by the caller's pole loop either way).
         ua_pp = pad_pos(jnp.take(settls_upd["eul"][0], safe_idx, axis=0))
         va_pp = pad_pos(jnp.take(settls_upd["eul"][1], safe_idx, axis=0))
@@ -1595,53 +1552,54 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                              * (nx / (x_max - x_min)))
         dyi = jnp.nan_to_num(dt_j * (sc_j[0, 0] / sc_j[0, 1]) * va_pp
                              * (ny / (y_max - y_min)))
-        dxi4 = dxi.reshape(gy, TILE_R, gx, TILE_C)
-        dyi4 = dyi.reshape(gy, TILE_R, gx, TILE_C)
-        d_x_t = jnp.clip(jnp.round(dxi4.mean((1, 3))),
-                         -nx, nx).astype(jnp.int32)
-        d_y_t = jnp.clip(jnp.round(dyi4.mean((1, 3))),
-                         -ny, ny).astype(jnp.int32)
         K_f = int(settls_upd["n_iters"])
-        # slack-expanded spans: the routed window must also hold the
-        # in-kernel iterates' taps.  The tile-MEAN per-iterate drift is
-        # removed by the predicted window offsets, so the expansion
-        # covers (a) the cumulative WITHIN-TILE drift spread — parcel p
-        # drifts ~it*dxi[p] while the window tracks it*mean, so by the
-        # last iterate the residual is (K-1)*(dxi[p]-mean), per tile and
-        # per side; wild-spread (whirl) tiles thereby fail the windowed
-        # tiers into full-x, exactly as their per-iterate routing would
-        # — (b) the scalar slack for temporal wind drift the Euler winds
-        # can't see, and (c) the one-sided start-alignment loss (the
-        # shifted start aligns DOWN by up to the granule).  The
-        # in-kernel bounds check still guards exactness.
-        Km = K_f - 1
-        ex_x_lo = Km * (d_x_t - jnp.floor(dxi4.min((1, 3))
-                                          ).astype(jnp.int32))
-        ex_x_hi = Km * (jnp.ceil(dxi4.max((1, 3))).astype(jnp.int32)
-                        - d_x_t)
-        ex_y_lo = Km * (d_y_t - jnp.floor(dyi4.min((1, 3))
-                                          ).astype(jnp.int32))
-        ex_y_hi = Km * (jnp.ceil(dyi4.max((1, 3))).astype(jnp.int32)
-                        - d_y_t)
-        cap = 4 * nx
-        ymn = ymn - jnp.clip(ex_y_lo, 0, cap) - slack_y
-        ymx = ymx + jnp.clip(ex_y_hi, 0, cap) + slack_y + 7
-        xmn = xmn - jnp.clip(ex_x_lo, 0, cap) - slack_x
-        xmx = xmx + jnp.clip(ex_x_hi, 0, cap) + slack_x + X_GRAN - 1
+        # predicted iterate-k folds: per-parcel p + k*d — the tile SPAN
+        # of these already carries the within-tile drift spread that the
+        # first fused design had to bound analytically; the remaining
+        # error is the temporal/advective wind drift the Euler winds
+        # can't see, covered by a slack RAMP (LCS_FUSE_SLACK = the
+        # last-iterate absolute totals, for decorrelated small-scale
+        # variation) plus a RELATIVE term scaling with the tile's own
+        # drift magnitude (LCS_FUSE_REL "rel_y,rel_x" — advective error
+        # is roughly proportional to how far the winds carry a parcel
+        # per iterate), and guarded by the in-kernel tap bounds check.
+        # Iterate 0 routes from the exact folds.
+        fold_preds = [(_fold(yi + it_ * dyi, ny), _fold(xi + it_ * dxi,
+                                                        nx))
+                      for it_ in range(1, K_f)]
+        rel_env = os.environ.get("LCS_FUSE_REL", "0.2,0.35")
+        rel_y, rel_x = (float(r) for r in rel_env.split(","))
+
+        def _dil3(a):
+            # 3x3 tile-neighborhood max: a slow tile's parcels can drift
+            # INTO a fast neighbor's flow (reachable range < one tile),
+            # which the tile's own drift max cannot see
+            p = jnp.pad(a, ((1, 1), (1, 1)), mode="edge")
+            return jnp.max(jnp.stack(
+                [p[dy_:dy_ + gy, dx_:dx_ + gx]
+                 for dy_ in range(3) for dx_ in range(3)]), 0)
+
+        ady_t = _dil3(jnp.max(jnp.abs(dyi).reshape(gy, TILE_R, gx,
+                                                   TILE_C), axis=(1, 3)))
+        adx_t = _dil3(jnp.max(jnp.abs(dxi).reshape(gy, TILE_R, gx,
+                                                   TILE_C), axis=(1, 3)))
+
+        def _fuse_slack(it_):
+            """Per-tile (gy, gx) int32 y/x slacks for iterate ``it_``."""
+            den = max(K_f - 1, 1)
+            sy = -(-it_ * slack_y // den) + jnp.ceil(
+                jnp.minimum(rel_y * it_ * ady_t, 2.0 * ny)
+            ).astype(jnp.int32)
+            sx = -(-it_ * slack_x // den) + jnp.ceil(
+                jnp.minimum(rel_x * it_ * adx_t, 2.0 * nx)
+            ).astype(jnp.int32)
+            return sy, sx
     folds = jnp.stack([yfold, xfold])      # one packed position operand
 
     yfmn, yfmx = _fold_floor_mm(yfold, ny)
     xfmn, xfmx = _fold_floor_mm(xfold, nx)
-    # fused iterates can drift INTO the mirror zones from an interior
-    # tile — widen the edge zone by the slack PLUS the full predicted
-    # fold-space sweep K*|d| so they take the exact one-hot path
-    # (me/mex = 1 when not fused)
-    if fused:
-        me = 1 + slack_y + K_f * jnp.abs(d_y_t)
-        mex = 1 + slack_x + K_f * jnp.abs(d_x_t)
-    else:
-        me = 1
-        mex = 1
+    me = 1
+    mex = 1
     edge_y_t = ((yfmn <= me) | (yfmx >= ny - 2 - me)).astype(jnp.int32)
     edge_t = (edge_y_t
               | (xfmn <= mex) | (xfmx >= nx - 2 - mex)).astype(jnp.int32)
@@ -1709,14 +1667,16 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                None if wx_ is None else min(wx_, wx_cap), cap)
               for wy_, wx_, cap in ladder]
     if fused:
-        # the fused engine iterates LIVE slots only, so capacity is free
-        # — run every tier at full tile count (the spread-expanded spans
-        # crowd the tall tiers far harder than per-iterate routing did;
-        # a saturated cap means uncovered tiles, measured on the 1-deg
-        # drift repro).  Also densify the tall full-longitude coverage:
-        # whirl tiles land between the 64- and 192-row windows, and the
-        # 192-row one-hot slab is ~3x a 96-row one's area.  Full-x tiers
-        # are re-sorted ascending so first-fit picks the cheapest.
+        # the fused engine iterates LIVE slots only, so dead capacity is
+        # free on device — but each per-iterate plan carries its OWN
+        # slot lists in the 1 MiB SMEM scalar-prefetch budget, so caps
+        # are demand-scaled rather than all-n_tiles: windowed tiers at
+        # >= n/4, full-x at >= n/2 (their summed capacity >= n holds the
+        # instant-whirl worst case where one step escalates everything).
+        # Also densify the tall full-longitude coverage: whirl tiles
+        # land between the 64- and 192-row windows, and the 192-row
+        # one-hot slab is ~3x a 96-row one's area.  Full-x tiers are
+        # re-sorted ascending so first-fit picks the cheapest.
         win_x = [t for t in ladder if t[1] is not None]
         fullx = [t for t in ladder if t[1] is None]
         have = {t[0] for t in fullx}
@@ -1724,7 +1684,10 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             if wy_e not in have and wy_e <= wy_cap:
                 fullx.append((wy_e, None, 0))
         fullx = sorted(fullx, key=lambda t: t[0])
-        ladder = [(w, x, n_tiles) for (w, x, _) in win_x + fullx]
+        ladder = ([(w, x, min(n_tiles, max(c, n_tiles // 4)))
+                   for (w, x, c) in win_x]
+                  + [(w, None, min(n_tiles, max(c, n_tiles // 2)))
+                     for (w, _x, c) in fullx])
 
     # lowest tap offset after mirror remaps is mn-2 (order 3, fold >= n-1
     # case of _tap_offsets) / mn-1 (order 1); highest is mx+2
@@ -1738,29 +1701,34 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     ulp_t = jnp.where(edge_t > 0, 2, 1)
     slop_t = m + ulp_t
 
-    def fit_many(specs):
+    def fit_many(specs, ymn_f, ymx_f, xmn_f, xmx_f, slop_f, ulp_f):
         """Batched window routing for all (wy, wx) tier specs at once:
         one (T, gy, gx) op chain instead of a per-tier chain — the
-        routing runs 5x per step, so per-op launch overhead adds up."""
+        routing runs 5x per step, so per-op launch overhead adds up.
+        Spans/slops are arguments so the fused path can route each
+        SETTLS iterate's predicted spans through the same machinery."""
         wy_a = jnp.asarray([s[0] for s in specs]).reshape(-1, 1, 1)
-        ysb = jnp.clip(((ymn[None] - slop_t[None] + ypad) // 8) * 8, 0,
+        ysb = jnp.clip(((ymn_f[None] - slop_f[None] + ypad) // 8) * 8, 0,
                        ((ny + 2 * ypad - wy_a) // 8) * 8)
-        oky = (((ymn[None] - m - ulp_t[None]) >= ysb - ypad)
-               & ((ymx[None] + 2 + ulp_t[None]) <= ysb - ypad + wy_a - 1))
+        oky = (((ymn_f[None] - m - ulp_f[None]) >= ysb - ypad)
+               & ((ymx_f[None] + 2 + ulp_f[None])
+                  <= ysb - ypad + wy_a - 1))
         has_x = [s[1] is not None for s in specs]
         wx_a = jnp.asarray([s[1] if h else wx for s, h in
                             zip(specs, has_x)]).reshape(-1, 1, 1)
-        xsb = jnp.clip(((xmn[None] - slop_t[None] + xpad) // X_GRAN)
+        xsb = jnp.clip(((xmn_f[None] - slop_f[None] + xpad) // X_GRAN)
                        * X_GRAN, 0,
                        ((nx + 2 * xpad - 128 - wx_a) // X_GRAN) * X_GRAN)
-        okx = (((xmn[None] - m - ulp_t[None]) >= xsb - xpad)
-               & ((xmx[None] + 2 + ulp_t[None]) <= xsb - xpad + wx_a - 1))
+        okx = (((xmn_f[None] - m - ulp_f[None]) >= xsb - xpad)
+               & ((xmx_f[None] + 2 + ulp_f[None])
+                  <= xsb - xpad + wx_a - 1))
         return [(oky[i] & okx[i] if h else oky[i], ysb[i],
                  xsb[i] if h else None)
                 for i, h in enumerate(has_x)]
 
-    all_fits = fit_many([(wy, wx)] + [(t[0], t[1]) for t in ladder]
-                        if retry_tiles > 0 else [(wy, wx)])
+    fit_specs = ([(wy, wx)] + [(t[0], t[1]) for t in ladder]
+                 if retry_tiles > 0 else [(wy, wx)])
+    all_fits = fit_many(fit_specs, ymn, ymx, xmn, xmx, slop_t, ulp_t)
     fitA, y0A, x0A = all_fits[0]
 
     # ---- tier A-sub routing: per-32-lane-sub-block tap spans and
@@ -1773,28 +1741,34 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     # be disableable without a code edit.  Read at trace time.
     half_tile = (half_tile and retry_tiles > 0
                  and os.environ.get("LCS_HALF_TILE", "1") != "0")
-    fitA2 = jnp.zeros((gy, gx), bool)
-    if half_tile:
-        xt = xfold.reshape(gy, TILE_R, gx, N_SUB, _SUBW)
+
+    def sub_fit(xfold_f, y0A_f, ymn_f, ymx_f, slop_f, ulp_f, sx_ex=0):
+        """A-sub routing for one fold set: per-32-lane-sub-block tap
+        spans, (wy, 128) window starts, and the combined fit mask
+        (y uses tier A's window/starts).  ``sx_ex``: extra symmetric x
+        slack (fused predicted-iterate routing)."""
+        xt = xfold_f.reshape(gy, TILE_R, gx, N_SUB, _SUBW)
         anchor2 = xt[:, :1, :, :, :1]
         k2 = _unwrap_k(xt, anchor2, nx)
         f2 = jnp.floor(xt).astype(jnp.int32) + nx * k2
-        xmn2 = jnp.min(f2, axis=(1, 4))                    # (gy,gx,NS)
-        xmx2 = jnp.max(f2, axis=(1, 4))
-        if fused:
-            xmn2 = xmn2 - (jnp.clip(ex_x_lo, 0, 4 * nx)
-                           + slack_x)[..., None]
-            xmx2 = xmx2 + (jnp.clip(ex_x_hi, 0, 4 * nx)
-                           + slack_x + X_GRAN - 1)[..., None]
-        slop2 = slop_t[..., None]
-        ulp2 = ulp_t[..., None]
+        sx_e = jnp.asarray(sx_ex)
+        if sx_e.ndim == 2:                    # per-tile (gy, gx) slack
+            sx_e = sx_e[..., None]
+        xmn2 = jnp.min(f2, axis=(1, 4)) - sx_e             # (gy,gx,NS)
+        xmx2 = jnp.max(f2, axis=(1, 4)) + sx_e
+        slop2 = slop_f[..., None]
+        ulp2 = ulp_f[..., None]
         xs2 = jnp.clip(((xmn2 - slop2 + xpad) // X_GRAN) * X_GRAN, 0,
                        ((nx + 2 * xpad - 128 - 128) // X_GRAN) * X_GRAN)
         okx2 = (((xmn2 - m - ulp2) >= xs2 - xpad)
                 & ((xmx2 + 2 + ulp2) <= xs2 - xpad + 128 - 1)).all(-1)
-        oky_A = (((ymn - m - ulp_t) >= y0A - ypad)
-                 & ((ymx + 2 + ulp_t) <= y0A - ypad + wy - 1))
-        fitA2 = oky_A & okx2
+        oky_A = (((ymn_f - m - ulp_f) >= y0A_f - ypad)
+                 & ((ymx_f + 2 + ulp_f) <= y0A_f - ypad + wy - 1))
+        return oky_A & okx2, xs2
+
+    fitA2 = jnp.zeros((gy, gx), bool)
+    if half_tile:
+        fitA2, xs2 = sub_fit(xfold, y0A, ymn, ymx, slop_t, ulp_t)
 
     common = dict(ny=ny, nx=nx, order=order)
     body = partial(_spline_tile_body)
@@ -1891,15 +1865,17 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     # the (common) empty case: an empty launch still costs ~0.1 ms, and
     # an unconditional merge streams the full output array per tier. ----
     overflow = jnp.zeros((), jnp.int32)
-    tier_plan = []
-    covered = jnp.zeros((gy, gx), bool)
-    fit_base = fitA | fitA2
-    if retry_tiles > 0 and len(ladder):
+
+    def assign_plan(lad_fits, fit_base_f):
+        """3-pass batched first-fit over one fold set's ladder fits;
+        returns ([(sel, cnt, ys, xs, wy, wx, cap)] per tier, covered
+        mask, uncovered count)."""
+        plan_f = []
         T_n = len(ladder)
         caps_l = [min(t[2], n_tiles) for t in ladder]
         caps_j = jnp.asarray(caps_l, jnp.int32)[:, None]
-        fits_T = jnp.stack([f.ravel() for (f, _, _) in all_fits[1:]])
-        elig = fits_T & (~fit_base).ravel()[None]
+        fits_T = jnp.stack([f.ravel() for (f, _, _) in lad_fits])
+        elig = fits_T & (~fit_base_f).ravel()[None]
         t_iota = jax.lax.broadcasted_iota(jnp.int32, elig.shape, 0)
         assigned = jnp.zeros((n_tiles,), bool)
         tried = jnp.zeros_like(elig)
@@ -1918,7 +1894,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             cnt = cnt + jnp.sum(take, axis=1)
             assigned = assigned | jnp.any(take, axis=0)
             tried = tried | oh
-        covered = jnp.any(taken_T, axis=0).reshape(gy, gx)
+        covered_f = jnp.any(taken_T, axis=0).reshape(gy, gx)
         # ONE scatter builds every tier's rank-ordered slot list (the
         # stable tile-index order the former per-tier nonzero produced);
         # unassigned entries dump into a spare trailing slot
@@ -1928,36 +1904,186 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         sel_all = jnp.zeros((T_n * maxcap + 1,), jnp.int32).at[
             dst.ravel()].set(tile_iota.ravel())[:-1].reshape(T_n, maxcap)
         for t_i, ((wy_, wx_, _cap), (fitT, ysT, xsT)) in enumerate(
-                zip(ladder, all_fits[1:])):
-            tier_plan.append((sel_all[t_i, :caps_l[t_i]], cnt[t_i],
-                              ysT, xsT, wy_, wx_, caps_l[t_i]))
+                zip(ladder, lad_fits)):
+            plan_f.append((sel_all[t_i, :caps_l[t_i]], cnt[t_i],
+                           ysT, xsT, wy_, wx_, caps_l[t_i]))
+        uncov_f = jnp.sum((~fit_base_f) & (~covered_f))
+        return plan_f, covered_f, uncov_f
+
+    tier_plan = []
+    covered = jnp.zeros((gy, gx), bool)
+    fit_base = fitA | fitA2
+    if retry_tiles > 0 and len(ladder):
+        tier_plan, covered, uncovered = assign_plan(all_fits[1:],
+                                                    fit_base)
         # bit 1: some tile fit no tier (or every holding tier was full) —
         # it keeps tier-A clamped values.  The overflow word is a
         # diagnostic bitmask; callers test nonzero.
-        uncovered = jnp.sum((~fit_base) & (~covered))
-        if fused and os.environ.get("LCS_FUSE_DEBUG"):
-            um = (~fit_base) & (~covered)
-            jax.debug.print(
-                "FUSE_DEBUG uncov={u} tiles={t} cnt={c}\n"
-                "  yspan mn={ymn} mx={ymx} xspan mn={xmn} mx={xmx}\n"
-                "  exy=({eyl},{eyh}) exx=({exl},{exh}) d=({dy},{dx})",
-                u=uncovered, t=jnp.nonzero(um.ravel(), size=8,
-                                           fill_value=-1)[0],
-                c=cnt,
-                ymn=ymn.ravel()[jnp.argmax(um)],
-                ymx=ymx.ravel()[jnp.argmax(um)],
-                xmn=xmn.ravel()[jnp.argmax(um)],
-                xmx=xmx.ravel()[jnp.argmax(um)],
-                eyl=ex_y_lo.ravel()[jnp.argmax(um)],
-                eyh=ex_y_hi.ravel()[jnp.argmax(um)],
-                exl=ex_x_lo.ravel()[jnp.argmax(um)],
-                exh=ex_x_hi.ravel()[jnp.argmax(um)],
-                dy=d_y_t.ravel()[jnp.argmax(um)],
-                dx=d_x_t.ravel()[jnp.argmax(um)])
         overflow = overflow | ((uncovered > 0).astype(jnp.int32) << 1)
     elif retry_tiles > 0:
         uncovered = jnp.sum(~fit_base)
         overflow = overflow | ((uncovered > 0).astype(jnp.int32) << 1)
+
+    if fused:
+        # ---- fused SETTLS-iterate engine: per-(tile, iterate) routed
+        # sections, iterate-major (see _fused_engine_kernel).  Iterate 0
+        # reuses the exact-fold plan computed above; iterates 1..K-1
+        # route the per-parcel PREDICTED folds through the same
+        # fit/assign machinery with a ramped prediction-error slack.
+        # Positions at pole home rows are the substituted copies — the
+        # caller overwrites them from its own pole iterate loop. ----
+        def it_sections(it_, fitA_i, y0A_i, x0A_i, fitA2_i, xs2_i,
+                        plan_i, covered_i, edge_t_i, edge_y_t_i):
+            liveA_i = (fitA_i | ~covered_i) & ~fitA2_i
+            flatA = liveA_i.ravel().astype(jnp.int32)
+            selA = jnp.nonzero(flatA, size=n_tiles,
+                               fill_value=0)[0].astype(jnp.int32)
+            secs = [(it_, "spline", selA, jnp.sum(flatA), y0A_i, x0A_i,
+                     None, wy, wx, n_tiles, 2, edge_t_i)]
+            if half_tile:
+                flat2 = fitA2_i.ravel().astype(jnp.int32)
+                sel2 = jnp.nonzero(flat2, size=n_tiles,
+                                   fill_value=0)[0].astype(jnp.int32)
+                secs.append((it_, "sub", sel2, jnp.sum(flat2), y0A_i,
+                             None, xs2_i, wy, None, n_tiles, 2,
+                             edge_t_i))
+            for t_i, (selT, cntT, ysT, xsT, wy_, wx_, cap) in \
+                    enumerate(plan_i):
+                # full-x tiles read the mirror-baked slab: only the Y
+                # axis can need the one-hot mirror path
+                secs.append((it_, "spline", selT, cntT, ysT, xsT, None,
+                             wy_, wx_, cap, 5 + t_i,
+                             edge_y_t_i if wx_ is None else edge_t_i))
+            return secs
+
+        sections = it_sections(0, fitA, y0A, x0A, fitA2,
+                               xs2 if half_tile else None, tier_plan,
+                               covered, edge_t, edge_y_t)
+        for it_ in range(1, K_f):
+            yf_i, xf_i = fold_preds[it_ - 1]
+            sy_i, sx_i = _fuse_slack(it_)
+            ymn_i, ymx_i = _tile_minmax(yf_i, ny)
+            xmn_i, xmx_i = _tile_minmax(xf_i, nx)
+            ymn_i = ymn_i - sy_i
+            ymx_i = ymx_i + sy_i
+            xmn_i = xmn_i - sx_i
+            xmx_i = xmx_i + sx_i
+            # mirror-edge zone widened by the slack: if the ACTUAL fold
+            # exceeds the predicted span by more than the slack, the
+            # window-fit bounds check flags; within it, this margin
+            # keeps the edge classification conservative
+            yfmn_i, yfmx_i = _fold_floor_mm(yf_i, ny)
+            xfmn_i, xfmx_i = _fold_floor_mm(xf_i, nx)
+            me_i = 1 + sy_i
+            mex_i = 1 + sx_i
+            edge_y_i = ((yfmn_i <= me_i)
+                        | (yfmx_i >= ny - 2 - me_i)).astype(jnp.int32)
+            edge_i = (edge_y_i | (xfmn_i <= mex_i)
+                      | (xfmx_i >= nx - 2 - mex_i)).astype(jnp.int32)
+            ulp_i = jnp.where(edge_i > 0, 2, 1)
+            slop_i = m + ulp_i
+            fits_i = fit_many(fit_specs, ymn_i, ymx_i, xmn_i, xmx_i,
+                              slop_i, ulp_i)
+            fitA_i, y0A_i, x0A_i = fits_i[0]
+            fitA2_i = jnp.zeros((gy, gx), bool)
+            xs2_i = None
+            if half_tile:
+                fitA2_i, xs2_i = sub_fit(xf_i, y0A_i, ymn_i, ymx_i,
+                                         slop_i, ulp_i, sx_ex=sx_i)
+            if len(ladder):
+                plan_i, covered_i, uncov_i = assign_plan(
+                    fits_i[1:], fitA_i | fitA2_i)
+                overflow = overflow | \
+                    ((uncov_i > 0).astype(jnp.int32) << 1)
+            else:
+                plan_i, covered_i = [], jnp.zeros((gy, gx), bool)
+            sections += it_sections(it_, fitA_i, y0A_i, x0A_i, fitA2_i,
+                                    xs2_i, plan_i, covered_i, edge_i,
+                                    edge_y_i)
+
+        iy_l, jx_l, y0_l, x0_l, ed_l = [], [], [], [], []
+        x0q_l = []          # compact: only "sub" sections carry quarters
+        counts_l, tiers_static, flag_bits = [], [], []
+        seg_off, sub_off = [], []
+        off = 0
+        qoff = 0
+        for (it_, kind, selT, cntT, ysT, xsT, xqT, wy_, wx_, cap,
+             bit, edge_src) in sections:
+            iyT = (selT // gx).astype(jnp.int32)
+            jxT = (selT - gx * iyT).astype(jnp.int32)
+            iy_l.append(iyT)
+            jx_l.append(jxT)
+            y0_l.append(ysT[iyT, jxT])
+            x0_l.append(jnp.zeros((cap,), jnp.int32) if xsT is None
+                        else xsT[iyT, jxT])
+            if kind == "sub":
+                x0q_l.append(xqT[iyT, jxT])
+                sub_off.append(qoff)
+                qoff += cap
+            else:
+                sub_off.append(0)
+            ed_l.append(edge_src[iyT, jxT])
+            counts_l.append(cntT)
+            tiers_static.append((it_, kind, wy_, wx_))
+            flag_bits.append(bit)
+            seg_off.append(off)
+            off += cap
+        wymax = max(t[2] for t in tiers_static)
+        wxmax = max((N_SUB * 128 if t[1] == "sub"
+                     else (wx_full if t[3] is None else t[3]))
+                    for t in tiers_static)
+        nb_e = int(os.environ.get("LCS_ENGINE_NB", "3"))
+        T_n_f = len(tiers_static)
+        pos_in = jnp.stack([pyt, pxt])
+        eul_in = jnp.stack([ua_pp, va_pp])
+        x0q_cat = (jnp.concatenate(x0q_l, axis=0).astype(jnp.int32
+                                                         ).reshape(-1)
+                   if x0q_l else jnp.zeros((N_SUB,), jnp.int32))
+        kern_f = partial(
+            _fused_engine_kernel, body=body, F=F,
+            tiers=tuple(tiers_static), seg_off=tuple(seg_off),
+            sub_off=tuple(sub_off), ypad=ypad, xpad=xpad,
+            wx_full=wx_full, common=common,
+            upd=dict(x_min=float(x_min), x_max=float(x_max),
+                     y_min=float(y_min), y_max=float(y_max),
+                     cyclic_x=bool(settls_upd.get("cyclic_x", True))),
+            nb=nb_e)
+        full_spec = pl.BlockSpec((2, ny_t, nx_t), lambda *_: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        pos_out, eflags = pl.pallas_call(
+            kern_f,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=8,
+                grid=(1,),
+                in_specs=[full_spec, full_spec, full_spec,
+                          pl.BlockSpec((1, ny_t, nx_t),
+                                       lambda *_: (0, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((1, 2), lambda *_: (0, 0),
+                                       memory_space=pltpu.SMEM),
+                          pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=[full_spec,
+                           pl.BlockSpec((T_n_f, 1),
+                                        memory_space=pltpu.SMEM)],
+                scratch_shapes=[
+                    pltpu.VMEM((nb_e, 1, F, wymax, wxmax), dtype),
+                    pltpu.SemaphoreType.DMA((nb_e, N_SUB)),
+                    pltpu.VMEM((F, TILE_R, TILE_C), dtype),
+                ]),
+            out_shape=[jax.ShapeDtypeStruct((2, ny_t, nx_t), dtype),
+                       jax.ShapeDtypeStruct((T_n_f, 1), jnp.int32)],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024),
+        )(jnp.stack(counts_l).astype(jnp.int32),
+          jnp.concatenate(iy_l), jnp.concatenate(jx_l),
+          jnp.concatenate(y0_l).astype(jnp.int32),
+          jnp.concatenate(x0_l).astype(jnp.int32),
+          x0q_cat, jnp.concatenate(ed_l).astype(jnp.int32), f0_arr,
+          folds, pos_in, eul_in, cx_pp[None], sc_j, cw_pad)
+        for t_i in range(T_n_f):
+            overflow = overflow | (eflags[t_i, 0] << flag_bits[t_i])
+        return pos_out[:, :R, :nx], overflow
 
     # ---- tier A: 2-D grid over all tiles; unrouted/uncovered tiles also
     # run here (clamped windows, flag raised by the in-kernel check).
@@ -2126,78 +2252,6 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         T_n = len(tiers_static)
         _ECPARAMS = pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024)
-        if fused:
-            # ---- fused SETTLS-iterate engine: one launch runs all
-            # n_iters fixed-point iterations in-kernel and returns the
-            # FINAL POSITIONS (see _fused_engine_kernel).  Positions at
-            # pole home rows are the substituted copies — the caller
-            # overwrites them from its own pole iterate loop. ----
-            # operands: pole-substituted winds/conv (computed with the
-            # drift prediction above) — pole-row position COPIES evolve
-            # like their safe row, staying finite and in-window; the
-            # caller overwrites them from its own pole loop
-            pos_in = jnp.stack([pyt, pxt])
-            eul_in = jnp.stack([ua_pp, va_pp])
-            cx_in = cx_pp
-            sc_in = sc_j
-            sel_idx = jnp.concatenate(iy_l) * gx + jnp.concatenate(jx_l)
-            dx_l = d_x_t.ravel()[sel_idx]
-            dy_l = d_y_t.ravel()[sel_idx]
-            ylims = tuple(((ny + 2 * ypad - t[1]) // 8) * 8
-                          for t in tiers_static)
-            xlims = tuple(
-                0 if t[2] is None or t[0] == "sub" else
-                ((nx + 2 * xpad - 128 - t[2]) // X_GRAN) * X_GRAN
-                for t in tiers_static)
-            xlim_sub = ((nx + 2 * xpad - 256) // X_GRAN) * X_GRAN
-            kern_f = partial(
-                _fused_engine_kernel, body=body, F=F,
-                tiers=tuple(tiers_static), seg_off=tuple(seg_off),
-                ypad=ypad, xpad=xpad, wx_full=wx_full, common=common,
-                upd=dict(x_min=float(x_min), x_max=float(x_max),
-                         y_min=float(y_min), y_max=float(y_max),
-                         cyclic_x=bool(settls_upd.get("cyclic_x", True))),
-                n_iters=int(settls_upd["n_iters"]), ylims=ylims,
-                xlims=xlims, xlim_sub=xlim_sub)
-            full_spec = pl.BlockSpec((2, ny_t, nx_t),
-                                     lambda *_: (0, 0, 0),
-                                     memory_space=pltpu.VMEM)
-            pos_out, eflags = pl.pallas_call(
-                kern_f,
-                grid_spec=pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=10,
-                    grid=(1,),
-                    in_specs=[full_spec, full_spec, full_spec,
-                              pl.BlockSpec((1, ny_t, nx_t),
-                                           lambda *_: (0, 0, 0),
-                                           memory_space=pltpu.VMEM),
-                              pl.BlockSpec((1, 2), lambda *_: (0, 0),
-                                           memory_space=pltpu.SMEM),
-                              pl.BlockSpec(memory_space=pl.ANY)],
-                    out_specs=[full_spec,
-                               pl.BlockSpec((T_n, 1),
-                                            memory_space=pltpu.SMEM)],
-                    scratch_shapes=[
-                        pltpu.VMEM((nb_e, 1, F, wymax, wxmax), dtype),
-                        pltpu.SemaphoreType.DMA((nb_e, N_SUB)),
-                        pltpu.VMEM((F, TILE_R, TILE_C), dtype),
-                    ]),
-                out_shape=[jax.ShapeDtypeStruct((2, ny_t, nx_t), dtype),
-                           jax.ShapeDtypeStruct((T_n, 1), jnp.int32)],
-                interpret=interpret,
-                compiler_params=_ECPARAMS,
-            )(jnp.stack(counts_l).astype(jnp.int32),
-              jnp.concatenate(iy_l), jnp.concatenate(jx_l),
-              jnp.concatenate(y0_l).astype(jnp.int32),
-              jnp.concatenate(x0_l).astype(jnp.int32),
-              jnp.concatenate(x0q_l, axis=0).astype(jnp.int32
-                                                    ).reshape(-1),
-              jnp.concatenate(ed_l).astype(jnp.int32),
-              dx_l.astype(jnp.int32), dy_l.astype(jnp.int32), f0_arr,
-              folds, pos_in, eul_in, cx_in[None], sc_in, cw_pad)
-            for t_i in range(T_n):
-                overflow = overflow | (eflags[t_i, 0] << flag_bits[t_i])
-            return pos_out[:, :R, :nx], overflow
         kern_e = partial(_engine_kernel, body=body, F=F,
                          tiers=tuple(tiers_static), seg_off=tuple(seg_off),
                          ypad=ypad, xpad=xpad, wx_full=wx_full,

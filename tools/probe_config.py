@@ -45,19 +45,23 @@ def flagship_winds(grid, nt=33):
     return jnp.asarray(u), jnp.asarray(v)
 
 
-# (name, engine, half_tile, pallas_wy, pole_ladder, unroll)
+# (name, engine, half_tile, pallas_wy, pole_ladder, unroll, fuse)
+# fuse: LCS_FUSE (per-(tile, iterate) routed fused SETTLS engine) +
+# optional LCS_FUSE_SLACK last-iterate totals ("y,x")
 CONFIGS = [
-    ("head",         "dma-all",   True,  32, "16,160,288", 1),
-    ("head-u2",      "dma-all",   True,  32, "16,160,288", 2),
-    ("head-u4",      "dma-all",   True,  32, "16,160,288", 4),
-    ("dma-half0",    "dma",       False, 32, "16,160,288", 1),
-    ("bs-half0",     "blockspec", False, 32, "16,160,288", 1),
-    ("dmaall-half0", "dma-all",   False, 32, "16,160,288", 1),
-    ("head-wy16",    "dma-all",   True,  16, "16,160,288", 1),
-    ("head-wy24",    "dma-all",   True,  24, "16,160,288", 1),
-    ("dma-half1",    "dma",       True,  32, "16,160,288", 1),
-    ("head-pole8",   "dma-all",   True,  32, "8,160,288",  1),
-    ("dma-half0-wy16", "dma",     False, 16, "16,160,288", 1),
+    ("head",         "dma-all",   True,  32, "16,160,288", 1, None),
+    ("head-fuse",    "dma-all",   True,  32, "16,160,288", 1, "8,16"),
+    ("head-fuse-s2", "dma-all",   True,  32, "16,160,288", 1, "16,32"),
+    ("head-u2",      "dma-all",   True,  32, "16,160,288", 2, None),
+    ("head-u4",      "dma-all",   True,  32, "16,160,288", 4, None),
+    ("dma-half0",    "dma",       False, 32, "16,160,288", 1, None),
+    ("bs-half0",     "blockspec", False, 32, "16,160,288", 1, None),
+    ("dmaall-half0", "dma-all",   False, 32, "16,160,288", 1, None),
+    ("head-wy16",    "dma-all",   True,  16, "16,160,288", 1, None),
+    ("head-wy24",    "dma-all",   True,  24, "16,160,288", 1, None),
+    ("dma-half1",    "dma",       True,  32, "16,160,288", 1, None),
+    ("head-pole8",   "dma-all",   True,  32, "8,160,288",  1, None),
+    ("dma-half0-wy16", "dma",     False, 16, "16,160,288", 1, None),
 ]
 
 
@@ -67,10 +71,16 @@ def main():
     u, v = flagship_winds(grid)
     table = {}
     ref = None
-    for name, eng, half, wy, pole, unroll in CONFIGS:
+    for name, eng, half, wy, pole, unroll, fuse in CONFIGS:
         os.environ["LCS_HALF_TILE"] = "1" if half else "0"
         os.environ["LCS_POLE_LADDER"] = pole
         os.environ["LCS_ENGINE_UNROLL"] = str(unroll)
+        if fuse is None:
+            os.environ.pop("LCS_FUSE", None)
+            os.environ.pop("LCS_FUSE_SLACK", None)
+        else:
+            os.environ["LCS_FUSE"] = "1"
+            os.environ["LCS_FUSE_SLACK"] = fuse
         try:
             fn = jax.jit(lambda u, v, eng=eng, wy=wy: ftle_pipeline(
                 u, v, -6.0 * 3600.0, grid, settls_order=4, interp_order=3,
@@ -105,7 +115,8 @@ def main():
         except Exception as e:  # noqa: BLE001 — report and move on
             print(f"{name:14} FAILED: {type(e).__name__}: {str(e)[:300]}",
                   flush=True)
-    for k in ("LCS_HALF_TILE", "LCS_POLE_LADDER"):
+    for k in ("LCS_HALF_TILE", "LCS_POLE_LADDER", "LCS_FUSE",
+              "LCS_FUSE_SLACK", "LCS_ENGINE_UNROLL"):
         os.environ.pop(k, None)
 
     if table:
@@ -124,6 +135,8 @@ def main():
             "half_tile": bool(spec[2]),
             "wy": int(spec[3]),
             "pole_ladder": spec[4],
+            "fuse": spec[6] is not None,
+            "fuse_slack": spec[6],
             "config_fields_per_sec": {k: round(v, 4)
                                       for k, v in table.items()},
             "source": (rec.get("source", "") +
@@ -132,7 +145,7 @@ def main():
         with open(path, "w") as f:
             json.dump(rec, f)
         print(f"wrote {path}: {best} -> engine={spec[1]} half={spec[2]} "
-              f"wy={spec[3]} pole={spec[4]}", flush=True)
+              f"wy={spec[3]} pole={spec[4]} fuse={spec[6]}", flush=True)
 
 
 if __name__ == "__main__":
