@@ -139,6 +139,19 @@ def main():
         run = make_run(engine, rebin, wy=32)
         out, overflow = run()
         oh = np.asarray(out)
+    if int(np.asarray(overflow)) and os.environ.get("LCS_FUSE") == "1" \
+            and not fallback:
+        # the fused-iterate engine's predicted windows clamped a tap —
+        # the field is suspect.  A green artifact at the proven unfused
+        # config beats a fast-but-flagged one; re-trace without fuse.
+        import sys
+        print(f"bench: fused config overflowed "
+              f"({int(np.asarray(overflow)):#x}); retrying unfused",
+              file=sys.stderr, flush=True)
+        os.environ["LCS_FUSE"] = "0"
+        jax.clear_caches()      # LCS_FUSE is read at trace time; the jit
+        out, overflow = run()   # cache would otherwise reuse the fused
+        oh = np.asarray(out)    # executable
     assert np.isfinite(oh[2:-2]).all(), "non-finite FTLE"
 
     reps = 3
@@ -210,6 +223,12 @@ def main():
                  "pole_ladder": cfg.get("pole_ladder", "16,160,288")})
     if pallas_vs_xla is not None:
         rec["pallas_vs_xla_maxabs"] = pallas_vs_xla
+        # Committed f32 serving-path bound (BASELINE.md "precision
+        # contract"): a silent Mosaic numerics regression must fail the
+        # artifact, not just a reader.  Same bound as
+        # tests_tpu/test_device_parity.py.
+        assert pallas_vs_xla <= 5e-5, \
+            f"pallas numerics regression: maxabs {pallas_vs_xla} > 5e-5"
     print(json.dumps(rec))
 
 

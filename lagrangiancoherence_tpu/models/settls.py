@@ -37,57 +37,6 @@ from ..ops.interp import interp_at_parcels_multi, prefilter
 __all__ = ["parcel_propagation_core", "settls_scan"]
 
 
-_REBIN_GRAN = 32   # pallas kernel x-window start granularity (X_GRAN)
-
-
-def _rebin_delta(px, nx, x_min, x_max, gran):
-    """Per-row slot shift re-centring each row's parcels on their storage
-    lanes.
-
-    At high latitudes the reference's m/s→deg/s conversion amplifies zonal
-    drift by 1/cos(lat) (/root/reference/LCS/trajectory.py:56) — polar
-    parcel rows whirl multiple full circles per step, which forces the
-    pallas gather kernel into its full-longitude escalation slabs.  The
-    row-mean drift is a per-row constant, so re-binning (a cyclic per-row
-    layout roll) removes it without touching any position value.
-
-    The deviation mean is circular (resultant angle of the per-parcel
-    index deviations) because post-wrap deviations straddle the period;
-    rows whose parcels are spread uniformly get an arbitrary — harmless —
-    shift.  Quantised to ``gran`` so window starts stay aligned.
-    """
-    dtype = px.dtype
-    w = 2.0 * np.pi / nx
-    sxw = jnp.asarray(nx / (x_max - x_min) * w, dtype)
-    lane = jnp.arange(nx, dtype=dtype) * jnp.asarray(w, dtype)
-    theta = (px - x_min) * sxw - lane
-    m = jnp.arctan2(jnp.mean(jnp.sin(theta), axis=-1),
-                    jnp.mean(jnp.cos(theta), axis=-1)) * (nx / (2 * np.pi))
-    delta = jnp.round(m / gran).astype(jnp.int32) * gran
-    # pole-home rows carry unbounded-garbage positions; their delta is
-    # arbitrary but must be finite so the carried shift stays invertible
-    return jnp.where(jnp.isfinite(m), delta, 0)
-
-
-def _roll_rows(arrs, delta, nx, gran):
-    """``new[..., i, j] = old[..., i, (j - delta[..., i]) % nx]``.
-
-    Neither XLA-on-TPU nor Mosaic has a fast per-row lane gather, so the
-    per-row cyclic roll is a conditional-roll barrel: one static
-    ``jnp.roll`` per bit of ``delta/gran``, selected per row.  ``delta``
-    must be a multiple of ``gran`` and ``nx`` divisible by ``gran`` (rolls
-    compose mod nx, which preserves the granularity).
-    """
-    q = jnp.mod(delta, nx) // gran
-    nbits = max(1, int(np.ceil(np.log2(nx // gran))))
-    out = list(arrs)
-    for k in range(nbits):
-        bit = (((q >> k) & 1) == 1)[..., None]
-        sh = gran << k
-        out = [jnp.where(bit, jnp.roll(a, sh, axis=-1), a) for a in out]
-    return tuple(out)
-
-
 def _progress_step(t, nsteps):
     """Host-side per-step progress line for long scans (the reference
     prints ``Propagating time ...`` every step,
@@ -197,6 +146,73 @@ def _sort_bin_bands(arrs, px, py, bands, grid: Grid):
     return tuple(out)
 
 
+def _shard_sortable_groups(home_rows, grid: Grid, order: int):
+    """Per-8-row-group boolean: every storage row's HOME row is polar
+    (``|lat| >= _SORT_LAT``) and none is a pole-home row (the order-1/
+    'constant' pole path keys on storage rows — those must stay pinned).
+
+    Sharded blocks can't use static band slicing (each shard sees
+    different global rows, but shard_map traces ONE program), so the
+    shard path sorts a single band of all complete 8-row groups and
+    keys the non-sortable groups to identity order instead
+    (see ``_sort_bin_shard``).  ``home_rows``: (rows, 1) traced int32
+    global home row per storage row — mirror-pad replica rows carry
+    their reflected source row and classify like it."""
+    ny = grid.shape[0]
+    hr = home_rows[:, 0]
+    lat = jnp.take(jnp.asarray(grid.lats), jnp.clip(hr, 0, ny - 1))
+    ok_row = (jnp.abs(lat) >= _SORT_LAT) & (hr >= order) \
+        & (hr < ny - order)
+    n8 = (hr.shape[0] // 8) * 8
+    return jnp.all(ok_row[:n8].reshape(-1, 8), axis=1)       # (n8/8,)
+
+
+def _sort_bin_shard(arrs, px, sortable, grid: Grid):
+    """Sharded-block variant of ``_sort_bin_bands``: one band spanning all
+    complete 8-row groups, with per-group behaviour decided by the traced
+    ``sortable`` mask.  Every group is sorted by the _SORT_BX-cell
+    longitude block of the current position (the same group-pinned
+    spatial-tile key as the single-chip path) in ONE ``lax.sort``; the
+    non-sortable groups (pole-home / non-polar rows, which must keep
+    their storage identity) then SELECT their original layout back —
+    identity cannot ride the sort key itself, because the tile-major
+    relayout of ``_to_tile_storage`` permutes even rank-ordered groups."""
+    ny, nx = grid.shape
+    sx = nx / (grid.x_max - grid.x_min)
+    nr = (px.shape[0] // 8) * 8
+    out = list(arrs)
+    sl = slice(0, nr)
+    xi = jnp.mod(jnp.floor(sx * (px[sl] - grid.x_min)), nx)
+    group = jax.lax.broadcasted_iota(jnp.int32, (nr, nx), 0) // 8
+    xkey = jnp.nan_to_num(xi, nan=0.0, posinf=0.0,
+                          neginf=0.0).astype(jnp.int32) // _SORT_BX
+    key = (group * nx + xkey).ravel()
+    segs = [a[sl].ravel() for a in out]
+    sorted_ = jax.lax.sort([key] + segs, num_keys=1, is_stable=True)
+    keep = sortable[group]                 # (nr, nx) bool
+    for i, s in enumerate(sorted_[1:]):
+        binned = _to_tile_storage(s, nr, nx)
+        out[i] = out[i].at[sl].set(jnp.where(keep, binned, out[i][sl]))
+    return tuple(out)
+
+
+def _unsort_shard(arrs, perm, nrows8):
+    """Invert the cumulative shard sort: order by the carried
+    original-linear-index payload (covers sorted and identity groups
+    alike).  The tile-storage relayout of ``_sort_bin_shard`` is a pure
+    permutation of the band, so sorting by the original index restores
+    the exact pre-sort layout."""
+    out = list(arrs)
+    sl = slice(0, nrows8)
+    nx = arrs[0].shape[-1]
+    segs = [a[sl].ravel() for a in out]
+    sorted_ = jax.lax.sort([perm[sl].ravel()] + segs, num_keys=1,
+                           is_stable=True)
+    for i, s in enumerate(sorted_[1:]):
+        out[i] = out[i].at[sl].set(s.reshape(nrows8, nx))
+    return tuple(out)
+
+
 def _unsort_bands(arrs, perm, bands, grid: Grid):
     """Invert the cumulative sort-binning: per band, sort by the carried
     original-linear-index payload."""
@@ -267,22 +283,10 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
     bounds = dict(y_min=grid.y_min, y_max=grid.y_max,
                   x_min=grid.x_min, x_max=grid.x_max, cyclic_x=grid.cyclic_x)
 
-    # Row re-binning (see _rebin_delta): a pure per-row layout permutation
-    # that keeps parcels near their storage lanes so the pallas kernel's
-    # per-tile windows stay narrow.  Every per-step op is either a
-    # position-VALUE-based gather or elementwise over (row, lane), and
-    # conv_x is per-row, so the permutation is invisible to the math; it
-    # is inverted on scan exit.  Only worthwhile for the pallas kernel
-    # (XLA gather cost is locality-independent), only meaningful on
-    # cyclic full-longitude position blocks.
-    # NOTE: "auto" currently resolves to OFF.  Measured on the flagship
-    # (tools/probe_rebin.py): full per-row compaction converts the cheap
-    # x-escalations into *y*-escalations — the 8 rows of a tile get
-    # shifts differing by hundreds of lanes, so a tile mixes longitude
-    # segments with decorrelated meridional displacement and its y span
-    # blows past the ladder (scan 1899 -> 2137 ms, overflow raised).
-    # Kept (tested, layout-invariant to 3e-14) for explicit use and as
-    # the substrate for shift-smoothed variants.
+    # (A per-row cyclic roll-barrel "rebin=True" layout predated
+    # sort-binning; it measured a loser on device — per-row compaction
+    # converts cheap x-escalations into y-escalations, scan 1899 ->
+    # 2137 ms — and was removed.  Git history has the substrate.)
     nx_g = grid.shape[1]
     # sort-binning (see _sort_bin_bands): periodically re-sort the polar
     # bands' parcels into spatial-tile storage order.  Collapses the
@@ -294,20 +298,47 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                and px0.shape == grid.shape
                and not debug_per_step)
     sort_bands = _sort_bands(grid, interp_order) if sort_ok else []
+    # sharded (home_rows) full-width latitude blocks sort too: the
+    # +21.5% 1-dev shard_map overhead (tools/probe_sharded.py) was the
+    # measured sort-vs-nosort delta, paid because the static band slicing
+    # above can't know a shard's rows.  The shard variant sorts one band
+    # of all complete 8-row groups with a traced per-group sortable mask
+    # (see _sort_bin_shard) — no cross-shard exchange, same group-pinned
+    # key.
+    shard_sort_ok = (kernel == "pallas" and home_rows is not None
+                     and px0.ndim == 2 and px0.shape[-1] == nx_g
+                     and px0.shape[0] >= 8 and not debug_per_step)
     if rebin == "auto":
         # device A/B (tools/probe_sort.py, v5e 2026-08-19, dma-all engine):
         # sort 1501 ms/field vs off 1804 — sort-binning is the default
         # wherever it applies (sort_ok); non-qualifying paths fall through
         # to the plain layout below.
         rebin = "sort"
+    if rebin not in ("sort", False):
+        raise ValueError(f"rebin={rebin!r}: expected 'auto', 'sort' or "
+                         f"False (the roll-barrel rebin=True path was "
+                         f"removed after it measured a loser on device)")
     sort_mode = rebin == "sort" and sort_ok and bool(sort_bands)
-    if rebin == "sort" and not sort_mode:
-        rebin = False
-    if sort_mode:
-        rebin = False
-    else:
-        rebin = rebin is True and px0.shape[-1] == nx_g
-    gran = _REBIN_GRAN if nx_g % _REBIN_GRAN == 0 else 1
+    shard_sort_mode = rebin == "sort" and shard_sort_ok and not sort_mode
+    if shard_sort_mode:
+        shard_sortable = _shard_sortable_groups(home_rows, grid,
+                                                interp_order)
+        shard_nr8 = (px0.shape[0] // 8) * 8
+        sort_mode = True            # shared carry/step structure below
+
+        def _do_sort(px, py, cvx, perm):
+            return _sort_bin_shard((px, py, cvx, perm), px,
+                                   shard_sortable, grid)
+
+        def _do_unsort(arrs, perm):
+            return _unsort_shard(arrs, perm, shard_nr8)
+    elif sort_mode:
+        def _do_sort(px, py, cvx, perm):
+            return _sort_bin_bands((px, py, cvx, perm), px, py,
+                                   sort_bands, grid)
+
+        def _do_unsort(arrs, perm):
+            return _unsort_bands(arrs, perm, sort_bands, grid)
 
     W = jnp.stack([u, v], axis=1)      # (T, 2, ny, nx)
     CW = jnp.stack([cu, cv], axis=1)
@@ -323,13 +354,9 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
         # resident stacks, windowed by TIME inside the kernels' block
         # specs (f0 = first field index = 2*t): no per-step dynamic
         # slicing/concat of the ~200 MB padded coefficients — formerly
-        # ~100 ms/field of pure HBM copying on the flagship.
-        # The lean 2-slab layout needed arbitrary-offset (32-granular)
-        # manual-DMA x starts, but Mosaic requires HBM memref_slice lane
-        # starts PROVABLY divisible by 128 (device-verified 2026-08-19:
-        # "failed to prove tile index divisible" at pl.multiple_of(x,32);
-        # compiles at 128) — so every engine uses the lane-shifted-copy
-        # layout with (copy, 128-aligned start) decomposed offsets.
+        # ~100 ms/field of pure HBM copying on the flagship.  Every
+        # engine uses the 5-slab lane-shifted-copy layout (Mosaic
+        # requires provably-128-divisible HBM lane starts; kernel.rst).
         CWP = pad_coeffs_for_pallas(CW)
         CWP = CWP.reshape(CWP.shape[0], T * 2, *CWP.shape[3:])
         ny_tf = -(-ny // TILE_R) * TILE_R       # pole-path raw padding
@@ -428,8 +455,6 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                                ordered=False)
         if sort_mode:
             px, py, cvx, perm, flag = carry
-        elif rebin:
-            px, py, shift, flag = carry
         else:
             px, py, flag = carry
 
@@ -437,8 +462,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
             # periodic re-bin BEFORE the step's gathers: every gather of
             # this step then sees at most K-step-stale storage locality
             def do_sort(px, py, cvx, perm):
-                return _sort_bin_bands((px, py, cvx, perm), px, py,
-                                       sort_bands, grid)
+                return _do_sort(px, py, cvx, perm)
 
             def no_sort(px, py, cvx, perm):
                 return (px, py, cvx, perm)
@@ -463,15 +487,6 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
         py = py + dt * conv_y * va
         px = px + dt * cx * ua
         px, py = _clamp_wrap(px, py, **bounds)
-
-        # re-bin right after the Euler displacement (the bulk of the
-        # step's drift) so every SETTLS-iteration gather sees the compact
-        # layout; ua/va are reused below, so they ride the same roll
-        if rebin:
-            delta = _rebin_delta(px, nx_g, grid.x_min, grid.x_max, gran)
-            px, py, ua, va = _roll_rows((px, py, ua, va), delta,
-                                        nx_g, gran)
-            shift = jnp.mod(shift + delta, nx_g)
 
         # SETTLS fixed-point iterations, cumulative form (Q3)
         # (/root/reference/LCS/trajectory.py:100-124)
@@ -504,18 +519,14 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 # each stored step must be in home-storage layout: undo
                 # the cumulative band sort on a COPY of the positions
                 # (one cheap lax.sort per band; the carry stays binned)
-                opx, opy = _unsort_bands((px, py), perm, sort_bands, grid)
+                opx, opy = _do_unsort((px, py), perm)
             else:
                 opx, opy = px, py
             out = (opx, opy, flag) if debug_per_step else (opx, opy)
-            if rebin:
-                out = out + (shift,)
         else:
             out = flag if debug_per_step else None
         if sort_mode:
             carry = (px, py, cvx, perm, flag)
-        elif rebin:
-            carry = (px, py, shift, flag)
         else:
             carry = (px, py, flag)
         return carry, out
@@ -524,41 +535,25 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
     flag0 = jnp.zeros((), jnp.int32)
     carry0 = (px0, py0, flag0)
     if sort_mode:
-        ny_g = grid.shape[0]
-        conv_pc = jnp.broadcast_to(conv_x, (ny_g, nx_g)).astype(dtype)
-        perm0 = jax.lax.broadcasted_iota(jnp.int32, (ny_g, nx_g), 0) \
-            * nx_g + jax.lax.broadcasted_iota(jnp.int32, (ny_g, nx_g), 1)
+        shp = px0.shape             # == grid.shape single-chip; the
+        conv_pc = jnp.broadcast_to(conv_x, shp).astype(dtype)  # block else
+        perm0 = jax.lax.broadcasted_iota(jnp.int32, shp, 0) \
+            * nx_g + jax.lax.broadcasted_iota(jnp.int32, shp, 1)
         carry0 = (px0, py0, conv_pc, perm0, flag0)
-    elif rebin:
-        shift0 = jnp.zeros((py0.shape[0],), jnp.int32)
-        carry0 = (px0, py0, shift0, flag0)
     carry, traj = jax.lax.scan(step, carry0, jnp.arange(nsteps))
     if sort_mode:
         px, py, _cvx, perm, flag = carry
-        px, py = _unsort_bands((px, py), perm, sort_bands, grid)
-    elif rebin:
-        px, py, shift, flag = carry
+        px, py = _do_unsort((px, py), perm)
     else:
         px, py, flag = carry
     if debug_per_step and not return_traj:
-        if rebin:
-            px, py = _roll_rows((px, py), -shift, nx_g, gran)
         return px, py, traj  # (nsteps,) cumulative per-step flags
 
     if return_traj:
-        if rebin:
-            *traj, shifts = traj
-            # each stored step is in that step's re-binned layout; undo
-            # with the step's cumulative shift (positions only — flags
-            # in the debug variant are scalars)
-            traj = (_roll_rows(traj[:2], -shifts, nx_g, gran)
-                    + tuple(traj[2:]))
         traj_x, traj_y = traj[0], traj[1]
         traj_x = jnp.concatenate([px0[None], traj_x], axis=0)
         traj_y = jnp.concatenate([py0[None], traj_y], axis=0)
         return traj_x, traj_y, flag
-    if rebin:
-        px, py = _roll_rows((px, py), -shift, nx_g, gran)
     return px, py, flag
 
 

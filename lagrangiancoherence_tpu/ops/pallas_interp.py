@@ -110,9 +110,25 @@ DEFAULT_ENGINE = os.environ.get("LCS_PALLAS_ENGINE", "dma-all")
 # LCS_POLE_LADDER="16,160,288" for on-device experiments — read at TRACE
 # time (like LCS_LADDER / LCS_HALF_TILE), so one sweep process can A/B
 # several values by re-tracing.
+def _env_pair(name: str, default: str, cast=float):
+    """Parse an env knob of the form 'y,x'; raise naming the knob on junk."""
+    raw = os.environ.get(name, default)
+    try:
+        y, x = (cast(v) for v in raw.split(","))
+    except (ValueError, TypeError) as e:
+        raise ValueError(
+            f"{name}={raw!r}: expected two comma-separated "
+            f"{cast.__name__}s, 'y,x'") from e
+    return y, x
+
+
 def _pole_ladder():
-    return tuple(max(8, (int(s) // 8) * 8) for s in os.environ.get(
-        "LCS_POLE_LADDER", "16,160,288").split(","))
+    raw = os.environ.get("LCS_POLE_LADDER", "16,160,288")
+    try:
+        return tuple(max(8, (int(s) // 8) * 8) for s in raw.split(","))
+    except (ValueError, TypeError) as e:
+        raise ValueError(f"LCS_POLE_LADDER={raw!r}: expected comma-"
+                         f"separated ints, e.g. '16,160,288'") from e
 
 
 POLE_LADDER = _pole_ladder()
@@ -122,7 +138,7 @@ def resolve_engine(engine: str) -> str:
     return DEFAULT_ENGINE if engine == "auto" else engine
 
 
-def pad_coeffs_for_pallas(coeffs: jax.Array, lean: bool = False):
+def pad_coeffs_for_pallas(coeffs: jax.Array):
     """Wrap-pad the coefficient field and build the lane-shifted copies.
 
     ``coeffs``: (..., ny, nx) → (X_COPIES+1, ..., nyp, nxp-128).  Both axes
@@ -173,13 +189,10 @@ def pad_coeffs_for_pallas(coeffs: jax.Array, lean: bool = False):
     mir_idx = np.r_[1, 0:nx, nx - 2, nx - 3]          # baked mirrors
     mir_idx = np.pad(mir_idx, (0, nxp_c - mir_idx.size), mode="edge")
     mir = jnp.take(t[..., xpad:xpad + nx], jnp.asarray(mir_idx), axis=-1)
-    if lean:
-        # manual-DMA (engine='dma-all') layout: window DMAs take
-        # arbitrary dynamic lane offsets, so the lane-shifted copies —
-        # which only exist to realise 32-granular starts through
-        # Mosaic's provably-128-aligned Element BlockSpecs — are
-        # unnecessary.  Two slabs: [base, mirror-baked full-x].
-        return jnp.stack([t[..., :nxp_c], mir], axis=0)
+    # (A "lean" 2-slab layout without the lane-shifted copies was designed
+    # for the manual-DMA engine and FALSIFIED on device — Mosaic requires
+    # HBM memref_slice lane starts provably divisible by 128, so every
+    # engine shares this 5-slab layout; see kernel.rst.)
     copies = [t[..., c * X_GRAN: c * X_GRAN + nxp_c]
               for c in range(X_COPIES)]
     return jnp.stack(copies + [mir], axis=0)
@@ -702,7 +715,7 @@ def _list_kernel(n_live, iy, jx, iy_out, y0s, x0s, edges, f0s, pos_ref,
 def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
                    folds_ref, cw_hbm, outA_ref, out_ref, flags_ref,
                    win_buf, win_sems, *, body, F, tiers, seg_off, ypad,
-                   xpad, wx_full, common, nb=2, lean=False, unroll=1):
+                   xpad, wx_full, common, nb=2, unroll=1):
     """Manual-DMA escalation engine: ONE grid step services every
     escalation tier's LIVE slots — VMEM-resident edition.
 
@@ -765,7 +778,7 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
             # (device compile fails "Failed to prove that a tile index in
             # dimension 1 is divisible by the tiling (8)"), so assert what
             # the routing guarantees: y starts 8-aligned, x starts
-            # X_GRAN-aligned (lean) / 128-aligned (copy-decomposed).
+            # 128-aligned via the (copy, start) decomposition.
             y0 = pl.multiple_of(y0_s[sl], 8)
             if kind == "sub":
                 # x0q is FLAT (slot*N_SUB + q): a 2-D (slots, N_SUB) SMEM
@@ -774,12 +787,8 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
                 # budget ("Allocation (size=1650688) would exceed memory
                 # (size=1048576) ... prefetched SMEM operand 5")
                 x0 = x0q_s[sl * N_SUB + q]
-                if lean:
-                    # arbitrary-offset DMA, one slab
-                    c, x128 = 0, pl.multiple_of(x0, X_GRAN)
-                else:
-                    c = (x0 % 128) // X_GRAN
-                    x128 = pl.multiple_of((x0 // 128) * 128, 128)
+                c = (x0 % 128) // X_GRAN
+                x128 = pl.multiple_of((x0 // 128) * 128, 128)
                 return pltpu.make_async_copy(
                     cw_hbm.at[pl.ds(c, 1), pl.ds(f0, F),
                               pl.ds(y0, wy_t), pl.ds(x128, 128)],
@@ -787,10 +796,8 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
                                128 * q:128 * (q + 1)],
                     win_sems.at[slot, q])
             if x_full:
-                c = 1 if lean else X_COPIES   # mirror-baked slab
+                c = X_COPIES                  # mirror-baked slab
                 x128 = 0
-            elif lean:
-                c, x128 = 0, pl.multiple_of(x0_s[sl], X_GRAN)
             else:
                 x0 = x0_s[sl]
                 c = (x0 % 128) // X_GRAN
@@ -1434,13 +1441,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     n_tiles = gy * gx
     dtype = raw.dtype
     assert cw_pad.ndim == raw.ndim + 1 and \
-        cw_pad.shape[0] in (X_COPIES + 1, 2), (cw_pad.shape, raw.shape)
-    cw_lean = cw_pad.shape[0] == 2
-    if cw_lean and (engine != "dma-all" or debug_flags):
-        raise ValueError(
-            "lean (2-slab) coefficient layout requires engine='dma-all' "
-            "(and debug_flags=False) — the BlockSpec paths need the "
-            "lane-shifted copies")
+        cw_pad.shape[0] == X_COPIES + 1, (cw_pad.shape, raw.shape)
     assert cw_pad.shape[1] == raw.shape[0], (cw_pad.shape, raw.shape)
     ypad = (cw_pad.shape[-2] - ny) // 2
     # copies are trimmed by 128 lanes (pad_coeffs_for_pallas)
@@ -1486,8 +1487,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         assert engine == "dma-all" and not debug_flags \
             and home_rows is None and retry_tiles > 0, \
             "settls_upd requires engine='dma-all' single-chip routing"
-        sl_env = os.environ.get("LCS_FUSE_SLACK", "8,16")
-        slack_y, slack_x = (int(v) for v in sl_env.split(","))
+        slack_y, slack_x = _env_pair("LCS_FUSE_SLACK", "8,16", cast=int)
 
     def pad_pos(p):
         return jnp.pad(p, ((0, ny_t - R), (0, nx_t - nx)), mode="edge")
@@ -1567,8 +1567,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         fold_preds = [(_fold(yi + it_ * dyi, ny), _fold(xi + it_ * dxi,
                                                         nx))
                       for it_ in range(1, K_f)]
-        rel_env = os.environ.get("LCS_FUSE_REL", "0.2,0.35")
-        rel_y, rel_x = (float(r) for r in rel_env.split(","))
+        rel_y, rel_x = _env_pair("LCS_FUSE_REL", "0.2,0.35")
 
         def _dil3(a):
             # 3x3 tile-neighborhood max: a slow tile's parcels can drift
@@ -2039,6 +2038,21 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         x0q_cat = (jnp.concatenate(x0q_l, axis=0).astype(jnp.int32
                                                          ).reshape(-1)
                    if x0q_l else jnp.zeros((N_SUB,), jnp.int32))
+        # Projected SMEM footprint of the scalar-prefetch operands
+        # (5 int32 lists of ``off`` slots + compact x0q + counts + f0 +
+        # sc).  The budget is 1 MiB and the unfused engine already
+        # overflowed it once (ROUND3_NOTES session 5); fail loudly at
+        # trace time with the knobs to shrink instead of an opaque
+        # Mosaic allocation error at compile time.
+        smem_proj = 4 * (5 * off + int(x0q_cat.size) + len(sections)
+                         + int(f0_arr.size) + 2) + 1024
+        if smem_proj > 900 * 1024:
+            raise ValueError(
+                f"fused-engine scalar prefetch projects {smem_proj} B of "
+                f"SMEM (> 900 KiB of the 1 MiB budget): {len(sections)} "
+                f"sections, {off} slots, {int(x0q_cat.size)} sub-quarter "
+                f"ints at K_f={K_f} iterates. Shrink the ladder caps "
+                f"(LCS_LADDER / LCS_SORT_LADDER) or disable LCS_FUSE.")
         kern_f = partial(
             _fused_engine_kernel, body=body, F=F,
             tiers=tuple(tiers_static), seg_off=tuple(seg_off),
@@ -2255,8 +2269,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         kern_e = partial(_engine_kernel, body=body, F=F,
                          tiers=tuple(tiers_static), seg_off=tuple(seg_off),
                          ypad=ypad, xpad=xpad, wx_full=wx_full,
-                         common=common, nb=nb_e, lean=cw_lean,
-                         unroll=unroll_e)
+                         common=common, nb=nb_e, unroll=unroll_e)
         # folds and the output stay resident in VMEM for the whole
         # launch (~9 + 2*18 MB at flagship scale) — see _engine_kernel.
         out_arr, eflags = pl.pallas_call(

@@ -55,6 +55,20 @@ class TestCLI:
         assert (tmp_path / "traj_x_departure.nc").exists()
         assert (tmp_path / "traj_y_departure.nc").exists()
 
+    def test_full_scipy_order_surface(self, tmp_path):
+        # the CLI accepts every scipy spline order the library supports
+        # (0-5, ops/interp.py); orders outside the pallas set auto-fall
+        # back to the exact XLA kernel via api._resolve_kernel
+        inp = tmp_path / "winds.nc"
+        lats, lons = write_winds(inp)
+        for order in (0, 2, 5):
+            out = tmp_path / f"ftle_o{order}.nc"
+            rc = cli_main([str(inp), str(out), "--settls-order", "1",
+                           "--interp-order", str(order), "--quiet"])
+            assert rc == 0
+            ds = open_dataset(str(out))
+            assert ds["ftle"].shape == (1, lats.size, lons.size)
+
     def test_parse_subdomain(self):
         sub = parse_subdomain("-90/-32/-40/15")
         assert sub["longitude"] == slice(-90.0, -32.0)

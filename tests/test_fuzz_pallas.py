@@ -77,8 +77,7 @@ def test_random_parity(seed, engine):
     ref = np.asarray(interp_at_parcels_multi(
         jnp.asarray(fields), jnp.asarray(coeffs), jnp.asarray(px),
         jnp.asarray(py), order=order, **bounds))
-    cw_pad = pad_coeffs_for_pallas(jnp.asarray(coeffs),
-                                   lean=engine == "dma-all")
+    cw_pad = pad_coeffs_for_pallas(jnp.asarray(coeffs))
     out, flag = pallas_interp_multi(
         jnp.asarray(fields), cw_pad, jnp.asarray(px), jnp.asarray(py),
         ny=ny, nx=nx, order=order, wy=48, wx=256, retry_tiles=256,

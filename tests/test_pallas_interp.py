@@ -14,7 +14,7 @@ from lagrangiancoherence_tpu.ops.pallas_interp import (pad_coeffs_for_pallas,
 
 
 def run_case(ny, nx, order, F, band, retry, wy=48, wx=256, seed=0,
-             displacement="smooth", engine="blockspec", lean=False):
+             displacement="smooth", engine="blockspec"):
     rng = np.random.RandomState(seed)
     lats = np.linspace(-90, 90, ny)
     lons = np.linspace(-180, 180 - 360 / nx, nx)
@@ -39,7 +39,7 @@ def run_case(ny, nx, order, F, band, retry, wy=48, wx=256, seed=0,
         jnp.asarray(fields), jnp.asarray(coeffs), jnp.asarray(px),
         jnp.asarray(py), x_min=lons.min(), x_max=lons.max(),
         y_min=lats.min(), y_max=lats.max(), order=order))
-    cw_pad = pad_coeffs_for_pallas(jnp.asarray(coeffs), lean=lean)
+    cw_pad = pad_coeffs_for_pallas(jnp.asarray(coeffs))
     out, flag = pallas_interp_multi(
         jnp.asarray(fields), cw_pad, jnp.asarray(px), jnp.asarray(py),
         ny=ny, nx=nx, y_min=lats.min(), y_max=lats.max(),
@@ -128,17 +128,16 @@ class TestPallasInScan:
                                    atol=1e-11)
 
 
-class TestRebin:
-    def test_rebin_is_layout_invariant(self):
-        """Row re-binning (models/settls.py _rebin_delta/_roll_rows) is a
-        pure layout permutation: the scan with rebin=True must reproduce
-        rebin=False to f64 rounding — final positions AND trajectories —
-        on a polar-whirl flow where the permutation actually engages
-        (zonal jet up to the poles, 1/cos(lat) drift of many cells/step,
-        /root/reference/LCS/trajectory.py:56)."""
+class TestShardSortBin:
+    def test_shard_sort_is_layout_invariant(self):
+        """Sharded-block sort-binning (models/settls.py _sort_bin_shard):
+        sorting a home_rows block's polar groups into spatial-tile storage
+        order is a pure layout permutation — the scan with rebin='sort'
+        must reproduce rebin=False on the same block to f64 rounding, with
+        pole-home and non-polar groups left pinned."""
         from lagrangiancoherence_tpu.grid import Grid
-        from lagrangiancoherence_tpu.models.settls import \
-            parcel_propagation_core
+        from lagrangiancoherence_tpu.models.settls import settls_scan
+        from lagrangiancoherence_tpu.ops.interp import prefilter
         import lagrangiancoherence_tpu.ops.pallas_interp as PI
 
         ny, nx = 33, 96
@@ -152,41 +151,38 @@ class TestRebin:
                          * np.sin(2 * LAT))[None] * (1 + 0.05 * np.sin(t)))
         v = jnp.asarray((2.0 * np.sin(3 * LON) * np.cos(2 * LAT))[None]
                         * (1 + 0.05 * np.cos(t)))
+        cu, cv = prefilter(u, order=3), prefilter(v, order=3)
 
+        # a 16-row block holding the south polar band (home rows 0..15):
+        # group 0 has pole-home rows (pinned), group 1 is sortable
+        rows = slice(0, 16)
+        home = jnp.arange(16, dtype=jnp.int32)[:, None]
+        px0, py0 = grid.mesh_xy
+        conv_y = 180.0 / (6371000.0 * np.pi)
+        convx = jnp.asarray(
+            conv_y / np.abs(np.cos(np.deg2rad(lats[rows])))[:, None])
         orig = PI.pallas_interp_multi
         PI.pallas_interp_multi = \
             lambda *a, **k: orig(*a, **{**k, "interpret": True})
         try:
             res = {}
-            for rb in (True, False):
-                res[rb] = parcel_propagation_core(
-                    u, v, -6 * 3600.0, grid, settls_order=1,
-                    kernel="pallas", rebin=rb, return_traj=True,
-                    return_overflow=True)
+            for rb in ("sort", False):
+                res[rb] = settls_scan(
+                    u, v, cu, cv, jnp.asarray(px0[rows]),
+                    jnp.asarray(py0[rows]), jnp.asarray(-6 * 3600.0,
+                                                        u.dtype),
+                    convx, grid, settls_order=1, interp_order=3,
+                    return_traj=False, home_rows=home, kernel="pallas",
+                    rebin=rb)
         finally:
             PI.pallas_interp_multi = orig
-        tx_r, ty_r, fl_r = res[True]
-        tx_n, ty_n, _ = res[False]
-        np.testing.assert_allclose(np.asarray(tx_r), np.asarray(tx_n),
-                                   atol=1e-12)
-        np.testing.assert_allclose(np.asarray(ty_r), np.asarray(ty_n),
-                                   atol=1e-12)
-
-    def test_roll_rows_inverts(self):
-        """_roll_rows(-delta) exactly inverts _roll_rows(delta), including
-        garbage-scale deltas (pole rows) and batched (per-step) shapes."""
-        from lagrangiancoherence_tpu.models.settls import _roll_rows
-
-        rng = np.random.RandomState(3)
-        nx = 96
-        a = jnp.asarray(rng.randn(4, 7, nx))
-        delta = jnp.asarray(
-            rng.randint(-6 * 10**7, 6 * 10**7, size=(4, 7)) * 32,
-            jnp.int32)
-        (b,) = _roll_rows((a,), delta, nx, 32)
-        (c,) = _roll_rows((b,), -delta, nx, 32)
-        np.testing.assert_array_equal(np.asarray(c), np.asarray(a))
-        assert float(jnp.max(jnp.abs(b - a))) > 0  # the roll did move rows
+        px_s, py_s, fl_s = res["sort"]
+        px_n, py_n, fl_n = res[False]
+        assert int(fl_s) == int(fl_n) == 0
+        np.testing.assert_allclose(np.asarray(px_s), np.asarray(px_n),
+                                   atol=1e-11)
+        np.testing.assert_allclose(np.asarray(py_s), np.asarray(py_n),
+                                   atol=1e-11)
 
 
 class TestRegionalGrid:
@@ -441,24 +437,6 @@ class TestDmaEngine:
                                    np.asarray(want[1]), atol=1e-9)
 
 
-    @pytest.mark.parametrize("displacement", ["smooth", "violent", "whirl"])
-    def test_engine_lean_layout(self, displacement):
-        """engine='dma-all' with the lean 2-slab coefficient layout
-        (no lane-shifted copies; arbitrary-offset window DMAs) must match
-        the 5-slab BlockSpec result bit-for-bit."""
-        out_b, flag_b, ref = run_case(64, 256, 3, 2, 2, 256,
-                                      displacement=displacement)
-        out_l, flag_l, _ = run_case(64, 256, 3, 2, 2, 256,
-                                    displacement=displacement,
-                                    engine="dma-all", lean=True)
-        assert flag_l == flag_b == 0
-        np.testing.assert_array_equal(out_l, out_b)
-        np.testing.assert_allclose(out_l, ref, atol=1e-10)
-
-    def test_lean_layout_requires_dma_all(self):
-        with pytest.raises(ValueError, match="lean"):
-            run_case(64, 256, 3, 2, 2, 256, engine="dma", lean=True)
-
     def test_engine_auto_resolves_default(self, monkeypatch):
         """pallas_engine='auto' resolves to ops.pallas_interp.DEFAULT_ENGINE
         — the one-line flip point once the on-device A/B picks a winner."""
@@ -504,16 +482,14 @@ class TestDmaEngine:
         assert flag_u == 0
         np.testing.assert_allclose(out_u, ref, atol=1e-10)
 
-    @pytest.mark.parametrize("eng,lean", [("dma", False), ("dma-all", False),
-                                          ("dma-all", True)])
-    def test_engine_partial_and_tall_grids(self, eng, lean):
+    @pytest.mark.parametrize("eng", ["dma", "dma-all"])
+    def test_engine_partial_and_tall_grids(self, eng):
         """Partial last x-tile (nx % 128 != 0) and tall grids through the
         engine — out-tile DMA offsets and the pseudo-tier masks must
         respect the padded tiling."""
         for (ny, nx, disp) in [(73, 144, "shear"), (241, 256, "whirl")]:
             out, flag, ref = run_case(ny, nx, 3, 2, 2, 256,
-                                      displacement=disp, engine=eng,
-                                      lean=lean)
+                                      displacement=disp, engine=eng)
             assert flag == 0, (ny, nx, disp)
             np.testing.assert_allclose(out, ref, atol=1e-10,
                                        err_msg=f"{ny}x{nx} {disp}")

@@ -56,6 +56,38 @@ def main():
             engine = a.split("=", 1)[1]
     print("devices:", jax.devices(), "engine:", engine, "wy:", wy,
           flush=True)
+    if "--sweep" in sys.argv:
+        # Root-cause mode for the flagship B>=2 HTTP 500 (remote compile
+        # helper subprocess exit 1, no diagnostic): if B=2 compiles at
+        # reduced grid scales but fails at 0.25 deg, the failure is a
+        # program/working-set SIZE limit of the axon compile toolchain,
+        # not a vmap-of-pallas feature gap.
+        from lagrangiancoherence_tpu.grid import Grid
+        for ny, nx, tag in ((361, 720, "0.5deg"), (721, 1440, "0.25deg")):
+            lats = np.linspace(-90.0, 90.0, ny)
+            lons = np.linspace(-180.0, 180.0 - 360.0 / nx, nx)
+            g = Grid(lats=lats, lons=lons, cyclic_x=True)
+            u_s, v_s = flagship_winds(g)
+            for B in (1, 2):
+                ub = jnp.broadcast_to(u_s, (B, *u_s.shape)) \
+                    * (1.0 + 0.01 * jnp.arange(B)[:, None, None, None])
+                vb = jnp.broadcast_to(v_s, (B, *v_s.shape)) \
+                    * (1.0 + 0.01 * jnp.arange(B)[:, None, None, None])
+                fn = jax.jit(jax.vmap(lambda uu, vv: ftle_pipeline(
+                    uu, vv, -6.0 * 3600.0, g, settls_order=4,
+                    interp_order=3, kernel="pallas", pallas_engine=engine,
+                    pallas_wy=wy, return_overflow=True)))
+                try:
+                    t0 = time.perf_counter()
+                    out, fl = fn(ub, vb)
+                    np.asarray(out)
+                    print(f"{tag} B={B}: OK compile+first "
+                          f"{time.perf_counter()-t0:6.1f} s "
+                          f"flags={np.asarray(fl).tolist()}", flush=True)
+                except Exception as e:
+                    print(f"{tag} B={B}: FAILED {type(e).__name__}: "
+                          f"{str(e)[:200]}", flush=True)
+        return
     grid = global_quarter_degree_grid()
     u, v = flagship_winds(grid)
     for B in (1, 2, 4):

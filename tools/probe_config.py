@@ -48,20 +48,22 @@ def flagship_winds(grid, nt=33):
 # (name, engine, half_tile, pallas_wy, pole_ladder, unroll, fuse)
 # fuse: LCS_FUSE (per-(tile, iterate) routed fused SETTLS engine) +
 # optional LCS_FUSE_SLACK last-iterate totals ("y,x")
+# Round-3 honest re-sweep: the env-only legs of the round-2 sweep
+# (head-u2/u4, head-pole8, dmaall-half0, head-fuse*) silently reused
+# head's trace (see the clear_caches note below) and must be re-measured.
+# Fuse legs dropped: the genuinely-fused flagship run overflows (0xa0,
+# bench.py 2026-08-20) — the predicted-iterate windows under-slack on the
+# 8-day flagship; and its upside was only the per-launch floor.
 CONFIGS = [
     ("head",         "dma-all",   True,  32, "16,160,288", 1, None),
-    ("head-fuse",    "dma-all",   True,  32, "16,160,288", 1, "8,16"),
-    ("head-fuse-s2", "dma-all",   True,  32, "16,160,288", 1, "16,32"),
     ("head-u2",      "dma-all",   True,  32, "16,160,288", 2, None),
     ("head-u4",      "dma-all",   True,  32, "16,160,288", 4, None),
-    ("dma-half0",    "dma",       False, 32, "16,160,288", 1, None),
-    ("bs-half0",     "blockspec", False, 32, "16,160,288", 1, None),
+    ("head-u8",      "dma-all",   True,  32, "16,160,288", 8, None),
     ("dmaall-half0", "dma-all",   False, 32, "16,160,288", 1, None),
-    ("head-wy16",    "dma-all",   True,  16, "16,160,288", 1, None),
-    ("head-wy24",    "dma-all",   True,  24, "16,160,288", 1, None),
-    ("dma-half1",    "dma",       True,  32, "16,160,288", 1, None),
     ("head-pole8",   "dma-all",   True,  32, "8,160,288",  1, None),
-    ("dma-half0-wy16", "dma",     False, 16, "16,160,288", 1, None),
+    ("head-pole24",  "dma-all",   True,  32, "24,160,288", 1, None),
+    ("head-nb6",     "dma-all",   True,  32, "16,160,288", 1, None,
+     {"LCS_ENGINE_NB": "6"}),
 ]
 
 
@@ -71,16 +73,29 @@ def main():
     u, v = flagship_winds(grid)
     table = {}
     ref = None
-    for name, eng, half, wy, pole, unroll, fuse in CONFIGS:
+    for spec_row in CONFIGS:
+        name, eng, half, wy, pole, unroll, fuse = spec_row[:7]
+        extra_env = spec_row[7] if len(spec_row) > 7 else {}
         os.environ["LCS_HALF_TILE"] = "1" if half else "0"
         os.environ["LCS_POLE_LADDER"] = pole
         os.environ["LCS_ENGINE_UNROLL"] = str(unroll)
+        os.environ.pop("LCS_ENGINE_NB", None)
+        for k_e, v_e in extra_env.items():
+            os.environ[k_e] = v_e
         if fuse is None:
             os.environ.pop("LCS_FUSE", None)
             os.environ.pop("LCS_FUSE_SLACK", None)
         else:
             os.environ["LCS_FUSE"] = "1"
             os.environ["LCS_FUSE_SLACK"] = fuse
+        # env knobs are read at TRACE time, and ftle_pipeline /
+        # parcel_propagation_core are themselves jitted: two legs with
+        # identical static args would silently REUSE the first leg's
+        # trace, making env-only legs phantom copies of it (this bit the
+        # round-2 sweep: head-fuse/head-u2/head-pole8 never actually ran
+        # their configs).  Clear every jit cache so each leg re-traces;
+        # the persistent compile cache still skips identical recompiles.
+        jax.clear_caches()
         try:
             fn = jax.jit(lambda u, v, eng=eng, wy=wy: ftle_pipeline(
                 u, v, -6.0 * 3600.0, grid, settls_order=4, interp_order=3,
@@ -116,7 +131,7 @@ def main():
             print(f"{name:14} FAILED: {type(e).__name__}: {str(e)[:300]}",
                   flush=True)
     for k in ("LCS_HALF_TILE", "LCS_POLE_LADDER", "LCS_FUSE",
-              "LCS_FUSE_SLACK", "LCS_ENGINE_UNROLL"):
+              "LCS_FUSE_SLACK", "LCS_ENGINE_UNROLL", "LCS_ENGINE_NB"):
         os.environ.pop(k, None)
 
     if table:

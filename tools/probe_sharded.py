@@ -67,8 +67,15 @@ def main():
     # bench.py's finiteness check.
     a, b = res["fused"][0], res["sharded-1dev"][0]
     d = np.nanmax(np.abs(a[2:-2] - b[2:-2]))
+    # raw sigma is O(1e3+) where 8-day chaos amplifies the programs'
+    # ulp-level split — the meaningful agreement metric is the one the
+    # f32 accuracy contract uses: p99 |log-FTLE| difference (BASELINE.md)
+    la = np.log(np.maximum(a[2:-2], 1e-30)) / 2
+    lb = np.log(np.maximum(b[2:-2], 1e-30)) / 2
+    p99 = np.nanpercentile(np.abs(la - lb), 99)
     ovh = res["sharded-1dev"][1] / res["fused"][1] - 1.0
-    print(f"max|fused - sharded| (interior rows) = {d:.3e}; "
+    print(f"interior rows: p99|dlogFTLE| = {p99:.2e} "
+          f"(max raw |d| {d:.3e}); "
           f"shard_map overhead {100 * ovh:+.1f}%", flush=True)
 
 
