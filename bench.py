@@ -99,6 +99,9 @@ def main():
         os.environ.setdefault("LCS_FUSE", "1")
         if cfg.get("fuse_slack"):
             os.environ.setdefault("LCS_FUSE_SLACK", str(cfg["fuse_slack"]))
+    # winner's trace-time env knobs (engine unroll, sort cadence, ...)
+    for k_e, v_e in (cfg.get("env") or {}).items():
+        os.environ.setdefault(str(k_e), str(v_e))
 
     def make_run(eng, reb, wy=wy):
         def run():

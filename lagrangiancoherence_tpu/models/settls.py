@@ -47,8 +47,18 @@ def _progress_step(t, nsteps):
 
 
 _SORT_LAT = 60.0   # |lat| >= this: rows whirl (1/cos metric) -> sort-bin
-_SORT_K = 2        # re-bin every K steps
-_SORT_BX = 32      # spatial key block width (cells)
+
+
+def _sort_k():
+    """Re-bin every K steps (trace-time env knob LCS_SORT_K; K=1 keeps
+    slot windows tightest at one extra lax.sort per step)."""
+    return max(1, int(os.environ.get("LCS_SORT_K", "2")))
+
+
+def _sort_bx():
+    """Spatial key block width in cells (LCS_SORT_BX; smaller = tighter
+    per-slot x spans, more quarter-window-eligible tiles)."""
+    return max(1, int(os.environ.get("LCS_SORT_BX", "32")))
 # consolidated escalation ladder for sort-binned runs: group-pinned
 # x-sorting leaves y spans as-stored (<=~50) and collapses x spans, so a
 # cheap y-tier plus wide/full-x tiers cover everything.  Capacities are
@@ -132,13 +142,13 @@ def _sort_bin_bands(arrs, px, py, bands, grid: Grid):
     the whirl has smeared the group around the circle."""
     ny, nx = grid.shape
     sx = nx / (grid.x_max - grid.x_min)
-    nbx = -(-nx // _SORT_BX)
+    nbx = -(-nx // _sort_bx())
     out = list(arrs)
     for r0, nr in bands:
         sl = slice(r0, r0 + nr)
         xi = jnp.mod(jnp.floor(sx * (px[sl] - grid.x_min)), nx)
         group = jax.lax.broadcasted_iota(jnp.int32, (nr, nx), 0) // 8
-        key = (group * nbx + xi.astype(jnp.int32) // _SORT_BX).ravel()
+        key = (group * nbx + xi.astype(jnp.int32) // _sort_bx()).ravel()
         segs = [a[sl].ravel() for a in out]
         sorted_ = jax.lax.sort([key] + segs, num_keys=1, is_stable=True)
         for i, s in enumerate(sorted_[1:]):
@@ -185,7 +195,7 @@ def _sort_bin_shard(arrs, px, sortable, grid: Grid):
     xi = jnp.mod(jnp.floor(sx * (px[sl] - grid.x_min)), nx)
     group = jax.lax.broadcasted_iota(jnp.int32, (nr, nx), 0) // 8
     xkey = jnp.nan_to_num(xi, nan=0.0, posinf=0.0,
-                          neginf=0.0).astype(jnp.int32) // _SORT_BX
+                          neginf=0.0).astype(jnp.int32) // _sort_bx()
     key = (group * nx + xkey).ravel()
     segs = [a[sl].ravel() for a in out]
     sorted_ = jax.lax.sort([key] + segs, num_keys=1, is_stable=True)
@@ -409,6 +419,30 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                       and ny > 4 * interp_order
                       and os.environ.get("LCS_FUSE", "0") == "1")
 
+        # Hoisted per-step pole loop: the pole machinery inside each
+        # gather (sorted point lists: argsort + 4 permutation gathers +
+        # unsort scatter, ~1 ms/group of XLA glue — tools/probe_trace
+        # round 3) runs 2+settls_order times per step.  Instead, sort the
+        # 2*order pole-home rows ONCE per step, keep them in sorted flat
+        # layout across the step's gathers (pole_block=True,
+        # pole_presorted=True — sortp becomes identity inside), iterate
+        # their Q3/Q5 updates in sorted space, and write them back at
+        # step end.  The main gathers run with skip_pole=True (their
+        # pole-row outputs are garbage and overwritten here).
+        hoist_pole = (interp_order > 0 and home_rows is None
+                      and px0.shape == grid.shape and not fuse_iters
+                      and ny > 2 * interp_order
+                      and os.environ.get("LCS_POLE_HOIST", "1") == "1")
+        if hoist_pole:
+            from ..ops.pallas_interp import (pole_apply_perm,
+                                             pole_sort_state,
+                                             pole_unsort_rows)
+            pole_rows = np.r_[0:interp_order, ny - interp_order:ny]
+            pole_geom = dict(order=interp_order, nx=nx)
+            pole_scale = dict(order=interp_order, ny=ny, nx=nx,
+                              y_min=grid.y_min, y_max=grid.y_max,
+                              x_min=grid.x_min, x_max=grid.x_max)
+
         def fused_settls(t, px, py, ua, va, cx2d):
             sc = jnp.stack([0.5 * dt * conv_y,
                             0.5 * dt * jnp.ones((), dtype)]).astype(dtype)
@@ -468,7 +502,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 return (px, py, cvx, perm)
 
             px, py, cvx, perm = jax.lax.cond(
-                jnp.mod(t, _SORT_K) == 0, do_sort, no_sort,
+                jnp.mod(t, _sort_k()) == 0, do_sort, no_sort,
                 px, py, cvx, perm)
             cx = cvx
         else:
@@ -476,7 +510,21 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
 
         # Euler first guess from winds at the current positions
         # (/root/reference/LCS/trajectory.py:82-87)
-        if kernel == "pallas":
+        if kernel == "pallas" and hoist_pole:
+            # per-step sorted pole state (see hoist_pole above)
+            perm_p, inv_p = pole_sort_state(px[pole_rows], py[pole_rows],
+                                            **pole_scale)
+            pxp = pole_apply_perm(px[pole_rows], perm_p, **pole_geom)
+            pyp = pole_apply_perm(py[pole_rows], perm_p, **pole_geom)
+            cx_rows = cx[pole_rows] if cx.shape == px.shape \
+                else jnp.broadcast_to(cx, px.shape)[pole_rows]
+            cxp = pole_apply_perm(cx_rows.astype(dtype), perm_p,
+                                  **pole_geom)
+            arr, fl = pallas_gather(t, px, py, 2, skip_pole=True)
+            valsp, flp = pallas_gather(t, pxp, pyp, 2, pole_block=True,
+                                       pole_presorted=True)
+            fl = fl | flp
+        elif kernel == "pallas":
             arr, fl = pallas_gather(t, px, py, 2)
         else:
             A_t, B_t = slices(t)
@@ -487,6 +535,11 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
         py = py + dt * conv_y * va
         px = px + dt * cx * ua
         px, py = _clamp_wrap(px, py, **bounds)
+        if kernel == "pallas" and hoist_pole:
+            uap, vap = valsp[0], valsp[1]
+            pyp = pyp + dt * conv_y * vap
+            pxp = pxp + dt * cxp * uap
+            pxp, pyp = _clamp_wrap(pxp, pyp, **bounds)
 
         # SETTLS fixed-point iterations, cumulative form (Q3)
         # (/root/reference/LCS/trajectory.py:100-124)
@@ -505,7 +558,8 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 if kernel == "pallas":
                     # the (u, v) pairs at t and t+1 are adjacent in the
                     # resident (T*2, ...) stacks: one 4-field window at 2*t
-                    dep, fl = pallas_gather(t, px, py, 4)
+                    dep, fl = pallas_gather(t, px, py, 4,
+                                            skip_pole=hoist_pole)
                 else:
                     dep, fl = interp_multi(A_tn, B_tn, px, py)
                 flag = flag | fl
@@ -513,6 +567,23 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 py = py + 0.5 * dt * conv_y * (va + 2.0 * v_t_d - v_n_d)
                 px = px + 0.5 * dt * cx * (ua + 2.0 * u_t_d - u_n_d)
                 px, py = _clamp_wrap(px, py, **bounds)
+                if kernel == "pallas" and hoist_pole:
+                    depp, flp = pallas_gather(t, pxp, pyp, 4,
+                                              pole_block=True,
+                                              pole_presorted=True)
+                    flag = flag | flp
+                    pyp = pyp + 0.5 * dt * conv_y * (
+                        vap + 2.0 * depp[1] - depp[3])
+                    pxp = pxp + 0.5 * dt * cxp * (
+                        uap + 2.0 * depp[0] - depp[2])
+                    pxp, pyp = _clamp_wrap(pxp, pyp, **bounds)
+
+        if kernel == "pallas" and hoist_pole:
+            # write the pole rows back into home layout for the carry
+            px = px.at[pole_rows].set(
+                pole_unsort_rows(pxp, inv_p, **pole_geom))
+            py = py.at[pole_rows].set(
+                pole_unsort_rows(pyp, inv_p, **pole_geom))
 
         if return_traj:
             if sort_mode:

@@ -407,20 +407,14 @@ def _spline_tile_body(fyx, win_ref, out_ref, write_flag, y0, x0, *,
         xa = xfold[0, 0] if anchor is None else anchor[1]
         kx = _unwrap_k(xfold, xa, nx)
 
-    # tap offsets (window-relative, mirror-remapped) and weights — tiny
-    # (TR, TC) arrays; only the basis builds below touch (TR, TC, W)
-    offs_y = _tap_offsets(yfold, ky, y0, ny, order)
-    ws_y = _tap_weights(yfold, order)
-    if not x_full:
-        offs_x = _tap_offsets(xfold, kx, x0, nx, order)
-        ws_x = _tap_weights(xfold, order)
-
-    # safety flag: exact routing makes this 0; capacity overflow and
-    # mis-routed tiles clamp and raise it.  One fused any-reduce.
-    oob = _offs_oob(offs_y, WY)
-    if not x_full:
-        oob = oob | _offs_oob(offs_x, WX)
-    write_flag(jnp.any(oob).astype(jnp.int32))
+    # tap-offset/weight builds and the full oob check are EDGE-path-only
+    # (below): interior tiles (edge == 0, >99% of a global field) have no
+    # mirror remaps, so their taps are exactly q-lo .. q+hi of the
+    # integer window position q — the safety flag needs 2 compares on
+    # arrays that already exist, and the (TR, TC) offset/select chains
+    # never build.  Measured ~0.5-0.7 ms/group of the engine's tile
+    # compute (tools/probe_slotbody.py noflag/flagmm variants).
+    lo, hi = (1, 2) if order == 3 else (0, 1)
 
     def eval_pipeline(build_y, build_x):
         # MXU contraction over x, in <=512-lane chunks so the
@@ -457,14 +451,22 @@ def _spline_tile_body(fyx, win_ref, out_ref, write_flag, y0, x0, *,
         xpos = jnp.clip(xq.astype(cdt) + (xfold - jnp.floor(xfold)),
                         0.0, WX - 1.0)
 
-    if x_full:
-        bx_edge = lambda i3: _basis_direct(xpos, i3, order)
-    else:
-        bx_edge = lambda i3: _onehot_basis(offs_x, ws_x, i3, WX)
-
     def onehot_path():
-        eval_pipeline(lambda i3: _onehot_basis(offs_y, ws_y, i3, WY),
-                      bx_edge)
+        # exact mirror-remapped offsets + the full per-tap oob check
+        # (safety flag: exact routing makes it 0; capacity overflow and
+        # mis-routed tiles clamp and raise it)
+        offs_y = _tap_offsets(yfold, ky, y0, ny, order)
+        ws_y = _tap_weights(yfold, order)
+        oob = _offs_oob(offs_y, WY)
+        if x_full:
+            bx = lambda i3: _basis_direct(xpos, i3, order)
+        else:
+            offs_x = _tap_offsets(xfold, kx, x0, nx, order)
+            ws_x = _tap_weights(xfold, order)
+            oob = oob | _offs_oob(offs_x, WX)
+            bx = lambda i3: _onehot_basis(offs_x, ws_x, i3, WX)
+        write_flag(jnp.any(oob).astype(jnp.int32))
+        eval_pipeline(lambda i3: _onehot_basis(offs_y, ws_y, i3, WY), bx)
 
     if edge is None:
         onehot_path()
@@ -472,6 +474,12 @@ def _spline_tile_body(fyx, win_ref, out_ref, write_flag, y0, x0, *,
 
     @pl.when(edge == 0)
     def _interior():
+        # no mirror remaps possible: taps are exactly yq-lo..yq+hi /
+        # xq-lo..xq+hi — flag from the existing integer positions
+        oob = (yq < lo) | (yq > WY - 1 - hi)
+        if not x_full:
+            oob = oob | (xq < lo) | (xq > WX - 1 - hi)
+        write_flag(jnp.any(oob).astype(jnp.int32))
         eval_pipeline(lambda i3: _basis_direct(ypos, i3, order),
                       lambda i3: _basis_direct(xpos, i3, order))
 
@@ -509,9 +517,7 @@ def _sub_tile_body(fyx, win_refs, out_ref, write_flag, y0, x0s, *,
     yq = jnp.floor(yfold).astype(jnp.int32) + ny * ky - y0
     ypos = jnp.clip(yq.astype(cdt) + (yfold - jnp.floor(yfold)),
                     0.0, WY - 1.0)
-    offs_y = _tap_offsets(yfold, ky, y0, ny, order)
-    ws_y = _tap_weights(yfold, order)
-    oob_y = _offs_oob(offs_y, WY)
+    lo, hi = (1, 2) if order == 3 else (0, 1)
 
     def x_contract(build_x_q):
         gs = []
@@ -534,16 +540,19 @@ def _sub_tile_body(fyx, win_refs, out_ref, write_flag, y0, x0s, *,
         xa_q = xfold_q[0, 0] if anchor is None else anchor[1][q]
         kx_q = _unwrap_k(xfold_q, xa_q, nx)
         sub.append((xfold_q, kx_q))
-    oob_x = None
-    for q in range(N_SUB):
-        offs_q = _tap_offsets(sub[q][0], sub[q][1], x0s[q], nx, order)
-        oq = _offs_oob(offs_q, 128)
-        oob_x = oq if oob_x is None else (oob_x | oq)
-    # two any-reduces total (y is (TR, TC), the x quarters (TR, SUBW))
-    write_flag((jnp.any(oob_y) | jnp.any(oob_x)).astype(jnp.int32))
-
     @pl.when(edge == 0)
     def _interior():
+        # no mirror remaps: taps exactly q-lo..q+hi, flag from the
+        # integer window positions (see _spline_tile_body)
+        oob = (yq < lo) | (yq > WY - 1 - hi)
+        oob_x = None
+        for q in range(N_SUB):
+            fq = sub[q][0]
+            xq = jnp.floor(fq).astype(jnp.int32) + nx * sub[q][1] - x0s[q]
+            oq = (xq < lo) | (xq > 128 - 1 - hi)
+            oob_x = oq if oob_x is None else (oob_x | oq)
+        write_flag((jnp.any(oob) | jnp.any(oob_x)).astype(jnp.int32))
+
         def bx(q, i3):
             fq = sub[q][0]
             xq = jnp.floor(fq).astype(jnp.int32) + nx * sub[q][1] - x0s[q]
@@ -557,6 +566,17 @@ def _sub_tile_body(fyx, win_refs, out_ref, write_flag, y0, x0s, *,
 
     @pl.when(edge != 0)
     def _edge():
+        offs_y = _tap_offsets(yfold, ky, y0, ny, order)
+        ws_y = _tap_weights(yfold, order)
+        oob_y = _offs_oob(offs_y, WY)
+        oob_x = None
+        for q in range(N_SUB):
+            offs_q = _tap_offsets(sub[q][0], sub[q][1], x0s[q], nx, order)
+            oq = _offs_oob(offs_q, 128)
+            oob_x = oq if oob_x is None else (oob_x | oq)
+        # two any-reduces total (y is (TR, TC), the x quarters (TR, SUBW))
+        write_flag((jnp.any(oob_y) | jnp.any(oob_x)).astype(jnp.int32))
+
         def bx(q, i3):
             offs_q = _tap_offsets(sub[q][0], sub[q][1], x0s[q], nx, order)
             ws_q = _tap_weights(sub[q][0], order)
@@ -1180,14 +1200,25 @@ def _fits(mn, mx, s_pad, pad, w, margin, ulp=2):
 
 def _pole_eval_block(px_b, py_b, mask_b, raw_p, f0_arr, *, F, order,
                      ny, nx, nx_t, ny_p, dtype, x_min, x_max, y_min,
-                     y_max, interpret=False):
+                     y_max, interpret=False, presorted=False):
     """Sorted-slot pole evaluation for one (2*order, nx) pole-row
     position block in exp2 row order ([0..order-1, ny-order..ny-1]):
     order-1 mode='constant' on the raw fields, 3-level y-window
     ladder over y0-sorted point slots.  Factored from the pole
     section of pallas_interp_multi so the fused SETTLS path can
     iterate it per fixed-point step (``pole_block=True``).  Returns
-    ``(blk_rows (F, 2*order, nx_t), pole_flag int32)``."""
+    ``(blk_rows (F, 2*order, nx_t), pole_flag int32)``.
+
+    ``presorted=True``: ``px_b``/``py_b``/``mask_b`` are (2, Mpad)
+    flat per-side lists ALREADY in (approximately) y0-sorted rank
+    order — the per-group argsort + 4 permutation gathers (~1 ms/
+    gather-group of XLA glue on the flagship, tools/probe_trace) are
+    hoisted to once per scan step by models/settls.py, which carries
+    the pole block in sorted layout across the step's 5 gather groups.
+    Slot windows are computed from the CURRENT positions (exactness
+    never depends on sort quality — a drifted slot escalates or
+    flags), and values return in the same sorted layout,
+    ``(F, 2, Mpad)``, with the caller owning the un-sort."""
     ycapP = (ny_p // 8) * 8
     wy1, wy2, wy3 = (min(w, ycapP) for w in _pole_ladder())
 
@@ -1201,8 +1232,6 @@ def _pole_eval_block(px_b, py_b, mask_b, raw_p, f0_arr, *, F, order,
     xc_b = jnp.clip(xi_b, 0.0, float(nx - 1))
     vm_b = ((yi_b >= 0) & (yi_b <= ny - 1)
             & (xi_b >= 0) & (xi_b <= nx - 1)).astype(px_b.dtype)
-    mk_b = jnp.broadcast_to(mask_b[:, :, None], (2, order, nx)
-                            ).astype(px_b.dtype).reshape(2 * order, nx)
 
     # ---- flat per-side point lists, sorted by y0.  Pad ranks
     # replicate the side's last point (mode='edge'): they evaluate a
@@ -1217,19 +1246,29 @@ def _pole_eval_block(px_b, py_b, mask_b, raw_p, f0_arr, *, F, order,
         return jnp.pad(a.reshape(2, Ms), ((0, 0), (0, Mpad - Ms)),
                        mode="edge")
 
-    y0_f = jnp.clip(jnp.floor(side_flat(yc_b)), 0,
-                    ny - 2).astype(jnp.int32)
-    perm = jnp.argsort(y0_f, axis=1)       # (2, Mpad) sorted ranks
+    if presorted:
+        mk_b = mask_b.astype(px_b.dtype)   # already (2, Mpad) flat
+        y0_s = jnp.clip(jnp.floor(yc_b), 0, ny - 2).astype(
+            jnp.int32).reshape(S, TILE_R * TILE_C)
+        pack = jnp.stack([yc_b, xc_b, vm_b, mk_b]).reshape(
+            4, S * TILE_R, TILE_C)
+    else:
+        mk_b = jnp.broadcast_to(mask_b[:, :, None], (2, order, nx)
+                                ).astype(px_b.dtype).reshape(
+                                    2 * order, nx)
+        y0_f = jnp.clip(jnp.floor(side_flat(yc_b)), 0,
+                        ny - 2).astype(jnp.int32)
+        perm = jnp.argsort(y0_f, axis=1)   # (2, Mpad) sorted ranks
 
-    def sortp(a):
-        return jnp.take_along_axis(side_flat(a), perm, axis=1)
+        def sortp(a):
+            return jnp.take_along_axis(side_flat(a), perm, axis=1)
 
-    # one packed operand [yc, xc, vmask, flagmask] in sorted-rank
-    # storage: rank r of side k at row k*ns*TILE_R + r//TILE_C
-    pack = jnp.stack([sortp(yc_b), sortp(xc_b), sortp(vm_b),
-                      sortp(mk_b)]).reshape(4, S * TILE_R, TILE_C)
-    y0_s = jnp.take_along_axis(y0_f, perm, axis=1).reshape(
-        S, TILE_R * TILE_C)
+        # one packed operand [yc, xc, vmask, flagmask] in sorted-rank
+        # storage: rank r of side k at row k*ns*TILE_R + r//TILE_C
+        pack = jnp.stack([sortp(yc_b), sortp(xc_b), sortp(vm_b),
+                          sortp(mk_b)]).reshape(4, S * TILE_R, TILE_C)
+        y0_s = jnp.take_along_axis(y0_f, perm, axis=1).reshape(
+            S, TILE_R * TILE_C)
     kymn = jnp.clip(jnp.min(y0_s, axis=1) - 1, 0, ny - 2)
     kymx = jnp.clip(jnp.max(y0_s, axis=1) + 1, 0, ny - 2)
     kymn = jnp.minimum(kymn, kymx)         # (S,)
@@ -1361,6 +1400,10 @@ def _pole_eval_block(px_b, py_b, mask_b, raw_p, f0_arr, *, F, order,
         (jnp.max(pflags1[0] * (1 - covP.astype(jnp.int32))) << 3) \
         | (residP << 4)
 
+    if presorted:
+        # caller owns the layout: values return in sorted rank order
+        return vals.reshape(F, 2, Mpad), pole_flag
+
     # un-sort and place: sorted rank j of side k holds original
     # point perm[k, j], so original point i reads back via inv[k, i]
     ar = jnp.broadcast_to(jnp.arange(Mpad, dtype=perm.dtype),
@@ -1373,6 +1416,59 @@ def _pole_eval_block(px_b, py_b, mask_b, raw_p, f0_arr, *, F, order,
     blk_rows = jnp.pad(vals_u.reshape(F, 2 * order, nx),
                        ((0, 0), (0, 0), (0, nx_t - nx)))
     return blk_rows, pole_flag
+
+
+def pole_flat_dims(order: int, nx: int):
+    """(Ms, Mpad) of the flat per-side pole point lists."""
+    Ms = order * nx
+    Mpad = _cdiv(Ms, TILE_R * TILE_C) * (TILE_R * TILE_C)
+    return Ms, Mpad
+
+
+def _pole_side_flat(a, order, nx):
+    """(..., 2*order, nx) home layout → (..., 2, Mpad), edge-padded."""
+    Ms, Mpad = pole_flat_dims(order, nx)
+    a2 = a.reshape(*a.shape[:-2], 2, Ms)
+    pad = [(0, 0)] * (a2.ndim - 1) + [(0, Mpad - Ms)]
+    return jnp.pad(a2, pad, mode="edge")
+
+
+def pole_sort_state(px_rows, py_rows, *, order, ny, nx, x_min, x_max,
+                    y_min, y_max):
+    """Once-per-step sort state for the hoisted pole loop
+    (models/settls.py): flatten the (2*order, nx) pole-row block to
+    per-side lists and y0-argsort them.  Returns ``(perm, inv)`` int32
+    (2, Mpad) — apply with :func:`pole_apply_perm`, invert with
+    :func:`pole_unsort_rows`.  The sort key matches _pole_eval_block's
+    slot key (floor of the clipped scaled y index), so slots stay as
+    tight as the per-group sort produced; intra-step drift only widens
+    windows, never breaks exactness (drifted slots escalate or flag)."""
+    from .interp import scale_positions
+    _, Mpad = pole_flat_dims(order, nx)
+    pxf = _pole_side_flat(px_rows, order, nx)
+    pyf = _pole_side_flat(py_rows, order, nx)
+    _, yi = scale_positions(pxf, pyf, x_min=x_min, x_max=x_max,
+                            y_min=y_min, y_max=y_max, nx=nx, ny=ny)
+    y0 = jnp.clip(jnp.floor(jnp.clip(yi, 0.0, float(ny - 1))), 0,
+                  ny - 2).astype(jnp.int32)
+    perm = jnp.argsort(y0, axis=1)
+    ar = jnp.broadcast_to(jnp.arange(Mpad, dtype=perm.dtype), (2, Mpad))
+    inv = jnp.zeros_like(perm).at[jnp.arange(2)[:, None], perm].set(ar)
+    return perm, inv
+
+
+def pole_apply_perm(a_rows, perm, *, order, nx):
+    """(2*order, nx) home layout → (2, Mpad) sorted flat."""
+    return jnp.take_along_axis(_pole_side_flat(a_rows, order, nx), perm,
+                               axis=1)
+
+
+def pole_unsort_rows(flat, inv, *, order, nx):
+    """(..., 2, Mpad) sorted flat → (..., 2*order, nx) home layout."""
+    Ms, Mpad = pole_flat_dims(order, nx)
+    idx = jnp.broadcast_to(inv, flat.shape[:-2] + inv.shape)
+    u = jnp.take_along_axis(flat, idx, axis=-1)[..., :Ms]
+    return u.reshape(*flat.shape[:-2], 2 * order, nx)
 
 
 def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
@@ -1389,7 +1485,9 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                         engine: str = "auto",
                         interpret: bool = False,
                         debug_flags: bool = False,
-                        settls_upd=None, pole_block: bool = False):
+                        settls_upd=None, pole_block: bool = False,
+                        pole_presorted: bool = False,
+                        skip_pole: bool = False):
     """Evaluate F stacked fields at parcel positions — the TPU fast path.
 
     ``raw``: (F, ny, nx) raw fields (pole-home path); ``cw_pad``:
@@ -1453,15 +1551,18 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     wx_full = nx_t + 128   # full-x slab: covers folded taps up to nx+1
 
     if pole_block:
-        # ---- pole-rows-only fast path (fused SETTLS): ``px``/``py`` are
-        # the (2*order, nx) pole-row position block in exp2 row order
-        # ([0..order-1, ny-order..ny-1]); evaluates the order-1/constant
-        # pole semantics and returns the values block directly — no
-        # spline routing, no tiers.  The fused step iterates this with
-        # its own XLA position updates (the pole rows are 2*order rows;
-        # their per-iterate update glue is negligible). ----
+        # ---- pole-rows-only fast path (fused SETTLS + the hoisted
+        # per-step pole loop of models/settls.py): ``px``/``py`` are the
+        # (2*order, nx) pole-row position block in exp2 row order
+        # ([0..order-1, ny-order..ny-1]) — or, with
+        # ``pole_presorted=True``, (2, Mpad) flat per-side lists already
+        # in sorted rank order (see _pole_eval_block).  Evaluates the
+        # order-1/constant pole semantics and returns the values block
+        # directly — no spline routing, no tiers. ----
         assert order > 0 and home_rows is None and not debug_flags
-        assert py.shape[0] == 2 * order, py.shape
+        presorted = pole_presorted
+        if not presorted:
+            assert py.shape[0] == 2 * order, py.shape
         ny_tf = _cdiv(ny, TILE_R) * TILE_R
         pad_rows = ny_tf + POLE_PAD - ny
         ny_p = ny + pad_rows
@@ -1472,11 +1573,15 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             wrap = jnp.take(raw, jnp.arange(pad_rows) % ny, axis=1)
             raw_p = jnp.pad(jnp.concatenate([raw, wrap], axis=1),
                             ((0, 0), (0, 0), (0, nx_t - nx)))
+        mask = (jnp.ones(py.shape, bool) if presorted
+                else jnp.ones((2, order), bool))
         blk_rows, pole_flag = _pole_eval_block(
-            px, py, jnp.ones((2, order), bool), raw_p, f0_arr, F=F,
+            px, py, mask, raw_p, f0_arr, F=F,
             order=order, ny=ny, nx=nx, nx_t=nx_t, ny_p=ny_p, dtype=dtype,
             x_min=x_min, x_max=x_max, y_min=y_min, y_max=y_max,
-            interpret=interpret)
+            interpret=interpret, presorted=presorted)
+        if presorted:
+            return blk_rows, pole_flag          # (F, 2, Mpad) sorted
         return blk_rows[:, :, :nx], pole_flag
 
     fused = settls_upd is not None
@@ -2345,7 +2450,13 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     # slab ladder escalated to 288-row windows in ~80% of flagship
     # steps once rows drifted past its wrap pad: ~0.3-0.4 s/field). ----
     pole_flag = jnp.zeros((), jnp.int32)
-    if order > 0:
+    # ``skip_pole``: the caller owns the pole-home rows (models/settls.py
+    # hoisted per-step pole loop) — the spline path still substitutes
+    # their positions (safe_idx above), but the pole machinery (sorted
+    # point lists + ladder launches, ~1 ms of XLA glue per gather group)
+    # does not run and the pole-home OUTPUT rows carry spline values the
+    # caller must overwrite.
+    if order > 0 and not skip_pole:
         # candidate block rows for the 2*order pole HOME rows: shards
         # hold a contiguous home-row range starting at home_rows[0], so
         # home row h lives at block row h - home_rows[0].  A candidate

@@ -128,6 +128,51 @@ class TestPallasInScan:
                                    atol=1e-11)
 
 
+class TestPoleHoist:
+    def test_hoisted_pole_loop_is_bit_identical(self, monkeypatch):
+        """The hoisted per-step pole loop (models/settls.py: sort the
+        pole-home rows once per step, iterate them in sorted flat layout
+        via pole_block=True/pole_presorted=True, skip_pole on the main
+        gathers) must reproduce the per-group pole machinery exactly —
+        it is a pure restructuring of where the same evaluations run."""
+        import jax
+
+        from lagrangiancoherence_tpu.grid import Grid
+        from lagrangiancoherence_tpu.models.settls import \
+            parcel_propagation_core
+        import lagrangiancoherence_tpu.ops.pallas_interp as PI
+
+        ny, nx = 33, 96
+        lats = np.linspace(-90.0, 90.0, ny)
+        lons = np.linspace(-180.0, 180.0 - 360.0 / nx, nx)
+        grid = Grid(lats=lats, lons=lons, cyclic_x=True)
+        LON, LAT = np.meshgrid(np.deg2rad(lons), np.deg2rad(lats))
+        nt = 4
+        t = np.arange(nt)[:, None, None]
+        u = jnp.asarray((20.0 * np.cos(LAT) + 2.0 * np.cos(3 * LON)
+                         * np.sin(2 * LAT))[None] * (1 + 0.05 * np.sin(t)))
+        v = jnp.asarray((2.0 * np.sin(3 * LON) * np.cos(2 * LAT))[None]
+                        * (1 + 0.05 * np.cos(t)))
+        orig = PI.pallas_interp_multi
+        PI.pallas_interp_multi = \
+            lambda *a, **k: orig(*a, **{**k, "interpret": True})
+        try:
+            res = {}
+            for hp in ("1", "0"):
+                monkeypatch.setenv("LCS_POLE_HOIST", hp)
+                jax.clear_caches()   # LCS_POLE_HOIST is read at trace time
+                res[hp] = parcel_propagation_core(
+                    u, v, -6 * 3600.0, grid, settls_order=2,
+                    kernel="pallas", return_overflow=True)
+            px1, py1, fl1 = res["1"]
+            px0, py0, fl0 = res["0"]
+        finally:
+            PI.pallas_interp_multi = orig
+        assert int(fl1) == int(fl0) == 0
+        np.testing.assert_array_equal(np.asarray(px1), np.asarray(px0))
+        np.testing.assert_array_equal(np.asarray(py1), np.asarray(py0))
+
+
 class TestShardSortBin:
     def test_shard_sort_is_layout_invariant(self):
         """Sharded-block sort-binning (models/settls.py _sort_bin_shard):

@@ -66,6 +66,23 @@ CONFIGS = [
      {"LCS_ENGINE_NB": "6"}),
 ]
 
+# second-round legs on top of the u2 winner (LCS_ROUND2_LEGS=1): sort
+# cadence/bucket knobs and the wy16 y-basis-area cut, all untested
+# combinations after the phantom-leg fix
+CONFIGS_R2 = [
+    ("head-u2",        "dma-all", True,  32, "16,160,288", 2, None),
+    ("u2-sortk1",      "dma-all", True,  32, "16,160,288", 2, None,
+     {"LCS_SORT_K": "1"}),
+    ("u2-bx16",        "dma-all", True,  32, "16,160,288", 2, None,
+     {"LCS_SORT_BX": "16"}),
+    ("u2-sortk1-bx16", "dma-all", True,  32, "16,160,288", 2, None,
+     {"LCS_SORT_K": "1", "LCS_SORT_BX": "16"}),
+    ("u2-wy16",        "dma-all", True,  16, "16,160,288", 2, None),
+    ("u2-nb6",         "dma-all", True,  32, "16,160,288", 2, None,
+     {"LCS_ENGINE_NB": "6"}),
+    ("u2-pole24",      "dma-all", True,  32, "24,160,288", 2, None),
+]
+
 
 def main():
     print("devices:", jax.devices(), flush=True)
@@ -73,13 +90,15 @@ def main():
     u, v = flagship_winds(grid)
     table = {}
     ref = None
-    for spec_row in CONFIGS:
+    legs = CONFIGS_R2 if os.environ.get("LCS_ROUND2_LEGS") else CONFIGS
+    for spec_row in legs:
         name, eng, half, wy, pole, unroll, fuse = spec_row[:7]
         extra_env = spec_row[7] if len(spec_row) > 7 else {}
         os.environ["LCS_HALF_TILE"] = "1" if half else "0"
         os.environ["LCS_POLE_LADDER"] = pole
         os.environ["LCS_ENGINE_UNROLL"] = str(unroll)
-        os.environ.pop("LCS_ENGINE_NB", None)
+        for k_p in ("LCS_ENGINE_NB", "LCS_SORT_K", "LCS_SORT_BX"):
+            os.environ.pop(k_p, None)
         for k_e, v_e in extra_env.items():
             os.environ[k_e] = v_e
         if fuse is None:
@@ -136,7 +155,7 @@ def main():
 
     if table:
         best = max(table, key=table.get)
-        spec = dict((c[0], c) for c in CONFIGS)[best]
+        spec = dict((c[0], c) for c in legs)[best]
         path = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), ".bench_config.json")
         rec = {}
@@ -152,6 +171,11 @@ def main():
             "pole_ladder": spec[4],
             "fuse": spec[6] is not None,
             "fuse_slack": spec[6],
+            # trace-time env knobs of the winner (unroll + extras);
+            # bench.py setdefaults these before tracing
+            "env": {**({"LCS_ENGINE_UNROLL": str(spec[5])}
+                       if spec[5] != 1 else {}),
+                    **(spec[7] if len(spec) > 7 else {})},
             "config_fields_per_sec": {k: round(v, 4)
                                       for k, v in table.items()},
             "source": (rec.get("source", "") +
