@@ -732,10 +732,10 @@ def _list_kernel(n_live, iy, jx, iy_out, y0s, x0s, edges, f0s, pos_ref,
              F=F, WY=WY, WX=WX, x_full=x_full, edge=edges[i], **common)
 
 
-def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
+def _engine_kernel(counts, sel_s, pack_s, x0q2_s, f0_s,
                    folds_ref, cw_hbm, outA_ref, out_ref, flags_ref,
                    win_buf, win_sems, *, body, F, tiers, seg_off, ypad,
-                   xpad, wx_full, common, nb=2, unroll=1):
+                   xpad, wx_full, common, gx, nb=2, unroll=1):
     """Manual-DMA escalation engine: ONE grid step services every
     escalation tier's LIVE slots — VMEM-resident edition.
 
@@ -759,10 +759,16 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
     ``nb`` slots ahead so its latency hides behind the tile body.
 
     Scalar-prefetch operands are the concatenated per-tier slot lists
-    (``seg_off`` static segment offsets): tile coordinates, window
-    starts in PADDED space, and the mirror-edge flag.  ``tiers`` is the
-    static ladder [(wy, wx_or_None), ...]; window shapes per tier are
-    static, so every DMA shape is static.  ``out_ref`` starts as a copy
+    (``seg_off`` static segment offsets), PACKED to shrink the SMEM
+    prefetch load (the slot lists were ~78 KB/launch, a measured
+    ~1 ms/launch class of in-call overhead): ``sel_s`` is the linear
+    tile index (iy*gx + jx), ``pack_s`` carries (y0 << 16) | (x0 << 2)
+    | edge with starts in PADDED space, and ``x0q2_s`` holds the
+    A-sub quarter starts two-per-int32 ((q1 << 16) | q0).  Alignment
+    facts (y0 % 8 == 0, x0 % X_GRAN == 0) are re-asserted after
+    unpacking with ``pl.multiple_of`` — the routing guarantees them.
+    ``tiers`` is the static ladder [(wy, wx_or_None), ...]; window
+    shapes per tier are static, so every DMA shape is static.  ``out_ref`` starts as a copy
     of ``outA_ref`` (tier A's output for engine='dma'; zeros for
     'dma-all', where the engine's own sections write every tile), so
     un-escalated tiles pass through unchanged."""
@@ -771,15 +777,31 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
     # aliased-HBM in-place writes
     out_ref[...] = outA_ref[...]
 
+    def unpack(sl):
+        sel = sel_s[sl]
+        iy = sel // gx
+        jx = sel - gx * iy
+        pk = pack_s[sl]
+        ed = pk & 3
+        x0 = (pk >> 2) & 0x3FFF
+        y0 = pl.multiple_of(pk >> 16, 8)
+        return iy, jx, y0, x0, ed
+
     def pos_view(sl):
+        iy, jx, *_ = unpack(sl)
         return folds_ref.at[
-            :, pl.ds(pl.multiple_of(iy_s[sl] * TILE_R, TILE_R), TILE_R),
-            pl.ds(pl.multiple_of(jx_s[sl] * TILE_C, TILE_C), TILE_C)]
+            :, pl.ds(pl.multiple_of(iy * TILE_R, TILE_R), TILE_R),
+            pl.ds(pl.multiple_of(jx * TILE_C, TILE_C), TILE_C)]
 
     def out_view(sl):
+        iy, jx, *_ = unpack(sl)
         return out_ref.at[
-            :, pl.ds(pl.multiple_of(iy_s[sl] * TILE_R, TILE_R), TILE_R),
-            pl.ds(pl.multiple_of(jx_s[sl] * TILE_C, TILE_C), TILE_C)]
+            :, pl.ds(pl.multiple_of(iy * TILE_R, TILE_R), TILE_R),
+            pl.ds(pl.multiple_of(jx * TILE_C, TILE_C), TILE_C)]
+
+    def x0q_at(sl, q):
+        w = x0q2_s[sl * 2 + (q >> 1)]
+        return pl.multiple_of((w >> (16 * (q & 1))) & 0xFFFF, X_GRAN)
 
     for t_i, (kind, wy_t, wx_t) in enumerate(tiers):
         x_full = wx_t is None and kind == "spline"
@@ -794,19 +816,17 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
                     off=off, kind=kind):
             sl = off + k
             # Mosaic must PROVE HBM slice starts divisible by the (8,128)
-            # memref tiling; scalar-prefetched starts carry no such fact
+            # memref tiling; scalar-prefetched values carry no such fact
             # (device compile fails "Failed to prove that a tile index in
             # dimension 1 is divisible by the tiling (8)"), so assert what
             # the routing guarantees: y starts 8-aligned, x starts
             # 128-aligned via the (copy, start) decomposition.
-            y0 = pl.multiple_of(y0_s[sl], 8)
+            _iy, _jx, y0, x0u, _ed = unpack(sl)
             if kind == "sub":
-                # x0q is FLAT (slot*N_SUB + q): a 2-D (slots, N_SUB) SMEM
-                # operand is lane-padded to 128 ints/row, and at
-                # engine='dma-all' slot counts that blows the 1 MiB SMEM
-                # budget ("Allocation (size=1650688) would exceed memory
-                # (size=1048576) ... prefetched SMEM operand 5")
-                x0 = x0q_s[sl * N_SUB + q]
+                # A-sub quarter starts ride x0q2_s two-per-int32 (a flat
+                # 1-D list: a 2-D SMEM operand is lane-padded to 128
+                # ints/row, which blew the 1 MiB SMEM budget once)
+                x0 = x0q_at(sl, q)
                 c = (x0 % 128) // X_GRAN
                 x128 = pl.multiple_of((x0 // 128) * 128, 128)
                 return pltpu.make_async_copy(
@@ -819,7 +839,7 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
                 c = X_COPIES                  # mirror-baked slab
                 x128 = 0
             else:
-                x0 = x0_s[sl]
+                x0 = pl.multiple_of(x0u, X_GRAN)
                 c = (x0 % 128) // X_GRAN
                 x128 = pl.multiple_of((x0 // 128) * 128, 128)
             return pltpu.make_async_copy(
@@ -838,7 +858,8 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
             def write_flag(v, t_i=t_i):
                 flags_ref[t_i, 0] = jnp.maximum(flags_ref[t_i, 0], v)
 
-            y0 = y0_s[sl] - ypad
+            _iy, _jx, y0p, x0u, ed = unpack(sl)
+            y0 = y0p - ypad
             if kind == "sub":
                 _sub_tile_body(
                     pos_view(sl),
@@ -846,17 +867,17 @@ def _engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s, f0_s,
                                      128 * q:128 * (q + 1)]
                           for q in range(N_SUB)),
                     out_view(sl), write_flag, y0,
-                    tuple(x0q_s[sl * N_SUB + q] - xpad
+                    tuple(x0q_at(sl, q) - xpad
                           for q in range(N_SUB)),
-                    F=F, WY=wy_t, edge=edge_s[sl], **common)
+                    F=F, WY=wy_t, edge=ed, **common)
             else:
                 x0 = (jnp.zeros((), jnp.int32) if x_full
-                      else x0_s[sl] - xpad)
+                      else x0u - xpad)
                 body(pos_view(sl),
                      win_buf.at[slot, 0, :, :wy_t, :wxe],
                      out_view(sl), write_flag, y0, x0,
                      F=F, WY=wy_t, WX=wxe, x_full=x_full,
-                     edge=edge_s[sl], **common)
+                     edge=ed, **common)
 
         @pl.when(n > 0)
         def _(n=n, t_i=t_i, off=off, wy_t=wy_t, wxe=wxe, x_full=x_full,
@@ -2312,12 +2333,16 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     if use_engine:
         # manual-DMA engine: one launch for all tiers' live slots,
         # writing in place into tier A's output (see _engine_kernel)
-        iy_l, jx_l, y0_l, x0_l, x0q_l, ed_l = [], [], [], [], [], []
+        sel_l, pack_l, x0q2_l = [], [], []
         counts_l = []
         tiers_static = []
         flag_bits = []
         seg_off = []
         off = 0
+        # packed-operand bit budget: y0 (bits 16..30, int32 sign bit must
+        # stay clear) needs < 2^15, x0 (bits 2..15) < 2^14
+        assert ny + 2 * ypad < (1 << 15) and nxp_c < (1 << 14), \
+            (ny, ypad, nxp_c)
         plan = [("spline", selT, cntT, ysT, xsT, None, wy_, wx_, cap,
                  5 + t_i)
                 for t_i, (selT, cntT, ysT, xsT, wy_, wx_, cap)
@@ -2342,15 +2367,20 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
              bit) in plan:
             iyT = (selT // gx).astype(jnp.int32)
             jxT = (selT - gx * iyT).astype(jnp.int32)
-            iy_l.append(iyT)
-            jx_l.append(jxT)
-            y0_l.append(ysT[iyT, jxT])
-            x0_l.append(jnp.zeros((cap,), jnp.int32) if xsT is None
-                        else xsT[iyT, jxT])
-            x0q_l.append(jnp.zeros((cap, N_SUB), jnp.int32) if xqT is None
-                         else xqT[iyT, jxT])
-            ed_l.append((edge_y_t if (wx_ is None and kind == "spline")
-                         else edge_t)[iyT, jxT])
+            sel_l.append(selT.astype(jnp.int32))
+            y0v = ysT[iyT, jxT].astype(jnp.int32)
+            x0v = (jnp.zeros((cap,), jnp.int32) if xsT is None
+                   else xsT[iyT, jxT].astype(jnp.int32))
+            edv = (edge_y_t if (wx_ is None and kind == "spline")
+                   else edge_t)[iyT, jxT].astype(jnp.int32)
+            pack_l.append((y0v << 16) | (x0v << 2) | edv)
+            if xqT is None:
+                x0q2_l.append(jnp.zeros((cap, 2), jnp.int32))
+            else:
+                xq = xqT[iyT, jxT].astype(jnp.int32)   # (cap, N_SUB)
+                x0q2_l.append(jnp.stack(
+                    [xq[:, 0] | (xq[:, 1] << 16),
+                     xq[:, 2] | (xq[:, 3] << 16)], axis=1))
             counts_l.append(cntT)
             tiers_static.append((kind, wy_, wx_))
             flag_bits.append(bit)
@@ -2374,13 +2404,13 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         kern_e = partial(_engine_kernel, body=body, F=F,
                          tiers=tuple(tiers_static), seg_off=tuple(seg_off),
                          ypad=ypad, xpad=xpad, wx_full=wx_full,
-                         common=common, nb=nb_e, unroll=unroll_e)
+                         common=common, gx=gx, nb=nb_e, unroll=unroll_e)
         # folds and the output stay resident in VMEM for the whole
         # launch (~9 + 2*18 MB at flagship scale) — see _engine_kernel.
         out_arr, eflags = pl.pallas_call(
             kern_e,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=8,
+                num_scalar_prefetch=5,
                 grid=(1,),
                 in_specs=[pl.BlockSpec((2, ny_t, nx_t),
                                        lambda *_: (0, 0, 0),
@@ -2403,11 +2433,8 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             interpret=interpret,
             compiler_params=_ECPARAMS,
         )(jnp.stack(counts_l).astype(jnp.int32),
-          jnp.concatenate(iy_l), jnp.concatenate(jx_l),
-          jnp.concatenate(y0_l).astype(jnp.int32),
-          jnp.concatenate(x0_l).astype(jnp.int32),
-          jnp.concatenate(x0q_l, axis=0).astype(jnp.int32).reshape(-1),
-          jnp.concatenate(ed_l).astype(jnp.int32), f0_arr,
+          jnp.concatenate(sel_l), jnp.concatenate(pack_l),
+          jnp.concatenate(x0q2_l, axis=0).reshape(-1), f0_arr,
           folds, cw_pad, out_arr)
         for t_i in range(T_n):
             overflow = overflow | (eflags[t_i, 0] << flag_bits[t_i])
