@@ -367,7 +367,7 @@ def _onehot_basis(offs, ws, iota, W):
 
 def _spline_tile_body(fyx, win_ref, out_ref, write_flag, y0, x0, *,
                       F, ny, nx, WY, WX, order, x_full, edge=None,
-                      anchor=None):
+                      anchor=None, path="when"):
     """Evaluate one (TILE_R, TILE_C) tile: whole-tile one-hot contraction.
 
     ``fy``/``fx``: (TR, TC) FOLDED fractional grid coordinates (period
@@ -468,12 +468,7 @@ def _spline_tile_body(fyx, win_ref, out_ref, write_flag, y0, x0, *,
         write_flag(jnp.any(oob).astype(jnp.int32))
         eval_pipeline(lambda i3: _onehot_basis(offs_y, ws_y, i3, WY), bx)
 
-    if edge is None:
-        onehot_path()
-        return
-
-    @pl.when(edge == 0)
-    def _interior():
+    def interior_path():
         # no mirror remaps possible: taps are exactly yq-lo..yq+hi /
         # xq-lo..xq+hi — flag from the existing integer positions
         oob = (yq < lo) | (yq > WY - 1 - hi)
@@ -482,6 +477,24 @@ def _spline_tile_body(fyx, win_ref, out_ref, write_flag, y0, x0, *,
         write_flag(jnp.any(oob).astype(jnp.int32))
         eval_pipeline(lambda i3: _basis_direct(ypos, i3, order),
                       lambda i3: _basis_direct(xpos, i3, order))
+
+    # ``path``: Mosaic IF-CONVERTS the per-slot pl.when in the engine's
+    # fori_loop body — BOTH branches execute and interior tiles pay the
+    # one-hot/mirror build too (measured 0.9 ms/group at 11% edge tiles,
+    # tools/probe_slotbody.py 'noonehot').  The engine therefore splits
+    # its slot lists by edge class in ROUTING and compiles branch-free
+    # single-path bodies ('interior'/'onehot'); the 2-D grid kernels
+    # keep the dynamic 'when' selection (one branch per grid step).
+    if path == "onehot" or edge is None:
+        onehot_path()
+        return
+    if path == "interior":
+        interior_path()
+        return
+
+    @pl.when(edge == 0)
+    def _interior():
+        interior_path()
 
     @pl.when(edge != 0)
     def _edge():
@@ -493,7 +506,8 @@ _SUBW = TILE_C // N_SUB
 
 
 def _sub_tile_body(fyx, win_refs, out_ref, write_flag, y0, x0s, *,
-                   F, ny, nx, WY, order, edge, anchor=None):
+                   F, ny, nx, WY, order, edge, anchor=None,
+                   path="when"):
     """Sub-tile fast path (tier A-sub): each 32-lane sub-block of the
     tile contracts against its own (F, WY, 128) window.
 
@@ -540,8 +554,7 @@ def _sub_tile_body(fyx, win_refs, out_ref, write_flag, y0, x0s, *,
         xa_q = xfold_q[0, 0] if anchor is None else anchor[1][q]
         kx_q = _unwrap_k(xfold_q, xa_q, nx)
         sub.append((xfold_q, kx_q))
-    @pl.when(edge == 0)
-    def _interior():
+    def interior_path():
         # no mirror remaps: taps exactly q-lo..q+hi, flag from the
         # integer window positions (see _spline_tile_body)
         oob = (yq < lo) | (yq > WY - 1 - hi)
@@ -564,8 +577,7 @@ def _sub_tile_body(fyx, win_refs, out_ref, write_flag, y0, x0s, *,
         _finish_y(g3, lambda i3: _basis_direct(ypos, i3, order), out_ref,
                   F, WY, dtype)
 
-    @pl.when(edge != 0)
-    def _edge():
+    def onehot_path():
         offs_y = _tap_offsets(yfold, ky, y0, ny, order)
         ws_y = _tap_weights(yfold, order)
         oob_y = _offs_oob(offs_y, WY)
@@ -585,6 +597,22 @@ def _sub_tile_body(fyx, win_refs, out_ref, write_flag, y0, x0s, *,
         g3 = x_contract(bx)
         _finish_y(g3, lambda i3: _onehot_basis(offs_y, ws_y, i3, WY),
                   out_ref, F, WY, dtype)
+
+    # see _spline_tile_body on ``path`` (engine if-conversion)
+    if path == "onehot":
+        onehot_path()
+        return
+    if path == "interior":
+        interior_path()
+        return
+
+    @pl.when(edge == 0)
+    def _interior():
+        interior_path()
+
+    @pl.when(edge != 0)
+    def _edge():
+        onehot_path()
 
 
 def _sub_grid_kernel(live_s, y0s, x0q, f0s, pos_ref, w0, w1, w2, w3,
@@ -803,7 +831,7 @@ def _engine_kernel(counts, sel_s, pack_s, x0q2_s, f0_s,
         w = x0q2_s[sl * 2 + (q >> 1)]
         return pl.multiple_of((w >> (16 * (q & 1))) & 0xFFFF, X_GRAN)
 
-    for t_i, (kind, wy_t, wx_t) in enumerate(tiers):
+    for t_i, (kind, wy_t, wx_t, path_t) in enumerate(tiers):
         x_full = wx_t is None and kind == "spline"
         if kind == "sub":
             wxe = N_SUB * 128
@@ -852,7 +880,7 @@ def _engine_kernel(counts, sel_s, pack_s, x0q2_s, f0_s,
         qs = range(N_SUB) if kind == "sub" else (0,)
 
         def run_body(slot, k, t_i=t_i, off=off, wy_t=wy_t, wxe=wxe,
-                     x_full=x_full, kind=kind):
+                     x_full=x_full, kind=kind, path_t=path_t):
             sl = off + k
 
             def write_flag(v, t_i=t_i):
@@ -860,6 +888,10 @@ def _engine_kernel(counts, sel_s, pack_s, x0q2_s, f0_s,
 
             _iy, _jx, y0p, x0u, ed = unpack(sl)
             y0 = y0p - ypad
+            # sections are edge-class-split in routing: the bodies take
+            # a STATIC single path (Mosaic if-converts per-slot pl.when
+            # — see _spline_tile_body), so ``ed`` is only passed through
+            # for the legacy 'when' mode
             if kind == "sub":
                 _sub_tile_body(
                     pos_view(sl),
@@ -869,7 +901,7 @@ def _engine_kernel(counts, sel_s, pack_s, x0q2_s, f0_s,
                     out_view(sl), write_flag, y0,
                     tuple(x0q_at(sl, q) - xpad
                           for q in range(N_SUB)),
-                    F=F, WY=wy_t, edge=ed, **common)
+                    F=F, WY=wy_t, edge=ed, path=path_t, **common)
             else:
                 x0 = (jnp.zeros((), jnp.int32) if x_full
                       else x0u - xpad)
@@ -877,7 +909,7 @@ def _engine_kernel(counts, sel_s, pack_s, x0q2_s, f0_s,
                      win_buf.at[slot, 0, :, :wy_t, :wxe],
                      out_view(sl), write_flag, y0, x0,
                      F=F, WY=wy_t, WX=wxe, x_full=x_full,
-                     edge=ed, **common)
+                     edge=ed, path=path_t, **common)
 
         @pl.when(n > 0)
         def _(n=n, t_i=t_i, off=off, wy_t=wy_t, wxe=wxe, x_full=x_full,
@@ -2339,32 +2371,57 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         flag_bits = []
         seg_off = []
         off = 0
+        # edge-class split (see _spline_tile_body ``path``): each
+        # section becomes an interior half and an edge half over the
+        # same capacity, so the loop bodies compile single-path
+        eflat_t = (edge_t.ravel() != 0)
+        eflat_y = (edge_y_t.ravel() != 0)
+
+        def esplit(selT, cntT, cap, eflat):
+            live = jnp.arange(cap) < cntT
+            e = jnp.take(eflat, selT) & live
+            i = (~e) & live
+            sel_i = jnp.take(selT, jnp.nonzero(
+                i.astype(jnp.int32), size=cap, fill_value=0)[0])
+            sel_e = jnp.take(selT, jnp.nonzero(
+                e.astype(jnp.int32), size=cap, fill_value=0)[0])
+            return ((sel_i, jnp.sum(i.astype(jnp.int32))),
+                    (sel_e, jnp.sum(e.astype(jnp.int32))))
         # packed-operand bit budget: y0 (bits 16..30, int32 sign bit must
         # stay clear) needs < 2^15, x0 (bits 2..15) < 2^14
         assert ny + 2 * ypad < (1 << 15) and nxp_c < (1 << 14), \
             (ny, ypad, nxp_c)
-        plan = [("spline", selT, cntT, ysT, xsT, None, wy_, wx_, cap,
-                 5 + t_i)
-                for t_i, (selT, cntT, ysT, xsT, wy_, wx_, cap)
-                in enumerate(tier_plan)]
+        plan = []
+        for t_i, (selT, cntT, ysT, xsT, wy_, wx_, cap) in \
+                enumerate(tier_plan):
+            (s_i, c_i), (s_e, c_e) = esplit(
+                selT, cntT, cap, eflat_y if wx_ is None else eflat_t)
+            plan.append(("spline", s_i, c_i, ysT, xsT, None, wy_, wx_,
+                         cap, 5 + t_i, "interior"))
+            plan.append(("spline", s_e, c_e, ysT, xsT, None, wy_, wx_,
+                         cap, 5 + t_i, "onehot"))
         if absorb_A:
             # pseudo-tiers A (and A-sub) lead: their (all-live) tile
             # lists come from the liveA / fitA2 masks; flags keep tier
-            # A's bit 2
-            flatA = (liveA > 0).ravel().astype(jnp.int32)
-            selA = jnp.nonzero(flatA, size=n_tiles,
-                               fill_value=0)[0].astype(jnp.int32)
-            pre = [("spline", selA, jnp.sum(flatA), y0A, x0A, None,
-                    wy, wx, n_tiles, 2)]
-            if half_tile:
-                flat2 = fitA2.ravel().astype(jnp.int32)
-                sel2 = jnp.nonzero(flat2, size=n_tiles,
-                                   fill_value=0)[0].astype(jnp.int32)
-                pre.append(("sub", sel2, jnp.sum(flat2), y0A, None,
-                            xs2, wy, None, n_tiles, 2))
+            # A's bit 2.  Each splits by edge class directly from the
+            # grid masks (one nonzero per half).
+            pre = []
+            eA = edge_t != 0
+            for msk, kind, xsv, xqv, wxv in (
+                    ((liveA > 0), "spline", x0A, None, wx),
+                    ((fitA2 if half_tile else None), "sub", None, xs2
+                     if half_tile else None, None)):
+                if msk is None:
+                    continue
+                for cls, path_s in ((~eA, "interior"), (eA, "onehot")):
+                    fl = (msk & cls).ravel().astype(jnp.int32)
+                    selC = jnp.nonzero(fl, size=n_tiles,
+                                       fill_value=0)[0].astype(jnp.int32)
+                    pre.append((kind, selC, jnp.sum(fl), y0A, xsv, xqv,
+                                wy, wxv, n_tiles, 2, path_s))
             plan = pre + plan
         for (kind, selT, cntT, ysT, xsT, xqT, wy_, wx_, cap,
-             bit) in plan:
+             bit, path_s) in plan:
             iyT = (selT // gx).astype(jnp.int32)
             jxT = (selT - gx * iyT).astype(jnp.int32)
             sel_l.append(selT.astype(jnp.int32))
@@ -2382,7 +2439,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                     [xq[:, 0] | (xq[:, 1] << 16),
                      xq[:, 2] | (xq[:, 3] << 16)], axis=1))
             counts_l.append(cntT)
-            tiers_static.append((kind, wy_, wx_))
+            tiers_static.append((kind, wy_, wx_, path_s))
             flag_bits.append(bit)
             seg_off.append(off)
             off += cap
@@ -2390,6 +2447,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         wxmax = max((N_SUB * 128 if t[0] == "sub"
                      else (wx_full if t[2] is None else t[2]))
                     for t in tiers_static)
+        assert all(len(t) == 4 for t in tiers_static)
         # window-prefetch ring depth: per-slot cost is DMA-latency-bound
         # (the body is ~2-6 us), so prefetch a couple of slots ahead.
         # LCS_ENGINE_UNROLL=K (trace-time) switches the serial loop to

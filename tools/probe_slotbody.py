@@ -213,6 +213,35 @@ def patch(variant):
                     val = jnp.where(in_range, val, 0.0)
                 out_ref[f] = val.astype(dtype)
         sub("_finish_y", finish_dot)
+    elif variant == "noonehot":
+        # discriminator: if the engine's per-slot pl.when branches are
+        # if-converted (both sides execute), trivialising the EDGE
+        # branch's one-hot build saves on EVERY tile (~0.8 ms/group);
+        # if branches are real, savings ~ edge fraction only (~0.1)
+        sub("_onehot_basis",
+            lambda offs, ws, iota, W:
+            jnp.full(iota.shape, 0.25, ws[0].dtype))
+    elif variant == "finD":
+        # evaluate the y basis ONCE on WY lanes and lane-tile it F times
+        # (the mod-WY iota repeats the same WY values per field): B3
+        # eval area /F, at the risk of the concat's lane relayout
+        def finish_tiled(g3, build_y, out_ref, F, WY, dtype,
+                         in_range=None, tr=pi.TILE_R):
+            F_WY = F * WY
+            i3s = jax.lax.broadcasted_iota(jnp.int32,
+                                           (tr, pi.TILE_C, WY), 2)
+            by_s = build_y(i3s)
+            by = jnp.concatenate([by_s] * F, axis=2)
+            P = g3 * by
+            i3e = jax.lax.broadcasted_iota(jnp.int32,
+                                           (tr, pi.TILE_C, F_WY), 2)
+            fl = i3e // WY
+            for f in range(F):
+                val = jnp.sum(jnp.where(fl == f, P, 0.0), axis=2)
+                if in_range is not None:
+                    val = jnp.where(in_range, val, 0.0)
+                out_ref[f] = val.astype(dtype)
+        sub("_finish_y", finish_tiled)
     elif variant == "flagmm":
         # exact flag via ONE any-reduce: bounds-check min/max of the tap
         # offsets instead of any-reducing each tap separately.  Same
@@ -266,7 +295,7 @@ def patch(variant):
     elif variant == "nokern":
         # engine kernel replaced by a constant writer: measures routing
         # + pole pass + launch/operand machinery without the engine loop
-        def noop_engine(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s,
+        def noop_engine(counts, sel_s, pack_s, x0q2_s,
                         f0_s, folds_ref, cw_hbm, outA_ref, out_ref,
                         flags_ref, win_buf, win_sems, **kw):
             out_ref[...] = outA_ref[...]
