@@ -67,7 +67,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["pad_coeffs_for_pallas", "pallas_interp_multi",
-           "resolve_engine"]
+           "resolve_engine", "routing_guard"]
 
 TILE_R = 8      # home rows per tile
 TILE_C = 128    # home cols per tile
@@ -138,6 +138,15 @@ def resolve_engine(engine: str) -> str:
     return DEFAULT_ENGINE if engine == "auto" else engine
 
 
+def coeff_pad_dims(ny: int, nx: int):
+    """(ypad, xpad) of the padded coefficient stack — shared by
+    pad_coeffs_for_pallas and routing_guard (which must reconstruct the
+    padded-space geometry without the stack in hand)."""
+    ypad = -(-(ny // 2 + 16) // 8) * 8
+    xpad = -(-(nx // 2 + 8) // 128) * 128 + 2 * 128
+    return ypad, xpad
+
+
 def pad_coeffs_for_pallas(coeffs: jax.Array):
     """Wrap-pad the coefficient field and build the lane-shifted copies.
 
@@ -167,8 +176,7 @@ def pad_coeffs_for_pallas(coeffs: jax.Array):
     one-hot mirror handling at all.
     """
     ny, nx = coeffs.shape[-2], coeffs.shape[-1]
-    ypad = -(-(ny // 2 + 16) // 8) * 8
-    xpad = -(-(nx // 2 + 8) // 128) * 128 + 2 * 128
+    ypad, xpad = coeff_pad_dims(ny, nx)
 
     def wrap_pad(a, axis, pad, n):
         # periodic pad as slice+concat (pure copies — a jnp.take here
@@ -1471,6 +1479,157 @@ def _pole_eval_block(px_b, py_b, mask_b, raw_p, f0_arr, *, F, order,
     return blk_rows, pole_flag
 
 
+def routing_guard(px, py, routing, *, ny, nx, y_min, y_max,
+                  x_min, x_max, order):
+    """Is a cached engine routing still valid for the CURRENT positions?
+    (XLA-only; the reuse fast path of pallas_interp_multi.)
+
+    True iff every tile's current tap span provably fits the window the
+    cached slot lists would read (same margins as the fresh fit test)
+    AND no tile transitioned interior -> edge (the branch-free interior
+    bodies apply no mirror remaps, so a class change silently corrupts
+    — the window-fit flag cannot catch it).  SETTLS iterates move
+    positions by fractions of a cell, so this passes for the iterate
+    2..K and next-step-Euler gathers almost always; sort-binning steps
+    permute storage and fail it harmlessly (the caller re-routes)."""
+    from .interp import scale_positions
+    R = py.shape[0]
+    ny_t = _cdiv(R, TILE_R) * TILE_R
+    nx_t = _cdiv(nx, TILE_C) * TILE_C
+    gy, gx = ny_t // TILE_R, nx_t // TILE_C
+    ypad, xpad = coeff_pad_dims(ny, nx)
+    if order > 0 and R > 2 * order:
+        hrow = jnp.arange(R, dtype=jnp.int32)
+        safe_idx = jnp.clip(jnp.clip(hrow, order, ny - 1 - order),
+                            0, R - 1)
+        px = jnp.take(px, safe_idx, axis=0)
+        py = jnp.take(py, safe_idx, axis=0)
+
+    def pad_p(p):
+        return jnp.pad(p, ((0, ny_t - R), (0, nx_t - nx)), mode="edge")
+
+    xi, yi = scale_positions(pad_p(px), pad_p(py), x_min=x_min,
+                             x_max=x_max, y_min=y_min, y_max=y_max,
+                             nx=nx, ny=ny)
+    yf = _fold(yi, ny)
+    xf = _fold(xi, nx)
+    ymn, ymx = _tile_minmax(yf, ny)
+    xmn, xmx = _tile_minmax(xf, nx)
+
+    def ffmm(f):
+        t = jnp.floor(f).reshape(gy, TILE_R, gx, TILE_C)
+        return (t.min(axis=(1, 3)).astype(jnp.int32),
+                t.max(axis=(1, 3)).astype(jnp.int32))
+
+    yfmn, yfmx = ffmm(yf)
+    xfmn, xfmx = ffmm(xf)
+    edge_y_now = ((yfmn <= 1) | (yfmx >= ny - 3)).astype(jnp.int32)
+    edge_now = (edge_y_now | (xfmn <= 1)
+                | (xfmx >= nx - 3)).astype(jnp.int32)
+    ok_edge = jnp.all(edge_now <= routing["edge_t"]) \
+        & jnp.all(edge_y_now <= routing["edge_y_t"])
+    m = 2 if order == 3 else 1
+    ulp = jnp.where(edge_now > 0, 2, 1)
+    loy = routing["win_y0"] - ypad
+    oky = ((ymn - m - ulp) >= loy) \
+        & ((ymx + 2 + ulp) <= loy + routing["win_wy"] - 1)
+    lox = routing["win_x0"] - xpad
+    okx = (((xmn - m - ulp) >= lox)
+           & ((xmx + 2 + ulp) <= lox + routing["win_wx"] - 1)) \
+        | routing["fullx"]
+    xt = xf.reshape(gy, TILE_R, gx, N_SUB, _SUBW)
+    k2 = _unwrap_k(xt, xt[:, :1, :, :, :1], nx)
+    f2 = jnp.floor(xt).astype(jnp.int32) + nx * k2
+    xmn2 = jnp.min(f2, axis=(1, 4))
+    xmx2 = jnp.max(f2, axis=(1, 4))
+    lo2 = routing["xs2"] - xpad
+    okq = (((xmn2 - m - ulp[..., None]) >= lo2)
+           & ((xmx2 + 2 + ulp[..., None]) <= lo2 + 128 - 1)).all(-1)
+    ok_t = jnp.where(routing["is_sub"], okq & oky, oky & okx)
+    return ok_edge & jnp.all(ok_t)
+
+
+def _engine_layout(ladder, n_tiles, half_tile, wy, wx):
+    """STATIC engine section layout for the edge-class-split manual-DMA
+    engine: [(kind, wy, wx, path), ...], per-section capacities, segment
+    offsets and flag bits — in exactly the order the fresh assembly
+    builds them (A-int, A-edge, [sub-int, sub-edge,] then per ladder
+    tier an interior and an edge half).  Shared by the fresh path and
+    the routing-REUSE path (which must reconstruct the layout without
+    re-running the routing)."""
+    tiers, caps, bits = [], [], []
+    tiers += [("spline", wy, wx, "interior"), ("spline", wy, wx, "onehot")]
+    caps += [n_tiles, n_tiles]
+    bits += [2, 2]
+    if half_tile:
+        tiers += [("sub", wy, None, "interior"), ("sub", wy, None,
+                                                  "onehot")]
+        caps += [n_tiles, n_tiles]
+        bits += [2, 2]
+    for t_i, (wy_, wx_, cap) in enumerate(ladder):
+        cap = min(cap, n_tiles)        # assign_plan's caps_l clamp
+        tiers += [("spline", wy_, wx_, "interior"),
+                  ("spline", wy_, wx_, "onehot")]
+        caps += [cap, cap]
+        bits += [5 + t_i, 5 + t_i]
+    seg = []
+    off = 0
+    for c in caps:
+        seg.append(off)
+        off += c
+    return tiers, caps, seg, bits, off
+
+
+def _launch_engine(counts_arr, sel_cat, pack_cat, x0q2_cat, f0_arr,
+                   folds, cw_pad, out_base, *, body, F, tiers_static,
+                   seg_off, ypad, xpad, wx_full, common, gx, dtype,
+                   ny_t, nx_t, interpret):
+    """One manual-DMA engine launch from prebuilt packed operands
+    (fresh routing or the cached-routing reuse path)."""
+    unroll_e = max(1, int(os.environ.get("LCS_ENGINE_UNROLL", "1")))
+    nb_e = (2 * unroll_e if unroll_e > 1
+            else int(os.environ.get("LCS_ENGINE_NB", "3")))
+    T_n = len(tiers_static)
+    wymax = max(t[1] for t in tiers_static)
+    wxmax = max((N_SUB * 128 if t[0] == "sub"
+                 else (wx_full if t[2] is None else t[2]))
+                for t in tiers_static)
+    kern_e = partial(_engine_kernel, body=body, F=F,
+                     tiers=tuple(tiers_static), seg_off=tuple(seg_off),
+                     ypad=ypad, xpad=xpad, wx_full=wx_full,
+                     common=common, gx=gx, nb=nb_e, unroll=unroll_e)
+    # folds and the output stay resident in VMEM for the whole
+    # launch (~9 + 2*18 MB at flagship scale) — see _engine_kernel.
+    return pl.pallas_call(
+        kern_e,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(1,),
+            in_specs=[pl.BlockSpec((2, ny_t, nx_t),
+                                   lambda *_: (0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec((F, ny_t, nx_t),
+                                   lambda *_: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((F, ny_t, nx_t),
+                                    lambda *_: (0, 0, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((T_n, 1),
+                                    memory_space=pltpu.SMEM)],
+            scratch_shapes=[
+                pltpu.VMEM((nb_e, 1, F, wymax, wxmax), dtype),
+                pltpu.SemaphoreType.DMA((nb_e, N_SUB)),
+            ]),
+        out_shape=[jax.ShapeDtypeStruct((F, ny_t, nx_t), dtype),
+                   jax.ShapeDtypeStruct((T_n, 1), jnp.int32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(counts_arr, sel_cat, pack_cat, x0q2_cat, f0_arr,
+      folds, cw_pad, out_base)
+
+
 def pole_flat_dims(order: int, nx: int):
     """(Ms, Mpad) of the flat per-side pole point lists."""
     Ms = order * nx
@@ -1540,7 +1699,8 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                         debug_flags: bool = False,
                         settls_upd=None, pole_block: bool = False,
                         pole_presorted: bool = False,
-                        skip_pole: bool = False):
+                        skip_pole: bool = False,
+                        routing=None, return_routing: bool = False):
     """Evaluate F stacked fields at parcel positions — the TPU fast path.
 
     ``raw``: (F, ny, nx) raw fields (pole-home path); ``cw_pad``:
@@ -1582,6 +1742,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     Returns ``(out (F, rows, nx), overflow int32 scalar)``.
     """
     engine = resolve_engine(engine)
+    routing_out = None
     F = int(nf) if nf is not None else raw.shape[0]
     f0_arr = (jnp.zeros((1,), jnp.int32) if f0 is None
               else jnp.asarray(f0, jnp.int32).reshape(1))
@@ -1680,6 +1841,45 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                              y_min=y_min, y_max=y_max, nx=nx, ny=ny)
     yfold = _fold(yi, ny)
     xfold = _fold(xi, nx)
+
+    if routing is not None:
+        # ---- routing-REUSE fast path: launch the engine with a cached
+        # step's packed slot lists/windows, skipping span routing, tier
+        # assignment and list compaction entirely (~1 ms/group of XLA
+        # glue).  The caller MUST have verified validity for the CURRENT
+        # positions with routing_guard (window fits + no interior->edge
+        # transitions) — the in-kernel tap checks still flag any
+        # violation, but values for violating tiles would clamp, so the
+        # guard is the correctness gate and the flag the backstop. ----
+        assert engine == "dma-all" and not fused and skip_pole \
+            and retry_tiles > 0 and ladder is not None
+        folds = jnp.stack([yfold, xfold])
+        # mirror the fresh path's ladder capping and A-sub gating so the
+        # static layout matches the cached operands exactly
+        half_eff = half_tile and retry_tiles > 0 \
+            and os.environ.get("LCS_HALF_TILE", "1") != "0"
+        wy_cap = ((ny + 2 * ypad) // 8) * 8
+        wx_cap = (nxp_c // 128) * 128
+        ladder_c = [(min(w_, wy_cap),
+                     None if x_ is None else min(x_, wx_cap), c_)
+                    for w_, x_, c_ in ladder]
+        tiers_s, caps_s, seg_s, bits_s, _tot = _engine_layout(
+            ladder_c, n_tiles, half_eff, wy, wx)
+        body_r = partial(_spline_tile_body)
+        common_r = dict(ny=ny, nx=nx, order=order)
+        out_base = jnp.zeros((F, ny_t, nx_t), dtype)
+        out_arr, eflags = _launch_engine(
+            routing["counts"], routing["sel"], routing["pack"],
+            routing["x0q2"], f0_arr, folds, cw_pad, out_base,
+            body=body_r, F=F, tiers_static=tiers_s, seg_off=seg_s,
+            ypad=ypad, xpad=xpad, wx_full=wx_full, common=common_r,
+            gx=gx, dtype=dtype, ny_t=ny_t, nx_t=nx_t,
+            interpret=interpret)
+        overflow = jnp.zeros((), jnp.int32)
+        for t_i in range(len(tiers_s)):
+            overflow = overflow | (eflags[t_i, 0] << bits_s[t_i])
+        return out_arr[:, :R, :nx], overflow
+
     ymn, ymx = _tile_minmax(yfold, ny)
     xmn, xmx = _tile_minmax(xfold, nx)
 
@@ -2065,14 +2265,16 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             plan_f.append((sel_all[t_i, :caps_l[t_i]], cnt[t_i],
                            ysT, xsT, wy_, wx_, caps_l[t_i]))
         uncov_f = jnp.sum((~fit_base_f) & (~covered_f))
-        return plan_f, covered_f, uncov_f
+        taken_maps_f = [taken_T[t].reshape(gy, gx)
+                        for t in range(T_n)]
+        return plan_f, covered_f, uncov_f, taken_maps_f
 
     tier_plan = []
     covered = jnp.zeros((gy, gx), bool)
     fit_base = fitA | fitA2
     if retry_tiles > 0 and len(ladder):
-        tier_plan, covered, uncovered = assign_plan(all_fits[1:],
-                                                    fit_base)
+        tier_plan, covered, uncovered, taken_maps = assign_plan(
+            all_fits[1:], fit_base)
         # bit 1: some tile fit no tier (or every holding tier was full) —
         # it keeps tier-A clamped values.  The overflow word is a
         # diagnostic bitmask; callers test nonzero.
@@ -2148,7 +2350,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                 fitA2_i, xs2_i = sub_fit(xf_i, y0A_i, ymn_i, ymx_i,
                                          slop_i, ulp_i, sx_ex=sx_i)
             if len(ladder):
-                plan_i, covered_i, uncov_i = assign_plan(
+                plan_i, covered_i, uncov_i, _tk_i = assign_plan(
                     fits_i[1:], fitA_i | fitA2_i)
                 overflow = overflow | \
                     ((uncov_i > 0).astype(jnp.int32) << 1)
@@ -2443,59 +2645,55 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             flag_bits.append(bit)
             seg_off.append(off)
             off += cap
-        wymax = max(t[1] for t in tiers_static)
-        wxmax = max((N_SUB * 128 if t[0] == "sub"
-                     else (wx_full if t[2] is None else t[2]))
-                    for t in tiers_static)
         assert all(len(t) == 4 for t in tiers_static)
-        # window-prefetch ring depth: per-slot cost is DMA-latency-bound
-        # (the body is ~2-6 us), so prefetch a couple of slots ahead.
-        # LCS_ENGINE_UNROLL=K (trace-time) switches the serial loop to
-        # K slots per iteration with block double buffering (ring = 2K)
-        # — see _engine_kernel.
-        unroll_e = max(1, int(os.environ.get("LCS_ENGINE_UNROLL", "1")))
-        nb_e = (2 * unroll_e if unroll_e > 1
-                else int(os.environ.get("LCS_ENGINE_NB", "3")))
-        T_n = len(tiers_static)
-        _ECPARAMS = pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024)
-        kern_e = partial(_engine_kernel, body=body, F=F,
-                         tiers=tuple(tiers_static), seg_off=tuple(seg_off),
-                         ypad=ypad, xpad=xpad, wx_full=wx_full,
-                         common=common, gx=gx, nb=nb_e, unroll=unroll_e)
-        # folds and the output stay resident in VMEM for the whole
-        # launch (~9 + 2*18 MB at flagship scale) — see _engine_kernel.
-        out_arr, eflags = pl.pallas_call(
-            kern_e,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=5,
-                grid=(1,),
-                in_specs=[pl.BlockSpec((2, ny_t, nx_t),
-                                       lambda *_: (0, 0, 0),
-                                       memory_space=pltpu.VMEM),
-                          pl.BlockSpec(memory_space=pl.ANY),
-                          pl.BlockSpec((F, ny_t, nx_t),
-                                       lambda *_: (0, 0, 0),
-                                       memory_space=pltpu.VMEM)],
-                out_specs=[pl.BlockSpec((F, ny_t, nx_t),
-                                        lambda *_: (0, 0, 0),
-                                        memory_space=pltpu.VMEM),
-                           pl.BlockSpec((T_n, 1),
-                                        memory_space=pltpu.SMEM)],
-                scratch_shapes=[
-                    pltpu.VMEM((nb_e, 1, F, wymax, wxmax), dtype),
-                    pltpu.SemaphoreType.DMA((nb_e, N_SUB)),
-                ]),
-            out_shape=[jax.ShapeDtypeStruct((F, ny_t, nx_t), dtype),
-                       jax.ShapeDtypeStruct((T_n, 1), jnp.int32)],
-            interpret=interpret,
-            compiler_params=_ECPARAMS,
-        )(jnp.stack(counts_l).astype(jnp.int32),
-          jnp.concatenate(sel_l), jnp.concatenate(pack_l),
-          jnp.concatenate(x0q2_l, axis=0).reshape(-1), f0_arr,
-          folds, cw_pad, out_arr)
-        for t_i in range(T_n):
+        if absorb_A:
+            # the static layout must match _engine_layout exactly — the
+            # routing-REUSE path reconstructs it from there
+            lt, lc, ls, lb, _ltot = _engine_layout(
+                [(t[0], t[1], t[2]) for t in ladder], n_tiles,
+                half_tile, wy, wx)
+            assert lt == tiers_static and ls == seg_off \
+                and lb == flag_bits, (lt, tiers_static)
+        counts_arr = jnp.stack(counts_l).astype(jnp.int32)
+        sel_cat = jnp.concatenate(sel_l)
+        pack_cat = jnp.concatenate(pack_l)
+        x0q2_cat = jnp.concatenate(x0q2_l, axis=0).reshape(-1)
+        out_arr, eflags = _launch_engine(
+            counts_arr, sel_cat, pack_cat, x0q2_cat, f0_arr,
+            folds, cw_pad, out_arr, body=body, F=F,
+            tiers_static=tiers_static, seg_off=seg_off, ypad=ypad,
+            xpad=xpad, wx_full=wx_full, common=common, gx=gx,
+            dtype=dtype, ny_t=ny_t, nx_t=nx_t, interpret=interpret)
+        for t_i in range(len(tiers_static)):
             overflow = overflow | (eflags[t_i, 0] << flag_bits[t_i])
+        if return_routing and absorb_A:
+            # per-tile window maps for the XLA reuse guard
+            # (routing_guard): which window each tile would read if the
+            # SAME slot lists were launched at slightly-moved positions
+            win_y0 = y0A.astype(jnp.int32)
+            win_wy = jnp.full((gy, gx), wy, jnp.int32)
+            win_x0 = x0A.astype(jnp.int32)
+            win_wx = jnp.full((gy, gx), wx, jnp.int32)
+            fullx_m = jnp.zeros((gy, gx), bool)
+            for (wy_t_, wx_t_, _cap), (fitT, ysT, xsT), tk in zip(
+                    ladder, all_fits[1:], taken_maps):
+                win_y0 = jnp.where(tk, ysT.astype(jnp.int32), win_y0)
+                win_wy = jnp.where(tk, wy_t_, win_wy)
+                if xsT is None:
+                    fullx_m = fullx_m | tk
+                else:
+                    win_x0 = jnp.where(tk, xsT.astype(jnp.int32), win_x0)
+                    win_wx = jnp.where(tk, wx_t_, win_wx)
+            routing_out = dict(
+                counts=counts_arr, sel=sel_cat, pack=pack_cat,
+                x0q2=x0q2_cat,
+                win_y0=win_y0, win_wy=win_wy, win_x0=win_x0,
+                win_wx=win_wx, fullx=fullx_m,
+                is_sub=(fitA2 if half_tile
+                        else jnp.zeros((gy, gx), bool)),
+                xs2=(xs2.astype(jnp.int32) if half_tile
+                     else jnp.zeros((gy, gx, N_SUB), jnp.int32)),
+                edge_t=edge_t, edge_y_t=edge_y_t)
         tier_plan = []
 
     for t_i, (selT, cntT, ysT, xsT, wy_, wx_, cap) in enumerate(tier_plan):
@@ -2599,6 +2797,8 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         overflow = overflow | pole_flag
 
     out = out_arr[:, :R, :nx]
+    if return_routing:
+        return out, overflow, routing_out
     if debug_flags:
         return out, dict(
             overflow=overflow,

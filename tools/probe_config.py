@@ -83,6 +83,20 @@ CONFIGS_R2 = [
     ("u2-pole24",      "dma-all", True,  32, "24,160,288", 2, None),
 ]
 
+# third round on top of u2-bx16: sort-band width + pole level-1 height
+CONFIGS_R3 = [
+    ("u2bx16",         "dma-all", True,  32, "16,160,288", 2, None,
+     {"LCS_SORT_BX": "16"}),
+    ("u2bx16-lat55",   "dma-all", True,  32, "16,160,288", 2, None,
+     {"LCS_SORT_BX": "16", "LCS_SORT_LAT": "55"}),
+    ("u2bx16-lat50",   "dma-all", True,  32, "16,160,288", 2, None,
+     {"LCS_SORT_BX": "16", "LCS_SORT_LAT": "50"}),
+    ("u2bx16-pole32",  "dma-all", True,  32, "32,160,288", 2, None,
+     {"LCS_SORT_BX": "16"}),
+    ("u2bx16-lat55-pole32", "dma-all", True, 32, "32,160,288", 2, None,
+     {"LCS_SORT_BX": "16", "LCS_SORT_LAT": "55"}),
+]
+
 
 def main():
     print("devices:", jax.devices(), flush=True)
@@ -90,14 +104,19 @@ def main():
     u, v = flagship_winds(grid)
     table = {}
     ref = None
-    legs = CONFIGS_R2 if os.environ.get("LCS_ROUND2_LEGS") else CONFIGS
+    legs = CONFIGS
+    if os.environ.get("LCS_ROUND2_LEGS"):
+        legs = CONFIGS_R2
+    if os.environ.get("LCS_ROUND3_LEGS"):
+        legs = CONFIGS_R3
     for spec_row in legs:
         name, eng, half, wy, pole, unroll, fuse = spec_row[:7]
         extra_env = spec_row[7] if len(spec_row) > 7 else {}
         os.environ["LCS_HALF_TILE"] = "1" if half else "0"
         os.environ["LCS_POLE_LADDER"] = pole
         os.environ["LCS_ENGINE_UNROLL"] = str(unroll)
-        for k_p in ("LCS_ENGINE_NB", "LCS_SORT_K", "LCS_SORT_BX"):
+        for k_p in ("LCS_ENGINE_NB", "LCS_SORT_K", "LCS_SORT_BX",
+                    "LCS_SORT_LAT"):
             os.environ.pop(k_p, None)
         for k_e, v_e in extra_env.items():
             os.environ[k_e] = v_e
@@ -150,7 +169,8 @@ def main():
             print(f"{name:14} FAILED: {type(e).__name__}: {str(e)[:300]}",
                   flush=True)
     for k in ("LCS_HALF_TILE", "LCS_POLE_LADDER", "LCS_FUSE",
-              "LCS_FUSE_SLACK", "LCS_ENGINE_UNROLL", "LCS_ENGINE_NB"):
+              "LCS_FUSE_SLACK", "LCS_ENGINE_UNROLL", "LCS_ENGINE_NB",
+              "LCS_SORT_K", "LCS_SORT_BX", "LCS_SORT_LAT"):
         os.environ.pop(k, None)
 
     if table:

@@ -101,13 +101,13 @@ def make_fn(grid, flds, engine):
 
 def _patch_empty_bodies(sub):
     def empty_sub(fyx, win_refs, out_ref, write_flag, y0, x0s, *,
-                  F, ny, nx, WY, order, edge):
+                  F, ny, nx, WY, order, edge, **kw):
         write_flag(jnp.zeros((), jnp.int32))
         for f in range(F):
             out_ref[f] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
 
     def empty_spline(fyx, win_ref, out_ref, write_flag, y0, x0, *,
-                     F, ny, nx, WY, WX, order, x_full, edge=None):
+                     F, ny, nx, WY, WX, order, x_full, edge=None, **kw):
         write_flag(jnp.zeros((), jnp.int32))
         for f in range(F):
             out_ref[f] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
