@@ -2593,71 +2593,115 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         # stay clear) needs < 2^15, x0 (bits 2..15) < 2^14
         assert ny + 2 * ypad < (1 << 15) and nxp_c < (1 << 14), \
             (ny, ypad, nxp_c)
-        plan = []
-        for t_i, (selT, cntT, ysT, xsT, wy_, wx_, cap) in \
-                enumerate(tier_plan):
-            (s_i, c_i), (s_e, c_e) = esplit(
-                selT, cntT, cap, eflat_y if wx_ is None else eflat_t)
-            plan.append(("spline", s_i, c_i, ysT, xsT, None, wy_, wx_,
-                         cap, 5 + t_i, "interior"))
-            plan.append(("spline", s_e, c_e, ysT, xsT, None, wy_, wx_,
-                         cap, 5 + t_i, "onehot"))
         if absorb_A:
-            # pseudo-tiers A (and A-sub) lead: their (all-live) tile
-            # lists come from the liveA / fitA2 masks; flags keep tier
-            # A's bit 2.  Each splits by edge class directly from the
-            # grid masks (one nonzero per half).
-            pre = []
-            eA = edge_t != 0
-            for msk, kind, xsv, xqv, wxv in (
-                    ((liveA > 0), "spline", x0A, None, wx),
-                    ((fitA2 if half_tile else None), "sub", None, xs2
-                     if half_tile else None, None)):
-                if msk is None:
-                    continue
-                for cls, path_s in ((~eA, "interior"), (eA, "onehot")):
-                    fl = (msk & cls).ravel().astype(jnp.int32)
-                    selC = jnp.nonzero(fl, size=n_tiles,
-                                       fill_value=0)[0].astype(jnp.int32)
-                    pre.append((kind, selC, jnp.sum(fl), y0A, xsv, xqv,
-                                wy, wxv, n_tiles, 2, path_s))
-            plan = pre + plan
-        for (kind, selT, cntT, ysT, xsT, xqT, wy_, wx_, cap,
-             bit, path_s) in plan:
-            iyT = (selT // gx).astype(jnp.int32)
-            jxT = (selT - gx * iyT).astype(jnp.int32)
-            sel_l.append(selT.astype(jnp.int32))
-            y0v = ysT[iyT, jxT].astype(jnp.int32)
-            x0v = (jnp.zeros((cap,), jnp.int32) if xsT is None
-                   else xsT[iyT, jxT].astype(jnp.int32))
-            edv = (edge_y_t if (wx_ is None and kind == "spline")
-                   else edge_t)[iyT, jxT].astype(jnp.int32)
-            pack_l.append((y0v << 16) | (x0v << 2) | edv)
-            if xqT is None:
-                x0q2_l.append(jnp.zeros((cap, 2), jnp.int32))
+            # ---- batched section assignment (dma-all): every tile
+            # belongs to EXACTLY one edge-class-split section (A-int,
+            # A-edge, [sub-int, sub-edge,] tier_i-int/edge: liveA,
+            # fitA2 and the assign_plan taken sets are disjoint by
+            # construction), so ONE per-tile section-id map + one
+            # cumsum rank + one scatter build every slot list — this
+            # replaced ~16 per-section nonzero compactions of XLA glue.
+            # pack/x0q2 then GATHER from per-tile window maps (which
+            # double as routing_guard's maps). ----
+            tiers_static, caps_list, seg_off, flag_bits, off = \
+                _engine_layout([(t[0], t[1], t[2]) for t in ladder],
+                               n_tiles, half_tile, wy, wx)
+            eT = edge_t != 0
+            eY = edge_y_t != 0
+            win_y0 = y0A.astype(jnp.int32)
+            win_wy = jnp.full((gy, gx), wy, jnp.int32)
+            win_x0 = x0A.astype(jnp.int32)
+            win_wx = jnp.full((gy, gx), wx, jnp.int32)
+            fullx_m = jnp.zeros((gy, gx), bool)
+            sec = eT.astype(jnp.int32)              # A-int=0 / A-edge=1
+            base_s = 2
+            if half_tile:
+                sec = jnp.where(fitA2, 2 + eT.astype(jnp.int32), sec)
+                base_s = 4
+            for t_i, ((wy_t_, wx_t_, _cap), (fitT, ysT, xsT), tk) in \
+                    enumerate(zip(ladder, all_fits[1:], taken_maps)):
+                e_cls = (eY if wx_t_ is None else eT).astype(jnp.int32)
+                sec = jnp.where(tk, base_s + 2 * t_i + e_cls, sec)
+                win_y0 = jnp.where(tk, ysT.astype(jnp.int32), win_y0)
+                win_wy = jnp.where(tk, wy_t_, win_wy)
+                if xsT is None:
+                    fullx_m = fullx_m | tk
+                else:
+                    win_x0 = jnp.where(tk, xsT.astype(jnp.int32),
+                                       win_x0)
+                    win_wx = jnp.where(tk, wx_t_, win_wx)
+            S_n = len(tiers_static)
+            secf = sec.ravel()
+            onehot_s = secf[None, :] == jnp.arange(S_n)[:, None]
+            rank_s = jnp.cumsum(onehot_s.astype(jnp.int32), axis=1) - 1
+            rank_t = jnp.take_along_axis(rank_s, secf[None, :],
+                                         axis=0)[0]
+            caps_j = jnp.asarray(caps_list, jnp.int32)
+            cap_t = jnp.take(caps_j, secf)
+            seg_j = jnp.asarray(seg_off, jnp.int32)
+            okc = rank_t < cap_t
+            dst = jnp.where(okc, jnp.take(seg_j, secf) + rank_t, off)
+            tile_iota = jnp.arange(n_tiles, dtype=jnp.int32)
+            sel_cat = jnp.zeros((off + 1,), jnp.int32).at[dst].set(
+                tile_iota)[:-1]
+            counts_arr = jnp.sum(onehot_s & okc[None, :], axis=1
+                                 ).astype(jnp.int32)
+            # per-tile packed operand maps
+            x0_eff = jnp.where(fullx_m | (fitA2 if half_tile
+                                          else jnp.zeros((gy, gx),
+                                                         bool)),
+                               0, win_x0)
+            pack_map = ((win_y0 << 16) | (x0_eff << 2)
+                        | eT.astype(jnp.int32))
+            pack_cat = jnp.take(pack_map.ravel(), sel_cat)
+            if half_tile:
+                xsq = xs2.astype(jnp.int32)
+                x0q2_map = jnp.stack(
+                    [xsq[..., 0] | (xsq[..., 1] << 16),
+                     xsq[..., 2] | (xsq[..., 3] << 16)],
+                    axis=-1).reshape(n_tiles, 2)
             else:
-                xq = xqT[iyT, jxT].astype(jnp.int32)   # (cap, N_SUB)
-                x0q2_l.append(jnp.stack(
-                    [xq[:, 0] | (xq[:, 1] << 16),
-                     xq[:, 2] | (xq[:, 3] << 16)], axis=1))
-            counts_l.append(cntT)
-            tiers_static.append((kind, wy_, wx_, path_s))
-            flag_bits.append(bit)
-            seg_off.append(off)
-            off += cap
+                x0q2_map = jnp.zeros((n_tiles, 2), jnp.int32)
+            x0q2_cat = jnp.take(x0q2_map, sel_cat, axis=0).reshape(-1)
+        else:
+            # engine='dma': ladder sections only, per-section esplit
+            plan = []
+            for t_i, (selT, cntT, ysT, xsT, wy_, wx_, cap) in \
+                    enumerate(tier_plan):
+                (s_i, c_i), (s_e, c_e) = esplit(
+                    selT, cntT, cap, eflat_y if wx_ is None else eflat_t)
+                plan.append(("spline", s_i, c_i, ysT, xsT, None, wy_,
+                             wx_, cap, 5 + t_i, "interior"))
+                plan.append(("spline", s_e, c_e, ysT, xsT, None, wy_,
+                             wx_, cap, 5 + t_i, "onehot"))
+            for (kind, selT, cntT, ysT, xsT, xqT, wy_, wx_, cap,
+                 bit, path_s) in plan:
+                iyT = (selT // gx).astype(jnp.int32)
+                jxT = (selT - gx * iyT).astype(jnp.int32)
+                sel_l.append(selT.astype(jnp.int32))
+                y0v = ysT[iyT, jxT].astype(jnp.int32)
+                x0v = (jnp.zeros((cap,), jnp.int32) if xsT is None
+                       else xsT[iyT, jxT].astype(jnp.int32))
+                edv = (edge_y_t if (wx_ is None and kind == "spline")
+                       else edge_t)[iyT, jxT].astype(jnp.int32)
+                pack_l.append((y0v << 16) | (x0v << 2) | edv)
+                if xqT is None:
+                    x0q2_l.append(jnp.zeros((cap, 2), jnp.int32))
+                else:
+                    xq = xqT[iyT, jxT].astype(jnp.int32)
+                    x0q2_l.append(jnp.stack(
+                        [xq[:, 0] | (xq[:, 1] << 16),
+                         xq[:, 2] | (xq[:, 3] << 16)], axis=1))
+                counts_l.append(cntT)
+                tiers_static.append((kind, wy_, wx_, path_s))
+                flag_bits.append(bit)
+                seg_off.append(off)
+                off += cap
+            counts_arr = jnp.stack(counts_l).astype(jnp.int32)
+            sel_cat = jnp.concatenate(sel_l)
+            pack_cat = jnp.concatenate(pack_l)
+            x0q2_cat = jnp.concatenate(x0q2_l, axis=0).reshape(-1)
         assert all(len(t) == 4 for t in tiers_static)
-        if absorb_A:
-            # the static layout must match _engine_layout exactly — the
-            # routing-REUSE path reconstructs it from there
-            lt, lc, ls, lb, _ltot = _engine_layout(
-                [(t[0], t[1], t[2]) for t in ladder], n_tiles,
-                half_tile, wy, wx)
-            assert lt == tiers_static and ls == seg_off \
-                and lb == flag_bits, (lt, tiers_static)
-        counts_arr = jnp.stack(counts_l).astype(jnp.int32)
-        sel_cat = jnp.concatenate(sel_l)
-        pack_cat = jnp.concatenate(pack_l)
-        x0q2_cat = jnp.concatenate(x0q2_l, axis=0).reshape(-1)
         out_arr, eflags = _launch_engine(
             counts_arr, sel_cat, pack_cat, x0q2_cat, f0_arr,
             folds, cw_pad, out_arr, body=body, F=F,
@@ -2667,23 +2711,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         for t_i in range(len(tiers_static)):
             overflow = overflow | (eflags[t_i, 0] << flag_bits[t_i])
         if return_routing and absorb_A:
-            # per-tile window maps for the XLA reuse guard
-            # (routing_guard): which window each tile would read if the
-            # SAME slot lists were launched at slightly-moved positions
-            win_y0 = y0A.astype(jnp.int32)
-            win_wy = jnp.full((gy, gx), wy, jnp.int32)
-            win_x0 = x0A.astype(jnp.int32)
-            win_wx = jnp.full((gy, gx), wx, jnp.int32)
-            fullx_m = jnp.zeros((gy, gx), bool)
-            for (wy_t_, wx_t_, _cap), (fitT, ysT, xsT), tk in zip(
-                    ladder, all_fits[1:], taken_maps):
-                win_y0 = jnp.where(tk, ysT.astype(jnp.int32), win_y0)
-                win_wy = jnp.where(tk, wy_t_, win_wy)
-                if xsT is None:
-                    fullx_m = fullx_m | tk
-                else:
-                    win_x0 = jnp.where(tk, xsT.astype(jnp.int32), win_x0)
-                    win_wx = jnp.where(tk, wx_t_, win_wx)
+            # the per-tile window maps double as routing_guard's inputs
             routing_out = dict(
                 counts=counts_arr, sel=sel_cat, pack=pack_cat,
                 x0q2=x0q2_cat,
