@@ -389,14 +389,11 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
         # special case locates its candidate rows from the traced GLOBAL
         # home rows directly (see pallas_interp_multi).
 
-        def pallas_gather(t, px, py, nf, wy_base=False, **kw):
+        def pallas_gather(t, px, py, nf, **kw):
             # the MXU contraction's N dim is F*WY, quantised at 128: the
             # F=2 Euler gathers get WY=64 base windows for free, halving
-            # their y-escalations.  Routing-REUSE calls force the base
-            # wy so every group shares one engine window geometry.
-            wy_eff = (pallas_wy
-                      if (wy_base or kw.get("routing") is not None)
-                      else max(pallas_wy, 128 // nf))
+            # their y-escalations.
+            wy_eff = max(pallas_wy, 128 // nf)
             return pallas_interp_multi(
                 W_p, CWP, px, py, ny=ny, nx=nx,
                 y_min=grid.y_min, y_max=grid.y_max,
@@ -442,61 +439,13 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                       and ny > 2 * interp_order
                       and os.environ.get("LCS_POLE_HOIST", "1") == "1")
 
-        # Routing-REUSE (opt-in, LCS_ROUTE_REUSE=1): SETTLS iterates
-        # move positions by fractions of a cell, so iterate 2..K and the
-        # NEXT step's Euler gather re-launch the engine with iterate-1's
-        # cached slot lists/windows — skipping span routing, tier
-        # assignment and list compaction (~1 ms/group of XLA glue).  An
-        # XLA guard (ops.pallas_interp.routing_guard) verifies window
-        # fits + edge classes for the current positions; a failed guard
-        # (sort-binning steps, whirl drift) re-routes via lax.cond.
-        # Measured on v5e (2026-08-20): LOSES — bench 1328 ms vs 1166
-        # fresh.  The per-group guard (4 minmax families) + 4 lax.cond
-        # sites per step cost more than the ~1 ms/group of routing they
-        # skip, and the conds break XLA's cross-group scheduling.  Kept
-        # opt-in: the guard/cond machinery is exact (bit-identical,
-        # TestRouteReuse) and a cheaper guard could revive it.
-        route_reuse = (hoist_pole and sort_mode
-                       and pallas_engine == "dma-all"
-                       and pallas_retry_tiles > 0
-                       and os.environ.get("LCS_ROUTE_REUSE", "0") == "1")
-        if route_reuse:
-            from ..ops.pallas_interp import (N_SUB, _engine_layout,
-                                             coeff_pad_dims,
-                                             routing_guard)
-            guard_kw = dict(ny=ny, nx=nx, y_min=grid.y_min,
-                            y_max=grid.y_max, x_min=grid.x_min,
-                            x_max=grid.x_max, order=interp_order)
-            # dummy seed routing for the scan carry (never launched:
-            # the guard forces a fresh route at t == 0) — shapes must
-            # match the fresh path's routing exactly
-            ypad_g, _xpad_g = coeff_pad_dims(ny, nx)
-            nxp_c_g = CWP.shape[-1]
-            wy_cap_g = ((ny + 2 * ypad_g) // 8) * 8
-            wx_cap_g = (nxp_c_g // 128) * 128
-            half_eff_g = os.environ.get("LCS_HALF_TILE", "1") != "0"
-            ladder_cg = [(min(w_, wy_cap_g),
-                          None if x_ is None else min(x_, wx_cap_g), c_)
-                         for w_, x_, c_ in _sort_ladder()]
-            gy_g = (-(-ny // TILE_R) * TILE_R) // TILE_R
-            gx_g = (-(-nx // TILE_C) * TILE_C) // TILE_C
-            n_tiles_g = gy_g * gx_g
-            tiers_g, _caps_g, _seg_g, _bits_g, tot_g = _engine_layout(
-                ladder_cg, n_tiles_g, half_eff_g, pallas_wy, pallas_wx)
-            routing0 = dict(
-                counts=jnp.zeros((len(tiers_g),), jnp.int32),
-                sel=jnp.zeros((tot_g,), jnp.int32),
-                pack=jnp.zeros((tot_g,), jnp.int32),
-                x0q2=jnp.zeros((2 * tot_g,), jnp.int32),
-                win_y0=jnp.zeros((gy_g, gx_g), jnp.int32),
-                win_wy=jnp.full((gy_g, gx_g), pallas_wy, jnp.int32),
-                win_x0=jnp.zeros((gy_g, gx_g), jnp.int32),
-                win_wx=jnp.full((gy_g, gx_g), pallas_wx, jnp.int32),
-                fullx=jnp.zeros((gy_g, gx_g), bool),
-                is_sub=jnp.zeros((gy_g, gx_g), bool),
-                xs2=jnp.zeros((gy_g, gx_g, N_SUB), jnp.int32),
-                edge_t=jnp.zeros((gy_g, gx_g), jnp.int32),
-                edge_y_t=jnp.zeros((gy_g, gx_g), jnp.int32))
+        # (A routing-REUSE path — iterate 2..K re-launching the engine
+        # with iterate-1's cached slot lists behind a routing_guard +
+        # lax.cond re-route — was built, proven bit-identical, and
+        # measured a 162 ms/field LOSER on v5e 2026-08-20: the per-group
+        # guard + 4 cond sites/step cost more than the ~1 ms/group of
+        # routing they skip, and the conds break XLA's cross-group
+        # scheduling.  Deleted round 4; git history has the substrate.)
         if hoist_pole:
             from ..ops.pallas_interp import (pole_apply_perm,
                                              pole_sort_state,
@@ -551,12 +500,8 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
         if progress:
             jax.debug.callback(_progress_step, t, u.shape[0] - 1,
                                ordered=False)
-        routing_c = None
         if sort_mode:
-            if kernel == "pallas" and route_reuse:
-                px, py, cvx, perm, flag, routing_c = carry
-            else:
-                px, py, cvx, perm, flag = carry
+            px, py, cvx, perm, flag = carry
         else:
             px, py, flag = carry
 
@@ -588,24 +533,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 else jnp.broadcast_to(cx, px.shape)[pole_rows]
             cxp = pole_apply_perm(cx_rows.astype(dtype), perm_p,
                                   **pole_geom)
-            if route_reuse:
-                ok0 = routing_guard(px, py, routing_c, **guard_kw) \
-                    & (t > 0)
-
-                def eu_stale():
-                    o, f = pallas_gather(t, px, py, 2, skip_pole=True,
-                                         routing=routing_c)
-                    return o, f, routing_c
-
-                def eu_fresh():
-                    return pallas_gather(t, px, py, 2, skip_pole=True,
-                                         wy_base=True,
-                                         return_routing=True)
-
-                arr, fl, routing_c = jax.lax.cond(ok0, eu_stale,
-                                                  eu_fresh)
-            else:
-                arr, fl = pallas_gather(t, px, py, 2, skip_pole=True)
+            arr, fl = pallas_gather(t, px, py, 2, skip_pole=True)
             valsp, flp = pallas_gather(t, pxp, pyp, 2, pole_block=True,
                                        pole_presorted=True)
             fl = fl | flp
@@ -640,32 +568,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
             flag = flag | fl
         else:
             for it_k in range(settls_order):
-                if kernel == "pallas" and route_reuse:
-                    if it_k == 0:
-                        # iterate 1 routes fresh; its plan seeds the
-                        # reuse carry for iterates 2..K and the next
-                        # step's Euler gather
-                        dep, fl, routing_c = pallas_gather(
-                            t, px, py, 4, skip_pole=True,
-                            return_routing=True)
-                    else:
-                        okk = routing_guard(px, py, routing_c,
-                                            **guard_kw)
-
-                        def it_stale(px=px, py=py, routing_c=routing_c):
-                            o, f = pallas_gather(t, px, py, 4,
-                                                 skip_pole=True,
-                                                 routing=routing_c)
-                            return o, f, routing_c
-
-                        def it_fresh(px=px, py=py):
-                            return pallas_gather(t, px, py, 4,
-                                                 skip_pole=True,
-                                                 return_routing=True)
-
-                        dep, fl, routing_c = jax.lax.cond(
-                            okk, it_stale, it_fresh)
-                elif kernel == "pallas":
+                if kernel == "pallas":
                     # the (u, v) pairs at t and t+1 are adjacent in the
                     # resident (T*2, ...) stacks: one 4-field window at 2*t
                     dep, fl = pallas_gather(t, px, py, 4,
@@ -707,10 +610,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
         else:
             out = flag if debug_per_step else None
         if sort_mode:
-            if kernel == "pallas" and route_reuse:
-                carry = (px, py, cvx, perm, flag, routing_c)
-            else:
-                carry = (px, py, cvx, perm, flag)
+            carry = (px, py, cvx, perm, flag)
         else:
             carry = (px, py, flag)
         return carry, out
@@ -724,14 +624,9 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
         perm0 = jax.lax.broadcasted_iota(jnp.int32, shp, 0) \
             * nx_g + jax.lax.broadcasted_iota(jnp.int32, shp, 1)
         carry0 = (px0, py0, conv_pc, perm0, flag0)
-        if kernel == "pallas" and route_reuse:
-            carry0 = carry0 + (routing0,)
     carry, traj = jax.lax.scan(step, carry0, jnp.arange(nsteps))
     if sort_mode:
-        if kernel == "pallas" and route_reuse:
-            px, py, _cvx, perm, flag, _routing = carry
-        else:
-            px, py, _cvx, perm, flag = carry
+        px, py, _cvx, perm, flag = carry
         px, py = _do_unsort((px, py), perm)
     else:
         px, py, flag = carry

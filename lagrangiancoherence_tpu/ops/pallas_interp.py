@@ -67,7 +67,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["pad_coeffs_for_pallas", "pallas_interp_multi",
-           "resolve_engine", "routing_guard"]
+           "resolve_engine"]
 
 TILE_R = 8      # home rows per tile
 TILE_C = 128    # home cols per tile
@@ -139,9 +139,8 @@ def resolve_engine(engine: str) -> str:
 
 
 def coeff_pad_dims(ny: int, nx: int):
-    """(ypad, xpad) of the padded coefficient stack — shared by
-    pad_coeffs_for_pallas and routing_guard (which must reconstruct the
-    padded-space geometry without the stack in hand)."""
+    """(ypad, xpad) of the padded coefficient stack
+    (pad_coeffs_for_pallas's geometry, computable without the stack)."""
     ypad = -(-(ny // 2 + 16) // 8) * 8
     xpad = -(-(nx // 2 + 8) // 128) * 128 + 2 * 128
     return ypad, xpad
@@ -1479,84 +1478,12 @@ def _pole_eval_block(px_b, py_b, mask_b, raw_p, f0_arr, *, F, order,
     return blk_rows, pole_flag
 
 
-def routing_guard(px, py, routing, *, ny, nx, y_min, y_max,
-                  x_min, x_max, order):
-    """Is a cached engine routing still valid for the CURRENT positions?
-    (XLA-only; the reuse fast path of pallas_interp_multi.)
-
-    True iff every tile's current tap span provably fits the window the
-    cached slot lists would read (same margins as the fresh fit test)
-    AND no tile transitioned interior -> edge (the branch-free interior
-    bodies apply no mirror remaps, so a class change silently corrupts
-    — the window-fit flag cannot catch it).  SETTLS iterates move
-    positions by fractions of a cell, so this passes for the iterate
-    2..K and next-step-Euler gathers almost always; sort-binning steps
-    permute storage and fail it harmlessly (the caller re-routes)."""
-    from .interp import scale_positions
-    R = py.shape[0]
-    ny_t = _cdiv(R, TILE_R) * TILE_R
-    nx_t = _cdiv(nx, TILE_C) * TILE_C
-    gy, gx = ny_t // TILE_R, nx_t // TILE_C
-    ypad, xpad = coeff_pad_dims(ny, nx)
-    if order > 0 and R > 2 * order:
-        hrow = jnp.arange(R, dtype=jnp.int32)
-        safe_idx = jnp.clip(jnp.clip(hrow, order, ny - 1 - order),
-                            0, R - 1)
-        px = jnp.take(px, safe_idx, axis=0)
-        py = jnp.take(py, safe_idx, axis=0)
-
-    def pad_p(p):
-        return jnp.pad(p, ((0, ny_t - R), (0, nx_t - nx)), mode="edge")
-
-    xi, yi = scale_positions(pad_p(px), pad_p(py), x_min=x_min,
-                             x_max=x_max, y_min=y_min, y_max=y_max,
-                             nx=nx, ny=ny)
-    yf = _fold(yi, ny)
-    xf = _fold(xi, nx)
-    ymn, ymx = _tile_minmax(yf, ny)
-    xmn, xmx = _tile_minmax(xf, nx)
-
-    def ffmm(f):
-        t = jnp.floor(f).reshape(gy, TILE_R, gx, TILE_C)
-        return (t.min(axis=(1, 3)).astype(jnp.int32),
-                t.max(axis=(1, 3)).astype(jnp.int32))
-
-    yfmn, yfmx = ffmm(yf)
-    xfmn, xfmx = ffmm(xf)
-    edge_y_now = ((yfmn <= 1) | (yfmx >= ny - 3)).astype(jnp.int32)
-    edge_now = (edge_y_now | (xfmn <= 1)
-                | (xfmx >= nx - 3)).astype(jnp.int32)
-    ok_edge = jnp.all(edge_now <= routing["edge_t"]) \
-        & jnp.all(edge_y_now <= routing["edge_y_t"])
-    m = 2 if order == 3 else 1
-    ulp = jnp.where(edge_now > 0, 2, 1)
-    loy = routing["win_y0"] - ypad
-    oky = ((ymn - m - ulp) >= loy) \
-        & ((ymx + 2 + ulp) <= loy + routing["win_wy"] - 1)
-    lox = routing["win_x0"] - xpad
-    okx = (((xmn - m - ulp) >= lox)
-           & ((xmx + 2 + ulp) <= lox + routing["win_wx"] - 1)) \
-        | routing["fullx"]
-    xt = xf.reshape(gy, TILE_R, gx, N_SUB, _SUBW)
-    k2 = _unwrap_k(xt, xt[:, :1, :, :, :1], nx)
-    f2 = jnp.floor(xt).astype(jnp.int32) + nx * k2
-    xmn2 = jnp.min(f2, axis=(1, 4))
-    xmx2 = jnp.max(f2, axis=(1, 4))
-    lo2 = routing["xs2"] - xpad
-    okq = (((xmn2 - m - ulp[..., None]) >= lo2)
-           & ((xmx2 + 2 + ulp[..., None]) <= lo2 + 128 - 1)).all(-1)
-    ok_t = jnp.where(routing["is_sub"], okq & oky, oky & okx)
-    return ok_edge & jnp.all(ok_t)
-
-
 def _engine_layout(ladder, n_tiles, half_tile, wy, wx):
     """STATIC engine section layout for the edge-class-split manual-DMA
     engine: [(kind, wy, wx, path), ...], per-section capacities, segment
     offsets and flag bits — in exactly the order the fresh assembly
     builds them (A-int, A-edge, [sub-int, sub-edge,] then per ladder
-    tier an interior and an edge half).  Shared by the fresh path and
-    the routing-REUSE path (which must reconstruct the layout without
-    re-running the routing)."""
+    tier an interior and an edge half)."""
     tiers, caps, bits = [], [], []
     tiers += [("spline", wy, wx, "interior"), ("spline", wy, wx, "onehot")]
     caps += [n_tiles, n_tiles]
@@ -1584,8 +1511,7 @@ def _launch_engine(counts_arr, sel_cat, pack_cat, x0q2_cat, f0_arr,
                    folds, cw_pad, out_base, *, body, F, tiers_static,
                    seg_off, ypad, xpad, wx_full, common, gx, dtype,
                    ny_t, nx_t, interpret):
-    """One manual-DMA engine launch from prebuilt packed operands
-    (fresh routing or the cached-routing reuse path)."""
+    """One manual-DMA engine launch from prebuilt packed operands."""
     unroll_e = max(1, int(os.environ.get("LCS_ENGINE_UNROLL", "1")))
     nb_e = (2 * unroll_e if unroll_e > 1
             else int(os.environ.get("LCS_ENGINE_NB", "3")))
@@ -1699,8 +1625,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                         debug_flags: bool = False,
                         settls_upd=None, pole_block: bool = False,
                         pole_presorted: bool = False,
-                        skip_pole: bool = False,
-                        routing=None, return_routing: bool = False):
+                        skip_pole: bool = False):
     """Evaluate F stacked fields at parcel positions — the TPU fast path.
 
     ``raw``: (F, ny, nx) raw fields (pole-home path); ``cw_pad``:
@@ -1742,7 +1667,6 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     Returns ``(out (F, rows, nx), overflow int32 scalar)``.
     """
     engine = resolve_engine(engine)
-    routing_out = None
     F = int(nf) if nf is not None else raw.shape[0]
     f0_arr = (jnp.zeros((1,), jnp.int32) if f0 is None
               else jnp.asarray(f0, jnp.int32).reshape(1))
@@ -1841,44 +1765,6 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                              y_min=y_min, y_max=y_max, nx=nx, ny=ny)
     yfold = _fold(yi, ny)
     xfold = _fold(xi, nx)
-
-    if routing is not None:
-        # ---- routing-REUSE fast path: launch the engine with a cached
-        # step's packed slot lists/windows, skipping span routing, tier
-        # assignment and list compaction entirely (~1 ms/group of XLA
-        # glue).  The caller MUST have verified validity for the CURRENT
-        # positions with routing_guard (window fits + no interior->edge
-        # transitions) — the in-kernel tap checks still flag any
-        # violation, but values for violating tiles would clamp, so the
-        # guard is the correctness gate and the flag the backstop. ----
-        assert engine == "dma-all" and not fused and skip_pole \
-            and retry_tiles > 0 and ladder is not None
-        folds = jnp.stack([yfold, xfold])
-        # mirror the fresh path's ladder capping and A-sub gating so the
-        # static layout matches the cached operands exactly
-        half_eff = half_tile and retry_tiles > 0 \
-            and os.environ.get("LCS_HALF_TILE", "1") != "0"
-        wy_cap = ((ny + 2 * ypad) // 8) * 8
-        wx_cap = (nxp_c // 128) * 128
-        ladder_c = [(min(w_, wy_cap),
-                     None if x_ is None else min(x_, wx_cap), c_)
-                    for w_, x_, c_ in ladder]
-        tiers_s, caps_s, seg_s, bits_s, _tot = _engine_layout(
-            ladder_c, n_tiles, half_eff, wy, wx)
-        body_r = partial(_spline_tile_body)
-        common_r = dict(ny=ny, nx=nx, order=order)
-        out_base = jnp.zeros((F, ny_t, nx_t), dtype)
-        out_arr, eflags = _launch_engine(
-            routing["counts"], routing["sel"], routing["pack"],
-            routing["x0q2"], f0_arr, folds, cw_pad, out_base,
-            body=body_r, F=F, tiers_static=tiers_s, seg_off=seg_s,
-            ypad=ypad, xpad=xpad, wx_full=wx_full, common=common_r,
-            gx=gx, dtype=dtype, ny_t=ny_t, nx_t=nx_t,
-            interpret=interpret)
-        overflow = jnp.zeros((), jnp.int32)
-        for t_i in range(len(tiers_s)):
-            overflow = overflow | (eflags[t_i, 0] << bits_s[t_i])
-        return out_arr[:, :R, :nx], overflow
 
     ymn, ymx = _tile_minmax(yfold, ny)
     xmn, xmx = _tile_minmax(xfold, nx)
@@ -2601,17 +2487,14 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             # construction), so ONE per-tile section-id map + one
             # cumsum rank + one scatter build every slot list — this
             # replaced ~16 per-section nonzero compactions of XLA glue.
-            # pack/x0q2 then GATHER from per-tile window maps (which
-            # double as routing_guard's maps). ----
+            # pack/x0q2 then GATHER from per-tile window maps. ----
             tiers_static, caps_list, seg_off, flag_bits, off = \
                 _engine_layout([(t[0], t[1], t[2]) for t in ladder],
                                n_tiles, half_tile, wy, wx)
             eT = edge_t != 0
             eY = edge_y_t != 0
             win_y0 = y0A.astype(jnp.int32)
-            win_wy = jnp.full((gy, gx), wy, jnp.int32)
             win_x0 = x0A.astype(jnp.int32)
-            win_wx = jnp.full((gy, gx), wx, jnp.int32)
             fullx_m = jnp.zeros((gy, gx), bool)
             sec = eT.astype(jnp.int32)              # A-int=0 / A-edge=1
             base_s = 2
@@ -2623,13 +2506,11 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                 e_cls = (eY if wx_t_ is None else eT).astype(jnp.int32)
                 sec = jnp.where(tk, base_s + 2 * t_i + e_cls, sec)
                 win_y0 = jnp.where(tk, ysT.astype(jnp.int32), win_y0)
-                win_wy = jnp.where(tk, wy_t_, win_wy)
                 if xsT is None:
                     fullx_m = fullx_m | tk
                 else:
                     win_x0 = jnp.where(tk, xsT.astype(jnp.int32),
                                        win_x0)
-                    win_wx = jnp.where(tk, wx_t_, win_wx)
             S_n = len(tiers_static)
             secf = sec.ravel()
             onehot_s = secf[None, :] == jnp.arange(S_n)[:, None]
@@ -2710,18 +2591,6 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             dtype=dtype, ny_t=ny_t, nx_t=nx_t, interpret=interpret)
         for t_i in range(len(tiers_static)):
             overflow = overflow | (eflags[t_i, 0] << flag_bits[t_i])
-        if return_routing and absorb_A:
-            # the per-tile window maps double as routing_guard's inputs
-            routing_out = dict(
-                counts=counts_arr, sel=sel_cat, pack=pack_cat,
-                x0q2=x0q2_cat,
-                win_y0=win_y0, win_wy=win_wy, win_x0=win_x0,
-                win_wx=win_wx, fullx=fullx_m,
-                is_sub=(fitA2 if half_tile
-                        else jnp.zeros((gy, gx), bool)),
-                xs2=(xs2.astype(jnp.int32) if half_tile
-                     else jnp.zeros((gy, gx, N_SUB), jnp.int32)),
-                edge_t=edge_t, edge_y_t=edge_y_t)
         tier_plan = []
 
     for t_i, (selT, cntT, ysT, xsT, wy_, wx_, cap) in enumerate(tier_plan):
@@ -2825,8 +2694,6 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         overflow = overflow | pole_flag
 
     out = out_arr[:, :R, :nx]
-    if return_routing:
-        return out, overflow, routing_out
     if debug_flags:
         return out, dict(
             overflow=overflow,

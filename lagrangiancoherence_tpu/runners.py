@@ -33,7 +33,7 @@ def _windows(nt: int, window: int, stride: int) -> list[int]:
 
 def ftle_series(u, v, timestep: float, *, window: int, stride: int = 1,
                 settls_order: int = 4, interp_order: int = 3, sigma=None,
-                compat: bool = True, batch: int = 8, mesh=None,
+                compat: bool = True, batch="auto", mesh=None,
                 kernel: str = "auto", propdim: str = "time"):
     """FTLE fields over sliding windows of a long wind record.
 
@@ -42,6 +42,17 @@ def ftle_series(u, v, timestep: float, *, window: int, stride: int = 1,
     6-hourly data); ``stride``: window start spacing.  Returns a Field
     (time, latitude, longitude) stamped per the reference's rule (last time
     of the window forward, first backward — /root/reference/LCS/LCS.py:158).
+
+    ``batch``: windows evaluated per compiled program.  ``"auto"`` picks 8
+    (vmap) on the XLA kernel and **1** on the pallas TPU path at
+    production scale: vmapped B>=2 flagship programs fail device compile
+    (remote-compile-helper size limit, tools/probe_batch.py --sweep), and
+    the B=1 vmap wrapper itself measured ~9% slower than the plain
+    pipeline (ROUND3_NOTES session 8).  ``batch=1`` therefore compiles the
+    UN-vmapped single-field program once and streams windows through it —
+    the throughput fallback for the animation workload.  A vmapped
+    ``batch>1`` chunk that fails to compile falls back to the same
+    sequential path with a warning instead of crashing the series.
 
     ``mesh``: optional ``batch_mesh`` to shard window batches across chips.
     """
@@ -71,6 +82,32 @@ def ftle_series(u, v, timestep: float, *, window: int, stride: int = 1,
                          f"window={window}")
     kern = _resolve_kernel(kernel, int(interp_order))
     dtype = np.float32 if kern == "pallas" else np.float64
+    if batch == "auto":
+        # pallas at production scale (>= ~0.5deg global): one field per
+        # program (see docstring); everything else batches through vmap
+        batch = 1 if (kern == "pallas"
+                      and grid.shape[0] * grid.shape[1] >= 256 * 512) else 8
+    batch = max(1, int(batch))
+
+    import jax
+
+    def run_single(us, vs):
+        # plain (un-vmapped) single-field program — ftle_pipeline is
+        # itself jitted, so repeated calls reuse one executable
+        return ftle_pipeline(jnp.asarray(us), jnp.asarray(vs), timestep,
+                             grid, settls_order=settls_order,
+                             interp_order=interp_order, sigma=sigma,
+                             compat=compat, kernel=kern,
+                             return_overflow=True)
+
+    def warn_overflow(overflow, chunk):
+        bad = np.nonzero(np.atleast_1d(np.asarray(overflow)))[0]
+        if bad.size:
+            logger.warning(
+                "pallas interpolation windows clamped some taps in "
+                "windows starting at %s; affected tiles are "
+                "approximate — re-run with kernel='xla' or larger "
+                "windows for exact values", [chunk[i] for i in bad])
 
     fields = []
     with timed_stage(f"FTLE series: {len(starts)} windows"):
@@ -84,21 +121,34 @@ def ftle_series(u, v, timestep: float, *, window: int, stride: int = 1,
                                  settls_order=settls_order,
                                  interp_order=interp_order, sigma=sigma,
                                  compat=compat)
+            elif len(chunk) == 1:
+                out, overflow = run_single(ub[0], vb[0])
+                out = np.asarray(out)[None]
+                warn_overflow(overflow, chunk)
             else:
-                import jax
                 fn = jax.vmap(lambda uu, vv: ftle_pipeline(
                     uu, vv, timestep, grid, settls_order=settls_order,
                     interp_order=interp_order, sigma=sigma, compat=compat,
                     kernel=kern, return_overflow=True))
-                out, overflow = jax.jit(fn)(jnp.asarray(ub), jnp.asarray(vb))
-                if int(np.asarray(overflow).max()):
+                try:
+                    out, overflow = jax.jit(fn)(jnp.asarray(ub),
+                                                jnp.asarray(vb))
+                    out = np.asarray(out)
+                except Exception as e:  # noqa: BLE001 — vmapped flagship
+                    # programs can exceed the device compiler's size
+                    # limit; stream the chunk through the single-field
+                    # executable instead of crashing the series
                     logger.warning(
-                        "pallas interpolation windows clamped some taps in "
-                        "windows starting at %s; affected tiles are "
-                        "approximate — re-run with kernel='xla' or larger "
-                        "windows for exact values",
-                        [chunk[i] for i in
-                         np.nonzero(np.asarray(overflow))[0]])
+                        "vmapped batch=%d failed to compile (%s: %.200s); "
+                        "falling back to sequential single-field programs",
+                        len(chunk), type(e).__name__, e)
+                    outs, flags = [], []
+                    for us, vs in zip(ub, vb):
+                        o, f = run_single(us, vs)
+                        outs.append(np.asarray(o))
+                        flags.append(np.asarray(f))
+                    out, overflow = np.stack(outs), np.stack(flags)
+                warn_overflow(overflow, chunk)
             fields.append(np.asarray(out))
     data = np.concatenate(fields, axis=0)
 

@@ -173,51 +173,6 @@ class TestPoleHoist:
         np.testing.assert_array_equal(np.asarray(py1), np.asarray(py0))
 
 
-class TestRouteReuse:
-    def test_routing_reuse_is_bit_identical(self, monkeypatch):
-        """Routing-REUSE (iterates 2..K + next-step Euler launch the
-        engine with iterate-1's cached slot lists, guarded by
-        routing_guard with a lax.cond re-route) must reproduce the
-        always-fresh path exactly: reused windows either provably hold
-        the current taps or the guard re-routes."""
-        import jax
-
-        from lagrangiancoherence_tpu.grid import Grid
-        from lagrangiancoherence_tpu.models.settls import \
-            parcel_propagation_core
-        import lagrangiancoherence_tpu.ops.pallas_interp as PI
-
-        ny, nx = 33, 128
-        lats = np.linspace(-90.0, 90.0, ny)
-        lons = np.linspace(-180.0, 180.0 - 360.0 / nx, nx)
-        grid = Grid(lats=lats, lons=lons, cyclic_x=True)
-        LON, LAT = np.meshgrid(np.deg2rad(lons), np.deg2rad(lats))
-        nt = 4
-        t = np.arange(nt)[:, None, None]
-        u = jnp.asarray((20.0 * np.cos(LAT) + 2.0 * np.cos(3 * LON)
-                         * np.sin(2 * LAT))[None] * (1 + 0.05 * np.sin(t)))
-        v = jnp.asarray((2.0 * np.sin(3 * LON) * np.cos(2 * LAT))[None]
-                        * (1 + 0.05 * np.cos(t)))
-        orig = PI.pallas_interp_multi
-        PI.pallas_interp_multi = \
-            lambda *a, **k: orig(*a, **{**k, "interpret": True})
-        try:
-            res = {}
-            for rr in ("1", "0"):
-                monkeypatch.setenv("LCS_ROUTE_REUSE", rr)
-                jax.clear_caches()  # trace-time env knob
-                res[rr] = parcel_propagation_core(
-                    u, v, -6 * 3600.0, grid, settls_order=2,
-                    kernel="pallas", return_overflow=True)
-            px1, py1, fl1 = res["1"]
-            px0, py0, fl0 = res["0"]
-        finally:
-            PI.pallas_interp_multi = orig
-        assert int(fl1) == int(fl0) == 0
-        np.testing.assert_array_equal(np.asarray(px1), np.asarray(px0))
-        np.testing.assert_array_equal(np.asarray(py1), np.asarray(py0))
-
-
 class TestShardSortBin:
     def test_shard_sort_is_layout_invariant(self):
         """Sharded-block sort-binning (models/settls.py _sort_bin_shard):

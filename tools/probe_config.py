@@ -83,6 +83,28 @@ CONFIGS_R2 = [
     ("u2-pole24",      "dma-all", True,  32, "24,160,288", 2, None),
 ]
 
+# round-4 legs (LCS_ROUND4_LEGS=1): fused-iterate engine slack
+# escalation on top of the u2bx16-pole32 winner.  The fused flagship run
+# at slack 16,32 OVERFLOWED (0xa0 — ladder-tier tap clamps from
+# under-predicted iterate windows); these legs find the smallest slack
+# that is exact (flag 0) and whether it still beats unfused — the
+# fix-or-delete experiment for the fused substrate (VERDICT round-3
+# task 2a).  Flagged legs are auto-EXCLUDED by the harness below.
+CONFIGS_R4 = [
+    ("u2bx16-pole32", "dma-all", True, 32, "32,160,288", 2, None,
+     {"LCS_SORT_BX": "16"}),
+    ("fuse-s16-32",   "dma-all", True, 32, "32,160,288", 2, "16,32",
+     {"LCS_SORT_BX": "16"}),
+    ("fuse-s24-48",   "dma-all", True, 32, "32,160,288", 2, "24,48",
+     {"LCS_SORT_BX": "16"}),
+    ("fuse-s32-64",   "dma-all", True, 32, "32,160,288", 2, "32,64",
+     {"LCS_SORT_BX": "16"}),
+    ("fuse-s24-48-rel", "dma-all", True, 32, "32,160,288", 2, "24,48",
+     {"LCS_SORT_BX": "16", "LCS_FUSE_REL": "0.4,0.7"}),
+    ("fuse-s48-96",   "dma-all", True, 32, "32,160,288", 2, "48,96",
+     {"LCS_SORT_BX": "16"}),
+]
+
 # third round on top of u2-bx16: sort-band width + pole level-1 height
 CONFIGS_R3 = [
     ("u2bx16",         "dma-all", True,  32, "16,160,288", 2, None,
@@ -109,6 +131,8 @@ def main():
         legs = CONFIGS_R2
     if os.environ.get("LCS_ROUND3_LEGS"):
         legs = CONFIGS_R3
+    if os.environ.get("LCS_ROUND4_LEGS"):
+        legs = CONFIGS_R4
     for spec_row in legs:
         name, eng, half, wy, pole, unroll, fuse = spec_row[:7]
         extra_env = spec_row[7] if len(spec_row) > 7 else {}
@@ -156,9 +180,9 @@ def main():
                   flush=True)
             if ok:
                 table[name] = 1.0 / dt
-            if name == "head":
-                ref = oh
-            elif ref is not None:
+            if ref is None:
+                ref = oh      # first successful leg anchors the record
+            else:
                 # layout/engine changes must be numerically inert beyond
                 # chaos-amplified ulps; report p99 |dlogFTLE| for the record
                 a = np.log(np.maximum(oh[2:-2], 1e-30)) / 2
