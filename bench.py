@@ -95,10 +95,6 @@ def main():
                               "1" if cfg["half_tile"] else "0")
     if "pole_ladder" in cfg:
         os.environ.setdefault("LCS_POLE_LADDER", str(cfg["pole_ladder"]))
-    if cfg.get("fuse"):
-        os.environ.setdefault("LCS_FUSE", "1")
-        if cfg.get("fuse_slack"):
-            os.environ.setdefault("LCS_FUSE_SLACK", str(cfg["fuse_slack"]))
     # winner's trace-time env knobs (engine unroll, sort cadence, ...)
     for k_e, v_e in (cfg.get("env") or {}).items():
         os.environ.setdefault(str(k_e), str(v_e))
@@ -136,25 +132,11 @@ def main():
               file=sys.stderr, flush=True)
         os.environ["LCS_LADDER"] = FALLBACK_LADDER
         os.environ["LCS_HALF_TILE"] = "0"
-        os.environ["LCS_FUSE"] = "0"          # fused-iterate engine off
         os.environ.pop("LCS_POLE_LADDER", None)
         engine, rebin, fallback = "blockspec", False, True
         run = make_run(engine, rebin, wy=32)
         out, overflow = run()
         oh = np.asarray(out)
-    if int(np.asarray(overflow)) and os.environ.get("LCS_FUSE") == "1" \
-            and not fallback:
-        # the fused-iterate engine's predicted windows clamped a tap —
-        # the field is suspect.  A green artifact at the proven unfused
-        # config beats a fast-but-flagged one; re-trace without fuse.
-        import sys
-        print(f"bench: fused config overflowed "
-              f"({int(np.asarray(overflow)):#x}); retrying unfused",
-              file=sys.stderr, flush=True)
-        os.environ["LCS_FUSE"] = "0"
-        jax.clear_caches()      # LCS_FUSE is read at trace time; the jit
-        out, overflow = run()   # cache would otherwise reuse the fused
-        oh = np.asarray(out)    # executable
     assert np.isfinite(oh[2:-2]).all(), "non-finite FTLE"
 
     reps = 3

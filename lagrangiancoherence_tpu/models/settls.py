@@ -406,23 +406,17 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 engine=pallas_engine,
                 f0=2 * t, nf=nf, raw_prepadded=True, **kw)
 
-        # fused SETTLS iterates (ops/pallas_interp._fused_engine_kernel):
-        # ONE engine launch runs all settls_order fixed-point iterations
-        # in-kernel — the per-gather-group launch floor (~3.1 of ~6.5
-        # ms/group, tools/probe_slotbody.py) paid once per step instead
-        # of once per iterate.  Every (tile, iterate) pair is routed to
-        # its own tier from per-parcel PREDICTED positions (the first
-        # fused design shared one spread-expanded window across the
-        # iterates and lost on device, 3436 vs 1363 ms/field).  Pole
-        # home rows iterate separately through the dedicated pole path
-        # (2*order rows, XLA glue).  LCS_FUSE=1 enables (trace-time);
-        # OFF by default pending the on-device A/B of the per-iterate
-        # routed design.
-        fuse_iters = (settls_order > 0 and pallas_engine == "dma-all"
-                      and home_rows is None and px0.shape == grid.shape
-                      and not return_traj and not debug_per_step
-                      and ny > 4 * interp_order
-                      and os.environ.get("LCS_FUSE", "0") == "1")
+        # (A fused-SETTLS-iterate engine — all settls_order iterations in
+        # ONE launch, per-(tile, iterate) routed from predicted
+        # positions — was built twice and DELETED round 4: the first
+        # design lost on device (3436 vs 1363 ms/field, spread-expanded
+        # windows), the second under-predicted its iterate windows
+        # (overflow 0xa0 on the flagship, slack 16,32), and the premise
+        # died with the round-4 re-measurement — the per-launch floor it
+        # amortises is 0.34 ms/group at HEAD (probe_slotbody
+        # empty-nokern, 2026-08-21), not the ~3.1 it was designed
+        # against, while the per-iterate ROUTING it must keep runs in
+        # XLA either way.  Git history has both designs.)
 
         # Hoisted per-step pole loop: the pole machinery inside each
         # gather (sorted point lists: argsort + 4 permutation gathers +
@@ -435,7 +429,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
         # step end.  The main gathers run with skip_pole=True (their
         # pole-row outputs are garbage and overwritten here).
         hoist_pole = (interp_order > 0 and home_rows is None
-                      and px0.shape == grid.shape and not fuse_iters
+                      and px0.shape == grid.shape
                       and ny > 2 * interp_order
                       and os.environ.get("LCS_POLE_HOIST", "1") == "1")
 
@@ -456,32 +450,6 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                               y_min=grid.y_min, y_max=grid.y_max,
                               x_min=grid.x_min, x_max=grid.x_max)
 
-        def fused_settls(t, px, py, ua, va, cx2d):
-            sc = jnp.stack([0.5 * dt * conv_y,
-                            0.5 * dt * jnp.ones((), dtype)]).astype(dtype)
-            pos, fl = pallas_gather(
-                t, px, py, 4,
-                settls_upd=dict(eul=(ua, va), cx=cx2d, sc=sc,
-                                n_iters=settls_order,
-                                cyclic_x=grid.cyclic_x))
-            py2, px2 = pos[0], pos[1]
-            # pole rows: iterate the order-1/constant pole semantics with
-            # the same Q3/Q5 update glue (cx at pole rows carries the
-            # reference's 1/cos blowup, as in the unfused path)
-            rows = np.r_[0:interp_order, ny - interp_order:ny]
-            pxp, pyp = px[rows], py[rows]
-            uap, vap, cxp = ua[rows], va[rows], cx2d[rows]
-            for _ in range(settls_order):
-                vals, pf = pallas_gather(t, pxp, pyp, 4, pole_block=True)
-                fl = fl | pf
-                pyp = pyp + 0.5 * dt * conv_y * (
-                    vap + 2.0 * vals[1] - vals[3])
-                pxp = pxp + 0.5 * dt * cxp * (
-                    uap + 2.0 * vals[0] - vals[2])
-                pxp, pyp = _clamp_wrap(pxp, pyp, **bounds)
-            px2 = px2.at[rows].set(pxp)
-            py2 = py2.at[rows].set(pyp)
-            return px2, py2, fl
     else:
         def interp_multi(fields_coeffs_0, fields_coeffs_1, px, py):
             out = interp_at_parcels_multi(
@@ -496,7 +464,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
             return (jax.lax.dynamic_index_in_dim(W, t, 0, keepdims=False),
                     jax.lax.dynamic_index_in_dim(CW, t, 0, keepdims=False))
 
-    def step(carry, t):
+    def step(carry, t, rebin_step="cond"):
         if progress:
             jax.debug.callback(_progress_step, t, u.shape[0] - 1,
                                ordered=False)
@@ -507,16 +475,25 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
 
         if sort_mode:
             # periodic re-bin BEFORE the step's gathers: every gather of
-            # this step then sees at most K-step-stale storage locality
-            def do_sort(px, py, cvx, perm):
-                return _do_sort(px, py, cvx, perm)
+            # this step then sees at most K-step-stale storage locality.
+            # ``rebin_step`` is STATIC (True/False) when the scan body
+            # unrolls _sort_k() steps per iteration — the data-dependent
+            # lax.cond alternative measured ~60 ms/field of cond+branch
+            # machinery on the flagship (probe_trace 2026-08-20: cond
+            # 37.6 ms n=352 + branch 22.7 ms) and survives only as the
+            # fallback for nsteps not divisible by K.
+            if rebin_step == "cond":
+                def do_sort(px, py, cvx, perm):
+                    return _do_sort(px, py, cvx, perm)
 
-            def no_sort(px, py, cvx, perm):
-                return (px, py, cvx, perm)
+                def no_sort(px, py, cvx, perm):
+                    return (px, py, cvx, perm)
 
-            px, py, cvx, perm = jax.lax.cond(
-                jnp.mod(t, _sort_k()) == 0, do_sort, no_sort,
-                px, py, cvx, perm)
+                px, py, cvx, perm = jax.lax.cond(
+                    jnp.mod(t, _sort_k()) == 0, do_sort, no_sort,
+                    px, py, cvx, perm)
+            elif rebin_step:
+                px, py, cvx, perm = _do_sort(px, py, cvx, perm)
             cx = cvx
         else:
             cx = conv_x
@@ -559,37 +536,29 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
         if settls_order and kernel != "pallas":
             A_tn = jnp.concatenate([A_t, A_n], axis=0)
             B_tn = jnp.concatenate([B_t, B_n], axis=0)
-        if kernel == "pallas" and fuse_iters:
-            # all settls_order iterations in ONE fused engine launch
-            # (in-kernel gather + Q3 update + Q5 clamp/wrap per iterate)
-            cx2d = cx if cx.ndim == 2 and cx.shape == px.shape \
-                else jnp.broadcast_to(cx, px.shape).astype(dtype)
-            px, py, fl = fused_settls(t, px, py, ua, va, cx2d)
+        for it_k in range(settls_order):
+            if kernel == "pallas":
+                # the (u, v) pairs at t and t+1 are adjacent in the
+                # resident (T*2, ...) stacks: one 4-field window at 2*t
+                dep, fl = pallas_gather(t, px, py, 4,
+                                        skip_pole=hoist_pole)
+            else:
+                dep, fl = interp_multi(A_tn, B_tn, px, py)
             flag = flag | fl
-        else:
-            for it_k in range(settls_order):
-                if kernel == "pallas":
-                    # the (u, v) pairs at t and t+1 are adjacent in the
-                    # resident (T*2, ...) stacks: one 4-field window at 2*t
-                    dep, fl = pallas_gather(t, px, py, 4,
-                                            skip_pole=hoist_pole)
-                else:
-                    dep, fl = interp_multi(A_tn, B_tn, px, py)
-                flag = flag | fl
-                u_t_d, v_t_d, u_n_d, v_n_d = dep[0], dep[1], dep[2], dep[3]
-                py = py + 0.5 * dt * conv_y * (va + 2.0 * v_t_d - v_n_d)
-                px = px + 0.5 * dt * cx * (ua + 2.0 * u_t_d - u_n_d)
-                px, py = _clamp_wrap(px, py, **bounds)
-                if kernel == "pallas" and hoist_pole:
-                    depp, flp = pallas_gather(t, pxp, pyp, 4,
-                                              pole_block=True,
-                                              pole_presorted=True)
-                    flag = flag | flp
-                    pyp = pyp + 0.5 * dt * conv_y * (
-                        vap + 2.0 * depp[1] - depp[3])
-                    pxp = pxp + 0.5 * dt * cxp * (
-                        uap + 2.0 * depp[0] - depp[2])
-                    pxp, pyp = _clamp_wrap(pxp, pyp, **bounds)
+            u_t_d, v_t_d, u_n_d, v_n_d = dep[0], dep[1], dep[2], dep[3]
+            py = py + 0.5 * dt * conv_y * (va + 2.0 * v_t_d - v_n_d)
+            px = px + 0.5 * dt * cx * (ua + 2.0 * u_t_d - u_n_d)
+            px, py = _clamp_wrap(px, py, **bounds)
+            if kernel == "pallas" and hoist_pole:
+                depp, flp = pallas_gather(t, pxp, pyp, 4,
+                                          pole_block=True,
+                                          pole_presorted=True)
+                flag = flag | flp
+                pyp = pyp + 0.5 * dt * conv_y * (
+                    vap + 2.0 * depp[1] - depp[3])
+                pxp = pxp + 0.5 * dt * cxp * (
+                    uap + 2.0 * depp[0] - depp[2])
+                pxp, pyp = _clamp_wrap(pxp, pyp, **bounds)
 
         if kernel == "pallas" and hoist_pole:
             # write the pole rows back into home layout for the carry
@@ -624,7 +593,29 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
         perm0 = jax.lax.broadcasted_iota(jnp.int32, shp, 0) \
             * nx_g + jax.lax.broadcasted_iota(jnp.int32, shp, 1)
         carry0 = (px0, py0, conv_pc, perm0, flag0)
-    carry, traj = jax.lax.scan(step, carry0, jnp.arange(nsteps))
+    K_s = _sort_k()
+    if sort_mode and nsteps % K_s == 0 and nsteps > 0:
+        # K-step-unrolled scan body: the re-bin runs UNCONDITIONALLY at
+        # sub-step 0 of each iteration, eliminating the per-step
+        # lax.cond on the mod-K predicate (see step()'s rebin_step note)
+
+        def blk(carry, ts):
+            outs = []
+            for j in range(K_s):
+                carry, o = step(carry, ts[j], rebin_step=(j == 0))
+                outs.append(o)
+            if outs[0] is None:
+                return carry, None
+            return carry, jax.tree_util.tree_map(
+                lambda *a: jnp.stack(a), *outs)
+
+        carry, traj = jax.lax.scan(
+            blk, carry0, jnp.arange(nsteps).reshape(-1, K_s))
+        if traj is not None:
+            traj = jax.tree_util.tree_map(
+                lambda a: a.reshape(nsteps, *a.shape[2:]), traj)
+    else:
+        carry, traj = jax.lax.scan(step, carry0, jnp.arange(nsteps))
     if sort_mode:
         px, py, _cvx, perm, flag = carry
         px, py = _do_unsort((px, py), perm)

@@ -110,18 +110,6 @@ DEFAULT_ENGINE = os.environ.get("LCS_PALLAS_ENGINE", "dma-all")
 # LCS_POLE_LADDER="16,160,288" for on-device experiments — read at TRACE
 # time (like LCS_LADDER / LCS_HALF_TILE), so one sweep process can A/B
 # several values by re-tracing.
-def _env_pair(name: str, default: str, cast=float):
-    """Parse an env knob of the form 'y,x'; raise naming the knob on junk."""
-    raw = os.environ.get(name, default)
-    try:
-        y, x = (cast(v) for v in raw.split(","))
-    except (ValueError, TypeError) as e:
-        raise ValueError(
-            f"{name}={raw!r}: expected two comma-separated "
-            f"{cast.__name__}s, 'y,x'") from e
-    return y, x
-
-
 def _pole_ladder():
     raw = os.environ.get("LCS_POLE_LADDER", "16,160,288")
     try:
@@ -399,12 +387,10 @@ def _spline_tile_body(fyx, win_ref, out_ref, write_flag, y0, x0, *,
     yfold = fyx[0]      # fyx: (2, TR, TC) ref, array, or (y, x) pair
     xfold = fyx[1]
     cdt = yfold.dtype
-    # period-count anchor: default = the tile's first fold (identical to
-    # the routing frame).  The fused engine passes the WINDOW CENTER
-    # instead: its iterates' folds can cross a period boundary relative
-    # to the tile's own first element, but any in-window parcel unwraps
-    # to the same taps under either anchor (they differ only beyond
-    # n/2 from the window — out-of-window, flagged, either way).
+    # period-count anchor: the tile's first fold (identical to the
+    # routing frame); ``anchor`` overrides for callers whose folds can
+    # cross a period boundary relative to the tile's first element (any
+    # in-window parcel unwraps to the same taps under either anchor).
     ya = yfold[0, 0] if anchor is None else anchor[0]
     ky = _unwrap_k(yfold, ya, ny)
     # full-x tiles evaluate against the mirror-baked slab (lane = fold+1,
@@ -588,18 +574,20 @@ def _sub_tile_body(fyx, win_refs, out_ref, write_flag, y0, x0s, *,
         offs_y = _tap_offsets(yfold, ky, y0, ny, order)
         ws_y = _tap_weights(yfold, order)
         oob_y = _offs_oob(offs_y, WY)
+        # offsets/weights built ONCE per quarter and shared by the flag
+        # check and the one-hot basis build (they were traced twice)
+        offs_qs = [_tap_offsets(sub[q][0], sub[q][1], x0s[q], nx, order)
+                   for q in range(N_SUB)]
+        ws_qs = [_tap_weights(sub[q][0], order) for q in range(N_SUB)]
         oob_x = None
         for q in range(N_SUB):
-            offs_q = _tap_offsets(sub[q][0], sub[q][1], x0s[q], nx, order)
-            oq = _offs_oob(offs_q, 128)
+            oq = _offs_oob(offs_qs[q], 128)
             oob_x = oq if oob_x is None else (oob_x | oq)
         # two any-reduces total (y is (TR, TC), the x quarters (TR, SUBW))
         write_flag((jnp.any(oob_y) | jnp.any(oob_x)).astype(jnp.int32))
 
         def bx(q, i3):
-            offs_q = _tap_offsets(sub[q][0], sub[q][1], x0s[q], nx, order)
-            ws_q = _tap_weights(sub[q][0], order)
-            return _onehot_basis(offs_q, ws_q, i3, 128)
+            return _onehot_basis(offs_qs[q], ws_qs[q], i3, 128)
 
         g3 = x_contract(bx)
         _finish_y(g3, lambda i3: _onehot_basis(offs_y, ws_y, i3, WY),
@@ -988,216 +976,6 @@ def _engine_kernel(counts, sel_s, pack_s, x0q2_s, f0_s,
             jax.lax.fori_loop(0, n, step, 0)
 
 
-def _fused_engine_kernel(counts, iy_s, jx_s, y0_s, x0_s, x0q_s, edge_s,
-                         f0_s, folds_ref, pos_ref, eul_ref, cx_ref,
-                         sc_ref, cw_hbm, out_ref, flags_ref, win_buf,
-                         win_sems, vals_buf, *, body, F, tiers, seg_off,
-                         sub_off, ypad, xpad, wx_full, common, upd, nb):
-    """SETTLS-iterate-fused manual-DMA engine, per-(tile, iterate)
-    routing: ONE launch runs all ``n_iters`` SETTLS fixed-point
-    iterations — gather, Q3 cumulative update, Q5 clamp/wrap, re-fold —
-    with every (tile, iterate) pair routed by XLA to ITS OWN tier.
-
-    Why: a SETTLS step pays the per-gather-group launch/routing/loop
-    floor (~3.1 of ~6.5 ms/group, tools/probe_slotbody.py) once per
-    iterate; fusing pays it once per STEP.  The first fused design
-    routed each tile ONE window sized for all iterates (predicted
-    per-iterate window SHIFTS, spread-expanded sizes) and lost on
-    device (3436 vs 1363 ms flagship scan) — the drift-spread-expanded
-    spans crowded the tall full-x tiers, whose one-hot cost scales with
-    window height.  Here the XLA routing instead builds ``n_iters``
-    INDEPENDENT tier plans: iterate 0 from the exact folds (identical
-    to unfused routing), iterate k from the PER-PARCEL predicted
-    positions ``p + k*d`` (d = the parcel's Euler drift, quirk Q3's
-    cumulative form displaces each iterate by ~one full step) plus a
-    ramped slack for the prediction error.  Window sizes then match the
-    unfused per-iterate distribution, and only the launch floor is
-    amortised.  Mirrors /root/reference/LCS/trajectory.py:100-124.
-
-    ``tiers``: static ``(it, kind, wy, wx_or_None)`` per section, in
-    ITERATE-MAJOR order — all of iterate k's sections complete before
-    iterate k+1's start (the kernel is one serial program), so each
-    section's tiles read positions already updated by the previous
-    iterate.  Positions live in ``out_ref`` (VMEM-resident, seeded from
-    ``pos_ref``); every tile belongs to EXACTLY ONE section per iterate
-    (A / A-sub / ladder partition), so each read-modify-write is
-    unambiguous.  Iterate 0 evaluates the XLA-routed ``folds`` operand
-    (never recomputed — the ulp contract of _spline_tile_body);
-    iterates 1+ re-fold in-kernel from the updated positions with the
-    quirk-Q4 ``scale_positions`` formula.  Window-fit violations on any
-    iterate raise the per-section flag via the bodies' tap bounds check
-    — prediction and slack are perf knobs, never correctness
-    assumptions.
-
-    ``sub_off``: static per-section base into the COMPACT ``x0q_s``
-    flat array (only "sub" sections carry quarter starts; a full-width
-    per-section x0q at engine slot counts would blow the 1 MiB SMEM
-    budget).  Extra operands vs _engine_kernel: ``pos`` (2, ny_t, nx_t)
-    [py, px] degrees (pole rows substituted — the caller overwrites
-    them), ``eul`` (2, ny_t, nx_t) [ua, va] Euler winds, ``cx``
-    (1, ny_t, nx_t) per-parcel m/s->deg conversion, ``sc`` (1, 2) SMEM
-    [0.5*dt*conv_y, 0.5*dt].  Output: final positions (2, ny_t, nx_t).
-    """
-    f0 = f0_s[0]
-    out_ref[...] = pos_ref[...]
-    a_y = sc_ref[0, 0]
-    b_x = sc_ref[0, 1]
-    ny, nx = common["ny"], common["nx"]
-    x_min, x_max = upd["x_min"], upd["x_max"]
-    y_min, y_max = upd["y_min"], upd["y_max"]
-
-    def tile_view(ref, sl):
-        return ref.at[...,
-                      pl.ds(pl.multiple_of(iy_s[sl] * TILE_R, TILE_R),
-                            TILE_R),
-                      pl.ds(pl.multiple_of(jx_s[sl] * TILE_C, TILE_C),
-                            TILE_C)]
-
-    for t_i, (it, kind, wy_t, wx_t) in enumerate(tiers):
-        x_full = wx_t is None and kind == "spline"
-        if kind == "sub":
-            wxe = N_SUB * 128
-        else:
-            wxe = wx_full if x_full else wx_t
-        n = counts[t_i]
-        off = seg_off[t_i]
-        soff = sub_off[t_i]
-
-        def win_dma(slot, k, q, wy_t=wy_t, wxe=wxe, x_full=x_full,
-                    off=off, soff=soff, kind=kind):
-            sl = off + k
-            # Mosaic must PROVE HBM slice starts divisible by the (8,128)
-            # memref tiling (see _engine_kernel.win_dma)
-            y0 = pl.multiple_of(y0_s[sl], 8)
-            if kind == "sub":
-                x0 = x0q_s[(soff + k) * N_SUB + q]
-                c = (x0 % 128) // X_GRAN
-                x128 = pl.multiple_of((x0 // 128) * 128, 128)
-                return pltpu.make_async_copy(
-                    cw_hbm.at[pl.ds(c, 1), pl.ds(f0, F),
-                              pl.ds(y0, wy_t), pl.ds(x128, 128)],
-                    win_buf.at[slot, :, :, :wy_t,
-                               128 * q:128 * (q + 1)],
-                    win_sems.at[slot, q])
-            if x_full:
-                c, x128 = X_COPIES, 0   # mirror-baked slab
-            else:
-                x0 = x0_s[sl]
-                c = (x0 % 128) // X_GRAN
-                x128 = pl.multiple_of((x0 // 128) * 128, 128)
-            return pltpu.make_async_copy(
-                cw_hbm.at[pl.ds(c, 1), pl.ds(f0, F), pl.ds(y0, wy_t),
-                          pl.ds(x128, wxe)],
-                win_buf.at[slot, :, :, :wy_t, :wxe], win_sems.at[slot, 0])
-
-        flags_ref[t_i, 0] = jnp.int32(0)
-        qs = range(N_SUB) if kind == "sub" else (0,)
-
-        def run_body(slot, k, t_i=t_i, it=it, off=off, soff=soff,
-                     wy_t=wy_t, wxe=wxe, x_full=x_full, kind=kind):
-            sl = off + k
-
-            def write_flag(v, t_i=t_i):
-                flags_ref[t_i, 0] = jnp.maximum(flags_ref[t_i, 0], v)
-
-            out_t = tile_view(out_ref, sl)
-            py_t = out_t[0]
-            px_t = out_t[1]
-            if it == 0:
-                # iterate 0: the XLA-routed folds, never recomputed
-                fyx = tile_view(folds_ref, sl)
-            else:
-                # iterates 1+: re-fold in-kernel from the updated
-                # positions — quirk-Q4 scaling, the exact op sequence of
-                # ops/interp.scale_positions (mul-then-div)
-                xi = nx * (px_t - x_min) / (x_max - x_min)
-                yi = ny * (py_t - y_min) / (y_max - y_min)
-                fyx = (_fold(yi, ny), _fold(xi, nx))
-            y0 = y0_s[sl] - ypad
-            cdt = pos_ref.dtype
-            # period anchors = WINDOW CENTERS, not the tile's first
-            # fold: a predicted-vs-actual fold crossing the period seam
-            # unwraps into a different period than the routed frame
-            # under a tile-element anchor (full-period tap-offset miss,
-            # flagged oob); any in-window parcel unwraps identically
-            # under the window-center anchor (see _spline_tile_body)
-            ya = y0.astype(cdt) + wy_t * 0.5
-            if kind == "sub":
-                x0qs = tuple(x0q_s[(soff + k) * N_SUB + q] - xpad
-                             for q in range(N_SUB))
-                _sub_tile_body(
-                    fyx,
-                    tuple(win_buf.at[slot, 0, :, :wy_t,
-                                     128 * q:128 * (q + 1)]
-                          for q in range(N_SUB)),
-                    vals_buf, write_flag, y0, x0qs,
-                    F=F, WY=wy_t, edge=edge_s[sl],
-                    anchor=(ya, tuple(x.astype(cdt) + 64.0
-                                      for x in x0qs)), **common)
-            else:
-                x0 = (jnp.zeros((), jnp.int32) if x_full
-                      else x0_s[sl] - xpad)
-                body(fyx, win_buf.at[slot, 0, :, :wy_t, :wxe],
-                     vals_buf, write_flag, y0, x0,
-                     F=F, WY=wy_t, WX=wxe, x_full=x_full,
-                     edge=edge_s[sl],
-                     anchor=(ya, (jnp.zeros((), cdt) if x_full
-                                  else x0.astype(cdt) + wxe * 0.5)),
-                     **common)
-            # Q3 cumulative correction + Q5 clamp/wrap, exactly as
-            # models/settls.py step()/_clamp_wrap
-            eul_t = tile_view(eul_ref, sl)
-            ua = eul_t[0]
-            va = eul_t[1]
-            cxt = tile_view(cx_ref, sl)[0]
-            u_t = vals_buf[0]
-            v_t = vals_buf[1]
-            u_n = vals_buf[2]
-            v_n = vals_buf[3]
-            py_t = py_t + a_y * (va + 2.0 * v_t - v_n)
-            px_t = px_t + b_x * cxt * (ua + 2.0 * u_t - u_n)
-            py_t = jnp.where(py_t > y_min, py_t, y_min)
-            py_t = jnp.where(py_t < y_max, py_t, y_max)
-            if upd["cyclic_x"]:
-                px_t = jnp.where(px_t > -180.0, px_t,
-                                 jnp.mod(px_t, 180.0))
-                px_t = jnp.where(px_t < 180.0, px_t,
-                                 -180.0 + jnp.mod(px_t, 180.0))
-            else:
-                px_t = jnp.where(px_t < x_min, x_min, px_t)
-                px_t = jnp.where(px_t > x_max, x_max, px_t)
-            out_t[0] = py_t
-            out_t[1] = px_t
-
-        @pl.when(n > 0)
-        def _(n=n, qs=qs, win_dma=win_dma, run_body=run_body):
-            # prologue: fill the nb-deep window prefetch ring (window
-            # starts are scalar-routed — position-independent, so every
-            # slot's DMA is issuable at any time)
-            for b in range(nb - 1):
-                @pl.when(b < n)
-                def _(b=b):
-                    for q in qs:
-                        win_dma(b, b, q).start()
-
-            def step(k, _, qs=qs):
-                slot = jax.lax.rem(k, jnp.asarray(nb, k.dtype))
-
-                @pl.when(k + nb - 1 < n)
-                def _():
-                    for q in qs:
-                        win_dma(jax.lax.rem(k + nb - 1,
-                                            jnp.asarray(nb, k.dtype)),
-                                k + nb - 1, q).start()
-
-                for q in qs:
-                    win_dma(slot, k, q).wait()
-                run_body(slot, k)
-                return 0
-
-            jax.lax.fori_loop(0, n, step, 0)
-
-
 # ---------------------------------------------------------------------------
 # XLA-side routing
 # ---------------------------------------------------------------------------
@@ -1265,8 +1043,8 @@ def _pole_eval_block(px_b, py_b, mask_b, raw_p, f0_arr, *, F, order,
     position block in exp2 row order ([0..order-1, ny-order..ny-1]):
     order-1 mode='constant' on the raw fields, 3-level y-window
     ladder over y0-sorted point slots.  Factored from the pole
-    section of pallas_interp_multi so the fused SETTLS path can
-    iterate it per fixed-point step (``pole_block=True``).  Returns
+    section of pallas_interp_multi so models/settls.py's hoisted
+    per-step pole loop can iterate it (``pole_block=True``).  Returns
     ``(blk_rows (F, 2*order, nx_t), pole_flag int32)``.
 
     ``presorted=True``: ``px_b``/``py_b``/``mask_b`` are (2, Mpad)
@@ -1422,6 +1200,14 @@ def _pole_eval_block(px_b, py_b, mask_b, raw_p, f0_arr, *, F, order,
             return (jnp.zeros((F, (S + 1) * TILE_R, TILE_C), dtype),
                     jnp.zeros((S, 1), jnp.int32))
 
+        # the cond is a measured WIN, not a skipped cleanup: an
+        # unconditional tallest-window pass (one launch, no conds) was
+        # tried round 4 and REGRESSED the flagship 0.911 -> 0.837
+        # fields/s (~0.46 ms/group — consistent with Mosaic
+        # if-converting the dead slots' pl.when bodies, so all S slots
+        # pay the tall-window compute on every gather even when the
+        # escalation list is empty).  Cond-skipping the whole launch
+        # keeps the common empty case free.
         blk, pflags = jax.lax.cond(count > 0, go, skip,
                                    nl, jx, jx_out, y0v)
         ran = jnp.zeros((S + 1,), jnp.int32).at[jx_out].max(
@@ -1623,7 +1409,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                         engine: str = "auto",
                         interpret: bool = False,
                         debug_flags: bool = False,
-                        settls_upd=None, pole_block: bool = False,
+                        pole_block: bool = False,
                         pole_presorted: bool = False,
                         skip_pole: bool = False):
     """Evaluate F stacked fields at parcel positions — the TPU fast path.
@@ -1689,8 +1475,8 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     wx_full = nx_t + 128   # full-x slab: covers folded taps up to nx+1
 
     if pole_block:
-        # ---- pole-rows-only fast path (fused SETTLS + the hoisted
-        # per-step pole loop of models/settls.py): ``px``/``py`` are the
+        # ---- pole-rows-only fast path (the hoisted per-step pole loop
+        # of models/settls.py): ``px``/``py`` are the
         # (2*order, nx) pole-row position block in exp2 row order
         # ([0..order-1, ny-order..ny-1]) — or, with
         # ``pole_presorted=True``, (2, Mpad) flat per-side lists already
@@ -1722,16 +1508,6 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             return blk_rows, pole_flag          # (F, 2, Mpad) sorted
         return blk_rows[:, :, :nx], pole_flag
 
-    fused = settls_upd is not None
-    if fused:
-        # fused SETTLS iterates require the manual-DMA engine over every
-        # tile (window slack + in-kernel updates live there) and the
-        # plain single-chip block layout
-        assert engine == "dma-all" and not debug_flags \
-            and home_rows is None and retry_tiles > 0, \
-            "settls_upd requires engine='dma-all' single-chip routing"
-        slack_y, slack_x = _env_pair("LCS_FUSE_SLACK", "8,16", cast=int)
-
     def pad_pos(p):
         return jnp.pad(p, ((0, ny_t - R), (0, nx_t - nx)), mode="edge")
 
@@ -1746,7 +1522,24 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     # escalations, and (worse) make the XLA-routing vs Mosaic-kernel fold
     # arithmetic diverge by O(ulp(|x|)/cell) = dozens of cells, raising
     # phantom overflow flags.  The spline path never needs these rows.
-    if order > 0 and R > 2 * order:
+    if order > 0 and R > 2 * order and home_rows is None and R == ny:
+        # single-chip blocks: the substitution map is STATIC (rows
+        # 0..order-1 -> row ``order``, rows ny-order.. -> row
+        # ny-1-order), so build it from slices + broadcasts instead of a
+        # full-grid row gather — the gather ran in EVERY gather group
+        # (2 + settls_order per step) over the ~4 MB position arrays
+        def _sub_rows(p):
+            return jnp.concatenate(
+                [jnp.broadcast_to(p[order:order + 1], (order, nx)),
+                 p[order:ny - order],
+                 jnp.broadcast_to(p[ny - 1 - order:ny - order],
+                                  (order, nx))], axis=0)
+
+        px_sp = _sub_rows(px)
+        py_sp = _sub_rows(py)
+        safe_idx = jnp.clip(jnp.arange(R, dtype=jnp.int32), order,
+                            ny - 1 - order)
+    elif order > 0 and R > 2 * order:
         hrow = (jnp.arange(R, dtype=jnp.int32) if home_rows is None
                 else home_rows[:, 0].astype(jnp.int32))
         safe_idx = jnp.clip(
@@ -1778,65 +1571,6 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         return (t.min(axis=(1, 3)).astype(jnp.int32),
                 t.max(axis=(1, 3)).astype(jnp.int32))
 
-    if fused:
-        # per-PARCEL predicted per-iterate positions, in scaled index
-        # cells (quirk Q3's cumulative form displaces each iterate by
-        # ~ one full Euler step dt*cx*ua — see _fused_engine_kernel).
-        # pole-home rows' conv_x is the reference's 1/cos blowup (~1e10)
-        # — a drift poisoned by them would fling the whole tile's
-        # windows.  Substitute the nearest safe row, exactly like the
-        # position substitution above (the engine's pole-row outputs
-        # are overwritten by the caller's pole loop either way).
-        ua_pp = pad_pos(jnp.take(settls_upd["eul"][0], safe_idx, axis=0))
-        va_pp = pad_pos(jnp.take(settls_upd["eul"][1], safe_idx, axis=0))
-        cx_pp = pad_pos(jnp.take(settls_upd["cx"], safe_idx, axis=0))
-        sc_j = jnp.asarray(settls_upd["sc"], dtype).reshape(1, 2)
-        dt_j = 2.0 * sc_j[0, 1]
-        dxi = jnp.nan_to_num(dt_j * cx_pp * ua_pp
-                             * (nx / (x_max - x_min)))
-        dyi = jnp.nan_to_num(dt_j * (sc_j[0, 0] / sc_j[0, 1]) * va_pp
-                             * (ny / (y_max - y_min)))
-        K_f = int(settls_upd["n_iters"])
-        # predicted iterate-k folds: per-parcel p + k*d — the tile SPAN
-        # of these already carries the within-tile drift spread that the
-        # first fused design had to bound analytically; the remaining
-        # error is the temporal/advective wind drift the Euler winds
-        # can't see, covered by a slack RAMP (LCS_FUSE_SLACK = the
-        # last-iterate absolute totals, for decorrelated small-scale
-        # variation) plus a RELATIVE term scaling with the tile's own
-        # drift magnitude (LCS_FUSE_REL "rel_y,rel_x" — advective error
-        # is roughly proportional to how far the winds carry a parcel
-        # per iterate), and guarded by the in-kernel tap bounds check.
-        # Iterate 0 routes from the exact folds.
-        fold_preds = [(_fold(yi + it_ * dyi, ny), _fold(xi + it_ * dxi,
-                                                        nx))
-                      for it_ in range(1, K_f)]
-        rel_y, rel_x = _env_pair("LCS_FUSE_REL", "0.2,0.35")
-
-        def _dil3(a):
-            # 3x3 tile-neighborhood max: a slow tile's parcels can drift
-            # INTO a fast neighbor's flow (reachable range < one tile),
-            # which the tile's own drift max cannot see
-            p = jnp.pad(a, ((1, 1), (1, 1)), mode="edge")
-            return jnp.max(jnp.stack(
-                [p[dy_:dy_ + gy, dx_:dx_ + gx]
-                 for dy_ in range(3) for dx_ in range(3)]), 0)
-
-        ady_t = _dil3(jnp.max(jnp.abs(dyi).reshape(gy, TILE_R, gx,
-                                                   TILE_C), axis=(1, 3)))
-        adx_t = _dil3(jnp.max(jnp.abs(dxi).reshape(gy, TILE_R, gx,
-                                                   TILE_C), axis=(1, 3)))
-
-        def _fuse_slack(it_):
-            """Per-tile (gy, gx) int32 y/x slacks for iterate ``it_``."""
-            den = max(K_f - 1, 1)
-            sy = -(-it_ * slack_y // den) + jnp.ceil(
-                jnp.minimum(rel_y * it_ * ady_t, 2.0 * ny)
-            ).astype(jnp.int32)
-            sx = -(-it_ * slack_x // den) + jnp.ceil(
-                jnp.minimum(rel_x * it_ * adx_t, 2.0 * nx)
-            ).astype(jnp.int32)
-            return sy, sx
     folds = jnp.stack([yfold, xfold])      # one packed position operand
 
     yfmn, yfmx = _fold_floor_mm(yfold, ny)
@@ -1909,29 +1643,6 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     ladder = [(min(wy_, wy_cap),
                None if wx_ is None else min(wx_, wx_cap), cap)
               for wy_, wx_, cap in ladder]
-    if fused:
-        # the fused engine iterates LIVE slots only, so dead capacity is
-        # free on device — but each per-iterate plan carries its OWN
-        # slot lists in the 1 MiB SMEM scalar-prefetch budget, so caps
-        # are demand-scaled rather than all-n_tiles: windowed tiers at
-        # >= n/4, full-x at >= n/2 (their summed capacity >= n holds the
-        # instant-whirl worst case where one step escalates everything).
-        # Also densify the tall full-longitude coverage: whirl tiles
-        # land between the 64- and 192-row windows, and the 192-row
-        # one-hot slab is ~3x a 96-row one's area.  Full-x tiers are
-        # re-sorted ascending so first-fit picks the cheapest.
-        win_x = [t for t in ladder if t[1] is not None]
-        fullx = [t for t in ladder if t[1] is None]
-        have = {t[0] for t in fullx}
-        for wy_e in (96, 128):
-            if wy_e not in have and wy_e <= wy_cap:
-                fullx.append((wy_e, None, 0))
-        fullx = sorted(fullx, key=lambda t: t[0])
-        ladder = ([(w, x, min(n_tiles, max(c, n_tiles // 4)))
-                   for (w, x, c) in win_x]
-                  + [(w, None, min(n_tiles, max(c, n_tiles // 2)))
-                     for (w, _x, c) in fullx])
-
     # lowest tap offset after mirror remaps is mn-2 (order 3, fold >= n-1
     # case of _tap_offsets) / mn-1 (order 1); highest is mx+2
     m = 2 if order == 3 else 1
@@ -1947,9 +1658,7 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     def fit_many(specs, ymn_f, ymx_f, xmn_f, xmx_f, slop_f, ulp_f):
         """Batched window routing for all (wy, wx) tier specs at once:
         one (T, gy, gx) op chain instead of a per-tier chain — the
-        routing runs 5x per step, so per-op launch overhead adds up.
-        Spans/slops are arguments so the fused path can route each
-        SETTLS iterate's predicted spans through the same machinery."""
+        routing runs 5x per step, so per-op launch overhead adds up."""
         wy_a = jnp.asarray([s[0] for s in specs]).reshape(-1, 1, 1)
         ysb = jnp.clip(((ymn_f[None] - slop_f[None] + ypad) // 8) * 8, 0,
                        ((ny + 2 * ypad - wy_a) // 8) * 8)
@@ -1985,20 +1694,16 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     half_tile = (half_tile and retry_tiles > 0
                  and os.environ.get("LCS_HALF_TILE", "1") != "0")
 
-    def sub_fit(xfold_f, y0A_f, ymn_f, ymx_f, slop_f, ulp_f, sx_ex=0):
+    def sub_fit(xfold_f, y0A_f, ymn_f, ymx_f, slop_f, ulp_f):
         """A-sub routing for one fold set: per-32-lane-sub-block tap
         spans, (wy, 128) window starts, and the combined fit mask
-        (y uses tier A's window/starts).  ``sx_ex``: extra symmetric x
-        slack (fused predicted-iterate routing)."""
+        (y uses tier A's window/starts)."""
         xt = xfold_f.reshape(gy, TILE_R, gx, N_SUB, _SUBW)
         anchor2 = xt[:, :1, :, :, :1]
         k2 = _unwrap_k(xt, anchor2, nx)
         f2 = jnp.floor(xt).astype(jnp.int32) + nx * k2
-        sx_e = jnp.asarray(sx_ex)
-        if sx_e.ndim == 2:                    # per-tile (gy, gx) slack
-            sx_e = sx_e[..., None]
-        xmn2 = jnp.min(f2, axis=(1, 4)) - sx_e             # (gy,gx,NS)
-        xmx2 = jnp.max(f2, axis=(1, 4)) + sx_e
+        xmn2 = jnp.min(f2, axis=(1, 4))                    # (gy,gx,NS)
+        xmx2 = jnp.max(f2, axis=(1, 4))
         slop2 = slop_f[..., None]
         ulp2 = ulp_f[..., None]
         xs2 = jnp.clip(((xmn2 - slop2 + xpad) // X_GRAN) * X_GRAN, 0,
@@ -2168,182 +1873,6 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
     elif retry_tiles > 0:
         uncovered = jnp.sum(~fit_base)
         overflow = overflow | ((uncovered > 0).astype(jnp.int32) << 1)
-
-    if fused:
-        # ---- fused SETTLS-iterate engine: per-(tile, iterate) routed
-        # sections, iterate-major (see _fused_engine_kernel).  Iterate 0
-        # reuses the exact-fold plan computed above; iterates 1..K-1
-        # route the per-parcel PREDICTED folds through the same
-        # fit/assign machinery with a ramped prediction-error slack.
-        # Positions at pole home rows are the substituted copies — the
-        # caller overwrites them from its own pole iterate loop. ----
-        def it_sections(it_, fitA_i, y0A_i, x0A_i, fitA2_i, xs2_i,
-                        plan_i, covered_i, edge_t_i, edge_y_t_i):
-            liveA_i = (fitA_i | ~covered_i) & ~fitA2_i
-            flatA = liveA_i.ravel().astype(jnp.int32)
-            selA = jnp.nonzero(flatA, size=n_tiles,
-                               fill_value=0)[0].astype(jnp.int32)
-            secs = [(it_, "spline", selA, jnp.sum(flatA), y0A_i, x0A_i,
-                     None, wy, wx, n_tiles, 2, edge_t_i)]
-            if half_tile:
-                flat2 = fitA2_i.ravel().astype(jnp.int32)
-                sel2 = jnp.nonzero(flat2, size=n_tiles,
-                                   fill_value=0)[0].astype(jnp.int32)
-                secs.append((it_, "sub", sel2, jnp.sum(flat2), y0A_i,
-                             None, xs2_i, wy, None, n_tiles, 2,
-                             edge_t_i))
-            for t_i, (selT, cntT, ysT, xsT, wy_, wx_, cap) in \
-                    enumerate(plan_i):
-                # full-x tiles read the mirror-baked slab: only the Y
-                # axis can need the one-hot mirror path
-                secs.append((it_, "spline", selT, cntT, ysT, xsT, None,
-                             wy_, wx_, cap, 5 + t_i,
-                             edge_y_t_i if wx_ is None else edge_t_i))
-            return secs
-
-        sections = it_sections(0, fitA, y0A, x0A, fitA2,
-                               xs2 if half_tile else None, tier_plan,
-                               covered, edge_t, edge_y_t)
-        for it_ in range(1, K_f):
-            yf_i, xf_i = fold_preds[it_ - 1]
-            sy_i, sx_i = _fuse_slack(it_)
-            ymn_i, ymx_i = _tile_minmax(yf_i, ny)
-            xmn_i, xmx_i = _tile_minmax(xf_i, nx)
-            ymn_i = ymn_i - sy_i
-            ymx_i = ymx_i + sy_i
-            xmn_i = xmn_i - sx_i
-            xmx_i = xmx_i + sx_i
-            # mirror-edge zone widened by the slack: if the ACTUAL fold
-            # exceeds the predicted span by more than the slack, the
-            # window-fit bounds check flags; within it, this margin
-            # keeps the edge classification conservative
-            yfmn_i, yfmx_i = _fold_floor_mm(yf_i, ny)
-            xfmn_i, xfmx_i = _fold_floor_mm(xf_i, nx)
-            me_i = 1 + sy_i
-            mex_i = 1 + sx_i
-            edge_y_i = ((yfmn_i <= me_i)
-                        | (yfmx_i >= ny - 2 - me_i)).astype(jnp.int32)
-            edge_i = (edge_y_i | (xfmn_i <= mex_i)
-                      | (xfmx_i >= nx - 2 - mex_i)).astype(jnp.int32)
-            ulp_i = jnp.where(edge_i > 0, 2, 1)
-            slop_i = m + ulp_i
-            fits_i = fit_many(fit_specs, ymn_i, ymx_i, xmn_i, xmx_i,
-                              slop_i, ulp_i)
-            fitA_i, y0A_i, x0A_i = fits_i[0]
-            fitA2_i = jnp.zeros((gy, gx), bool)
-            xs2_i = None
-            if half_tile:
-                fitA2_i, xs2_i = sub_fit(xf_i, y0A_i, ymn_i, ymx_i,
-                                         slop_i, ulp_i, sx_ex=sx_i)
-            if len(ladder):
-                plan_i, covered_i, uncov_i, _tk_i = assign_plan(
-                    fits_i[1:], fitA_i | fitA2_i)
-                overflow = overflow | \
-                    ((uncov_i > 0).astype(jnp.int32) << 1)
-            else:
-                plan_i, covered_i = [], jnp.zeros((gy, gx), bool)
-            sections += it_sections(it_, fitA_i, y0A_i, x0A_i, fitA2_i,
-                                    xs2_i, plan_i, covered_i, edge_i,
-                                    edge_y_i)
-
-        iy_l, jx_l, y0_l, x0_l, ed_l = [], [], [], [], []
-        x0q_l = []          # compact: only "sub" sections carry quarters
-        counts_l, tiers_static, flag_bits = [], [], []
-        seg_off, sub_off = [], []
-        off = 0
-        qoff = 0
-        for (it_, kind, selT, cntT, ysT, xsT, xqT, wy_, wx_, cap,
-             bit, edge_src) in sections:
-            iyT = (selT // gx).astype(jnp.int32)
-            jxT = (selT - gx * iyT).astype(jnp.int32)
-            iy_l.append(iyT)
-            jx_l.append(jxT)
-            y0_l.append(ysT[iyT, jxT])
-            x0_l.append(jnp.zeros((cap,), jnp.int32) if xsT is None
-                        else xsT[iyT, jxT])
-            if kind == "sub":
-                x0q_l.append(xqT[iyT, jxT])
-                sub_off.append(qoff)
-                qoff += cap
-            else:
-                sub_off.append(0)
-            ed_l.append(edge_src[iyT, jxT])
-            counts_l.append(cntT)
-            tiers_static.append((it_, kind, wy_, wx_))
-            flag_bits.append(bit)
-            seg_off.append(off)
-            off += cap
-        wymax = max(t[2] for t in tiers_static)
-        wxmax = max((N_SUB * 128 if t[1] == "sub"
-                     else (wx_full if t[3] is None else t[3]))
-                    for t in tiers_static)
-        nb_e = int(os.environ.get("LCS_ENGINE_NB", "3"))
-        T_n_f = len(tiers_static)
-        pos_in = jnp.stack([pyt, pxt])
-        eul_in = jnp.stack([ua_pp, va_pp])
-        x0q_cat = (jnp.concatenate(x0q_l, axis=0).astype(jnp.int32
-                                                         ).reshape(-1)
-                   if x0q_l else jnp.zeros((N_SUB,), jnp.int32))
-        # Projected SMEM footprint of the scalar-prefetch operands
-        # (5 int32 lists of ``off`` slots + compact x0q + counts + f0 +
-        # sc).  The budget is 1 MiB and the unfused engine already
-        # overflowed it once (ROUND3_NOTES session 5); fail loudly at
-        # trace time with the knobs to shrink instead of an opaque
-        # Mosaic allocation error at compile time.
-        smem_proj = 4 * (5 * off + int(x0q_cat.size) + len(sections)
-                         + int(f0_arr.size) + 2) + 1024
-        if smem_proj > 900 * 1024:
-            raise ValueError(
-                f"fused-engine scalar prefetch projects {smem_proj} B of "
-                f"SMEM (> 900 KiB of the 1 MiB budget): {len(sections)} "
-                f"sections, {off} slots, {int(x0q_cat.size)} sub-quarter "
-                f"ints at K_f={K_f} iterates. Shrink the ladder caps "
-                f"(LCS_LADDER / LCS_SORT_LADDER) or disable LCS_FUSE.")
-        kern_f = partial(
-            _fused_engine_kernel, body=body, F=F,
-            tiers=tuple(tiers_static), seg_off=tuple(seg_off),
-            sub_off=tuple(sub_off), ypad=ypad, xpad=xpad,
-            wx_full=wx_full, common=common,
-            upd=dict(x_min=float(x_min), x_max=float(x_max),
-                     y_min=float(y_min), y_max=float(y_max),
-                     cyclic_x=bool(settls_upd.get("cyclic_x", True))),
-            nb=nb_e)
-        full_spec = pl.BlockSpec((2, ny_t, nx_t), lambda *_: (0, 0, 0),
-                                 memory_space=pltpu.VMEM)
-        pos_out, eflags = pl.pallas_call(
-            kern_f,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=8,
-                grid=(1,),
-                in_specs=[full_spec, full_spec, full_spec,
-                          pl.BlockSpec((1, ny_t, nx_t),
-                                       lambda *_: (0, 0, 0),
-                                       memory_space=pltpu.VMEM),
-                          pl.BlockSpec((1, 2), lambda *_: (0, 0),
-                                       memory_space=pltpu.SMEM),
-                          pl.BlockSpec(memory_space=pl.ANY)],
-                out_specs=[full_spec,
-                           pl.BlockSpec((T_n_f, 1),
-                                        memory_space=pltpu.SMEM)],
-                scratch_shapes=[
-                    pltpu.VMEM((nb_e, 1, F, wymax, wxmax), dtype),
-                    pltpu.SemaphoreType.DMA((nb_e, N_SUB)),
-                    pltpu.VMEM((F, TILE_R, TILE_C), dtype),
-                ]),
-            out_shape=[jax.ShapeDtypeStruct((2, ny_t, nx_t), dtype),
-                       jax.ShapeDtypeStruct((T_n_f, 1), jnp.int32)],
-            interpret=interpret,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=120 * 1024 * 1024),
-        )(jnp.stack(counts_l).astype(jnp.int32),
-          jnp.concatenate(iy_l), jnp.concatenate(jx_l),
-          jnp.concatenate(y0_l).astype(jnp.int32),
-          jnp.concatenate(x0_l).astype(jnp.int32),
-          x0q_cat, jnp.concatenate(ed_l).astype(jnp.int32), f0_arr,
-          folds, pos_in, eul_in, cx_pp[None], sc_j, cw_pad)
-        for t_i in range(T_n_f):
-            overflow = overflow | (eflags[t_i, 0] << flag_bits[t_i])
-        return pos_out[:, :R, :nx], overflow
 
     # ---- tier A: 2-D grid over all tiles; unrouted/uncovered tiles also
     # run here (clamped windows, flag raised by the in-kernel check).

@@ -28,3 +28,24 @@ jax.config.update("jax_enable_x64", True)
 # compiles cost ~2x suite time but cannot crash the process.  The TPU-side
 # cache (bench.py, tests_tpu/, tools/) serializes TPU executables and is
 # unaffected.
+
+
+def pytest_collection_modifyitems(config, items):
+    """Mark the measured-slow tests (call time >= 20 s on the 8-device
+    CPU mesh, tests/slow_tests.txt — regenerate from
+    ``pytest --durations=0``) so build sessions can iterate on a quick
+    tier with ``-m "not slow"`` (~5 min) while the full suite stays
+    canonical.  Unmatched stale entries are ignored."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    try:
+        with open(path) as f:
+            slow = {ln.strip() for ln in f if ln.strip()}
+    except OSError:
+        return
+    import pytest as _pytest
+    for item in items:
+        nodeid = item.nodeid.replace("\\", "/")
+        if nodeid in slow or f"tests/{nodeid}" in slow:
+            item.add_marker(_pytest.mark.slow)

@@ -46,14 +46,11 @@ def flagship_winds(grid, nt=33):
 
 
 # (name, engine, half_tile, pallas_wy, pole_ladder, unroll, fuse)
-# fuse: LCS_FUSE (per-(tile, iterate) routed fused SETTLS engine) +
-# optional LCS_FUSE_SLACK last-iterate totals ("y,x")
+# fuse: always None — the fused-iterate engine was deleted round 4
+# (measured-broken + premise falsified; see models/settls.py).
 # Round-3 honest re-sweep: the env-only legs of the round-2 sweep
-# (head-u2/u4, head-pole8, dmaall-half0, head-fuse*) silently reused
-# head's trace (see the clear_caches note below) and must be re-measured.
-# Fuse legs dropped: the genuinely-fused flagship run overflows (0xa0,
-# bench.py 2026-08-20) — the predicted-iterate windows under-slack on the
-# 8-day flagship; and its upside was only the per-launch floor.
+# (head-u2/u4, head-pole8, dmaall-half0) silently reused head's trace
+# (see the clear_caches note below) and must be re-measured.
 CONFIGS = [
     ("head",         "dma-all",   True,  32, "16,160,288", 1, None),
     ("head-u2",      "dma-all",   True,  32, "16,160,288", 2, None),
@@ -83,25 +80,23 @@ CONFIGS_R2 = [
     ("u2-pole24",      "dma-all", True,  32, "24,160,288", 2, None),
 ]
 
-# round-4 legs (LCS_ROUND4_LEGS=1): fused-iterate engine slack
-# escalation on top of the u2bx16-pole32 winner.  The fused flagship run
-# at slack 16,32 OVERFLOWED (0xa0 — ladder-tier tap clamps from
-# under-predicted iterate windows); these legs find the smallest slack
-# that is exact (flag 0) and whether it still beats unfused — the
-# fix-or-delete experiment for the fused substrate (VERDICT round-3
-# task 2a).  Flagged legs are auto-EXCLUDED by the harness below.
+# round-4 legs (LCS_ROUND4_LEGS=1): sort cadence/bucket re-cross after
+# the cond-free unrolled scan body + single-pass pole escalation (the
+# old sortk1/bx legs were measured under the per-step lax.cond regime
+# the round-4 rework removed).  fuse column retained as None-only (the
+# fused engine was deleted round 4).
 CONFIGS_R4 = [
-    ("u2bx16-pole32", "dma-all", True, 32, "32,160,288", 2, None,
+    ("head",          "dma-all", True, 32, "32,160,288", 2, None,
      {"LCS_SORT_BX": "16"}),
-    ("fuse-s16-32",   "dma-all", True, 32, "32,160,288", 2, "16,32",
+    ("sortk1",        "dma-all", True, 32, "32,160,288", 2, None,
+     {"LCS_SORT_BX": "16", "LCS_SORT_K": "1"}),
+    ("bx8",           "dma-all", True, 32, "32,160,288", 2, None,
+     {"LCS_SORT_BX": "8"}),
+    ("sortk1-bx8",    "dma-all", True, 32, "32,160,288", 2, None,
+     {"LCS_SORT_BX": "8", "LCS_SORT_K": "1"}),
+    ("pole40",        "dma-all", True, 32, "40,160,288", 2, None,
      {"LCS_SORT_BX": "16"}),
-    ("fuse-s24-48",   "dma-all", True, 32, "32,160,288", 2, "24,48",
-     {"LCS_SORT_BX": "16"}),
-    ("fuse-s32-64",   "dma-all", True, 32, "32,160,288", 2, "32,64",
-     {"LCS_SORT_BX": "16"}),
-    ("fuse-s24-48-rel", "dma-all", True, 32, "32,160,288", 2, "24,48",
-     {"LCS_SORT_BX": "16", "LCS_FUSE_REL": "0.4,0.7"}),
-    ("fuse-s48-96",   "dma-all", True, 32, "32,160,288", 2, "48,96",
+    ("pole24-192",    "dma-all", True, 32, "24,160,192", 2, None,
      {"LCS_SORT_BX": "16"}),
 ]
 
@@ -144,12 +139,6 @@ def main():
             os.environ.pop(k_p, None)
         for k_e, v_e in extra_env.items():
             os.environ[k_e] = v_e
-        if fuse is None:
-            os.environ.pop("LCS_FUSE", None)
-            os.environ.pop("LCS_FUSE_SLACK", None)
-        else:
-            os.environ["LCS_FUSE"] = "1"
-            os.environ["LCS_FUSE_SLACK"] = fuse
         # env knobs are read at TRACE time, and ftle_pipeline /
         # parcel_propagation_core are themselves jitted: two legs with
         # identical static args would silently REUSE the first leg's
@@ -192,8 +181,8 @@ def main():
         except Exception as e:  # noqa: BLE001 — report and move on
             print(f"{name:14} FAILED: {type(e).__name__}: {str(e)[:300]}",
                   flush=True)
-    for k in ("LCS_HALF_TILE", "LCS_POLE_LADDER", "LCS_FUSE",
-              "LCS_FUSE_SLACK", "LCS_ENGINE_UNROLL", "LCS_ENGINE_NB",
+    for k in ("LCS_HALF_TILE", "LCS_POLE_LADDER",
+              "LCS_ENGINE_UNROLL", "LCS_ENGINE_NB",
               "LCS_SORT_K", "LCS_SORT_BX", "LCS_SORT_LAT"):
         os.environ.pop(k, None)
 
@@ -213,8 +202,6 @@ def main():
             "half_tile": bool(spec[2]),
             "wy": int(spec[3]),
             "pole_ladder": spec[4],
-            "fuse": spec[6] is not None,
-            "fuse_slack": spec[6],
             # trace-time env knobs of the winner (unroll + extras);
             # bench.py setdefaults these before tracing
             "env": {**({"LCS_ENGINE_UNROLL": str(spec[5])}
@@ -228,7 +215,7 @@ def main():
         with open(path, "w") as f:
             json.dump(rec, f)
         print(f"wrote {path}: {best} -> engine={spec[1]} half={spec[2]} "
-              f"wy={spec[3]} pole={spec[4]} fuse={spec[6]}", flush=True)
+              f"wy={spec[3]} pole={spec[4]}", flush=True)
 
 
 if __name__ == "__main__":

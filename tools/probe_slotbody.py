@@ -147,6 +147,25 @@ def patch(variant):
         sub("_unwrap_k",
             lambda fold_c, anchor, n:
             jnp.zeros(fold_c.shape, jnp.int32))
+    elif variant == "intonehot":
+        # interior basis via trivial-offset one-hot (floor+k taps, no
+        # mirror chains): 3 W-passes per tap (12 for order 3) vs the
+        # ~14-pass piecewise _bspline3 lane evaluation.  Numerically the
+        # same weights (see _tap_weights docstring) — implementable for
+        # real if it wins.
+        def onehot_direct(pos_rel, iota, order):
+            ff = jnp.floor(pos_rel)
+            t = pos_rel - ff
+            ws = pi._cubic_w(t) if order == 3 else (1.0 - t, t)
+            ks = (-1, 0, 1, 2) if order == 3 else (0, 1)
+            f0 = ff.astype(jnp.int32)
+            acc = None
+            for k, w in zip(ks, ws):
+                oc = (f0 + k)[..., None]
+                term = jnp.where(iota == oc, w[..., None], 0.0)
+                acc = term if acc is None else acc + term
+            return acc
+        sub("_basis_direct", onehot_direct)
     elif variant == "combo":
         # noflag + nofinish + nobasis together (tests additivity)
         sub("_tap_offsets",
