@@ -83,18 +83,30 @@ def ftle_series(u, v, timestep: float, *, window: int, stride: int = 1,
     kern = _resolve_kernel(kernel, int(interp_order))
     dtype = np.float32 if kern == "pallas" else np.float64
     if batch == "auto":
-        # pallas at production scale (>= ~0.5deg global): one field per
-        # program (see docstring); everything else batches through vmap
+        # pallas at flagship scale: one field per program (see
+        # docstring).  Measured boundary (tools/probe_batch.py --sweep,
+        # v5e 2026-08-21): vmapped B=2 compiles and runs clean at the
+        # 0.5-degree global grid (361x720) but the 0.25-degree (721x1440)
+        # B=2 program crashes the device compile toolchain — the failure
+        # is program size, not a vmap-of-pallas feature gap.
         batch = 1 if (kern == "pallas"
-                      and grid.shape[0] * grid.shape[1] >= 256 * 512) else 8
+                      and grid.shape[0] * grid.shape[1] > 512 * 1024) else 8
     batch = max(1, int(batch))
 
     import jax
 
+    # upload the whole wind record ONCE and slice windows on device:
+    # re-uploading each (overlapping) window from host was measured at
+    # ~5-20 s/field through the axon tunnel (tools/probe_series.py,
+    # 274 MB per flagship window) — the transfer, not the compute,
+    # dominated the series
+    ud = jnp.asarray(np.asarray(ud), dtype=dtype)
+    vd = jnp.asarray(np.asarray(vd), dtype=dtype)
+
     def run_single(us, vs):
         # plain (un-vmapped) single-field program — ftle_pipeline is
         # itself jitted, so repeated calls reuse one executable
-        return ftle_pipeline(jnp.asarray(us), jnp.asarray(vs), timestep,
+        return ftle_pipeline(us, vs, timestep,
                              grid, settls_order=settls_order,
                              interp_order=interp_order, sigma=sigma,
                              compat=compat, kernel=kern,
@@ -113,8 +125,8 @@ def ftle_series(u, v, timestep: float, *, window: int, stride: int = 1,
     with timed_stage(f"FTLE series: {len(starts)} windows"):
         for chunk_start in range(0, len(starts), batch):
             chunk = starts[chunk_start:chunk_start + batch]
-            ub = np.stack([ud[s:s + window] for s in chunk]).astype(dtype)
-            vb = np.stack([vd[s:s + window] for s in chunk]).astype(dtype)
+            ub = jnp.stack([ud[s:s + window] for s in chunk])
+            vb = jnp.stack([vd[s:s + window] for s in chunk])
             if mesh is not None:
                 from .parallel.pipeline import ftle_batch
                 out = ftle_batch(ub, vb, timestep, grid, mesh,
@@ -122,7 +134,8 @@ def ftle_series(u, v, timestep: float, *, window: int, stride: int = 1,
                                  interp_order=interp_order, sigma=sigma,
                                  compat=compat)
             elif len(chunk) == 1:
-                out, overflow = run_single(ub[0], vb[0])
+                out, overflow = run_single(ud[chunk[0]:chunk[0] + window],
+                                           vd[chunk[0]:chunk[0] + window])
                 out = np.asarray(out)[None]
                 warn_overflow(overflow, chunk)
             else:
@@ -131,8 +144,7 @@ def ftle_series(u, v, timestep: float, *, window: int, stride: int = 1,
                     interp_order=interp_order, sigma=sigma, compat=compat,
                     kernel=kern, return_overflow=True))
                 try:
-                    out, overflow = jax.jit(fn)(jnp.asarray(ub),
-                                                jnp.asarray(vb))
+                    out, overflow = jax.jit(fn)(ub, vb)
                     out = np.asarray(out)
                 except Exception as e:  # noqa: BLE001 — vmapped flagship
                     # programs can exceed the device compiler's size

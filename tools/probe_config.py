@@ -98,6 +98,8 @@ CONFIGS_R4 = [
      {"LCS_SORT_BX": "16"}),
     ("pole24-192",    "dma-all", True, 32, "24,160,192", 2, None,
      {"LCS_SORT_BX": "16"}),
+    ("u3",            "dma-all", True, 32, "32,160,288", 3, None,
+     {"LCS_SORT_BX": "16"}),
 ]
 
 # third round on top of u2-bx16: sort-band width + pole level-1 height

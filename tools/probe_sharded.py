@@ -60,10 +60,10 @@ def main():
         res[name] = (out_h, dt)
     # compare interior rows only: pole-home rows carry reference-quirk
     # garbage (conv_x ~ 1e10 at |lat|=90 flings their parcels to O(2^27)
-    # deg — see pallas_interp_multi's pole-row docstring), and fused
-    # (sort-binned) vs sharded (no-sort) are DIFFERENT programs whose
-    # ulp-level splits 8-day chaos amplifies — garbage rows dominate a
-    # whole-field max.  FTLE agreement is asserted interior-only, like
+    # deg — see pallas_interp_multi's pole-row docstring), and the fused
+    # (band-sorted, pole-hoisted) vs sharded (group-sorted, in-gather
+    # pole path) programs differ at the ulp level, which 8-day chaos
+    # amplifies — garbage rows dominate a whole-field max.  FTLE agreement is asserted interior-only, like
     # bench.py's finiteness check.
     a, b = res["fused"][0], res["sharded-1dev"][0]
     d = np.nanmax(np.abs(a[2:-2] - b[2:-2]))
