@@ -260,7 +260,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 settls_order: int, interp_order: int, return_traj: bool,
                 row_offset=0, home_rows=None, kernel: str = "xla",
                 debug_per_step: bool = False, progress: bool = False,
-                rebin="auto",
+                rebin="auto", pole_seed=None,
                 pallas_wy: int = 32, pallas_wx: int = 256,
                 pallas_retry_tiles: int = 256,
                 pallas_retry_wy: int = 64,
@@ -297,6 +297,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
     conv_y = jnp.asarray(180.0 / (EARTH_RADIUS * np.pi), dtype=dtype)
     bounds = dict(y_min=grid.y_min, y_max=grid.y_max,
                   x_min=grid.x_min, x_max=grid.x_max, cyclic_x=grid.cyclic_x)
+    hoist_pole = hoist_shard = False
 
     # (A per-row cyclic roll-barrel "rebin=True" layout predated
     # sort-binning; it measured a loser on device — per-row compaction
@@ -389,10 +390,12 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
         # special case locates its candidate rows from the traced GLOBAL
         # home rows directly (see pallas_interp_multi).
 
-        def pallas_gather(t, px, py, nf, **kw):
+        def pallas_gather(t, px, py, nf, home_rows=home_rows, **kw):
             # the MXU contraction's N dim is F*WY, quantised at 128: the
             # F=2 Euler gathers get WY=64 base windows for free, halving
-            # their y-escalations.
+            # their y-escalations.  ``home_rows`` default-captures the
+            # block's rows; pole-block calls override it with None (the
+            # replicated pole block is globally addressed).
             wy_eff = max(pallas_wy, 128 // nf)
             return pallas_interp_multi(
                 W_p, CWP, px, py, ny=ny, nx=nx,
@@ -440,15 +443,43 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
         # guard + 4 cond sites/step cost more than the ~1 ms/group of
         # routing they skip, and the conds break XLA's cross-group
         # scheduling.  Deleted round 4; git history has the substrate.)
-        if hoist_pole:
+        # Sharded blocks get the same hoist (the measured +27.5% 1-dev
+        # shard gap was dominated by the in-gather pole machinery the
+        # single-chip path hoisted away — tools/probe_sharded.py,
+        # ROUND4_NOTES): the 2*order pole-home rows are integrated
+        # REPLICATED on every shard (winds are replicated, the block is
+        # (2*order, nx) — trivial compute), and each shard writes back
+        # only the rows it owns (mask/slot from the traced home_rows).
+        # ``pole_seed`` supplies the pole rows' initial mesh positions +
+        # conv factor (parallel/pipeline.py), since a shard's px0 block
+        # does not contain other shards' rows.
+        hoist_shard = (interp_order > 0 and home_rows is not None
+                       and pole_seed is not None
+                       and px0.ndim == 2 and px0.shape[-1] == nx_g
+                       and ny > 2 * interp_order
+                       and os.environ.get("LCS_POLE_HOIST", "1") == "1")
+        if hoist_pole or hoist_shard:
             from ..ops.pallas_interp import (pole_apply_perm,
                                              pole_sort_state,
                                              pole_unsort_rows)
-            pole_rows = np.r_[0:interp_order, ny - interp_order:ny]
             pole_geom = dict(order=interp_order, nx=nx)
             pole_scale = dict(order=interp_order, ny=ny, nx=nx,
                               y_min=grid.y_min, y_max=grid.y_max,
                               x_min=grid.x_min, x_max=grid.x_max)
+        if hoist_pole:
+            pole_rows = np.r_[0:interp_order, ny - interp_order:ny]
+        if hoist_shard:
+            pxp0_seed = jnp.asarray(pole_seed[0], dtype)
+            pyp0_seed = jnp.asarray(pole_seed[1], dtype)
+            cxp0_home = jnp.broadcast_to(
+                jnp.asarray(pole_seed[2], dtype), pxp0_seed.shape)
+            hr_vec = home_rows[:, 0].astype(jnp.int32)
+            shard_pole_mask = ((hr_vec < interp_order)
+                               | (hr_vec >= ny - interp_order))[:, None]
+            shard_pole_slot = jnp.clip(
+                jnp.where(hr_vec < interp_order, hr_vec,
+                          hr_vec - (ny - 2 * interp_order)),
+                0, 2 * interp_order - 1)
 
     else:
         def interp_multi(fields_coeffs_0, fields_coeffs_1, px, py):
@@ -468,6 +499,8 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
         if progress:
             jax.debug.callback(_progress_step, t, u.shape[0] - 1,
                                ordered=False)
+        if hoist_shard:
+            *carry, pxp_h, pyp_h = carry
         if sort_mode:
             px, py, cvx, perm, flag = carry
         else:
@@ -514,6 +547,18 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
             valsp, flp = pallas_gather(t, pxp, pyp, 2, pole_block=True,
                                        pole_presorted=True)
             fl = fl | flp
+        elif kernel == "pallas" and hoist_shard:
+            # replicated pole block (home layout in the carry) → sorted
+            # flat per-side lists, exactly the single-chip hoist
+            perm_p, inv_p = pole_sort_state(pxp_h, pyp_h, **pole_scale)
+            pxp = pole_apply_perm(pxp_h, perm_p, **pole_geom)
+            pyp = pole_apply_perm(pyp_h, perm_p, **pole_geom)
+            cxp = pole_apply_perm(cxp0_home, perm_p, **pole_geom)
+            arr, fl = pallas_gather(t, px, py, 2, skip_pole=True)
+            valsp, flp = pallas_gather(t, pxp, pyp, 2, home_rows=None,
+                                       pole_block=True,
+                                       pole_presorted=True)
+            fl = fl | flp
         elif kernel == "pallas":
             arr, fl = pallas_gather(t, px, py, 2)
         else:
@@ -525,7 +570,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
         py = py + dt * conv_y * va
         px = px + dt * cx * ua
         px, py = _clamp_wrap(px, py, **bounds)
-        if kernel == "pallas" and hoist_pole:
+        if kernel == "pallas" and (hoist_pole or hoist_shard):
             uap, vap = valsp[0], valsp[1]
             pyp = pyp + dt * conv_y * vap
             pxp = pxp + dt * cxp * uap
@@ -541,7 +586,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 # the (u, v) pairs at t and t+1 are adjacent in the
                 # resident (T*2, ...) stacks: one 4-field window at 2*t
                 dep, fl = pallas_gather(t, px, py, 4,
-                                        skip_pole=hoist_pole)
+                                        skip_pole=hoist_pole or hoist_shard)
             else:
                 dep, fl = interp_multi(A_tn, B_tn, px, py)
             flag = flag | fl
@@ -549,8 +594,8 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
             py = py + 0.5 * dt * conv_y * (va + 2.0 * v_t_d - v_n_d)
             px = px + 0.5 * dt * cx * (ua + 2.0 * u_t_d - u_n_d)
             px, py = _clamp_wrap(px, py, **bounds)
-            if kernel == "pallas" and hoist_pole:
-                depp, flp = pallas_gather(t, pxp, pyp, 4,
+            if kernel == "pallas" and (hoist_pole or hoist_shard):
+                depp, flp = pallas_gather(t, pxp, pyp, 4, home_rows=None,
                                           pole_block=True,
                                           pole_presorted=True)
                 flag = flag | flp
@@ -566,6 +611,17 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 pole_unsort_rows(pxp, inv_p, **pole_geom))
             py = py.at[pole_rows].set(
                 pole_unsort_rows(pyp, inv_p, **pole_geom))
+        elif kernel == "pallas" and hoist_shard:
+            # back to home layout; the block keeps the full replicated
+            # pole state in its carry and writes back only the rows it
+            # owns (mask/slot are in storage order — pole-home groups
+            # are never permuted by the shard sort)
+            pxp_h = pole_unsort_rows(pxp, inv_p, **pole_geom)
+            pyp_h = pole_unsort_rows(pyp, inv_p, **pole_geom)
+            px = jnp.where(shard_pole_mask,
+                           jnp.take(pxp_h, shard_pole_slot, axis=0), px)
+            py = jnp.where(shard_pole_mask,
+                           jnp.take(pyp_h, shard_pole_slot, axis=0), py)
 
         if return_traj:
             if sort_mode:
@@ -582,6 +638,8 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
             carry = (px, py, cvx, perm, flag)
         else:
             carry = (px, py, flag)
+        if hoist_shard:
+            carry = carry + (pxp_h, pyp_h)
         return carry, out
 
     nsteps = u.shape[0] - 1
@@ -593,6 +651,8 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
         perm0 = jax.lax.broadcasted_iota(jnp.int32, shp, 0) \
             * nx_g + jax.lax.broadcasted_iota(jnp.int32, shp, 1)
         carry0 = (px0, py0, conv_pc, perm0, flag0)
+    if hoist_shard:
+        carry0 = carry0 + (pxp0_seed, pyp0_seed)
     K_s = _sort_k()
     if sort_mode and nsteps % K_s == 0 and nsteps > 0:
         # K-step-unrolled scan body: the re-bin runs UNCONDITIONALLY at
@@ -617,10 +677,10 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
     else:
         carry, traj = jax.lax.scan(step, carry0, jnp.arange(nsteps))
     if sort_mode:
-        px, py, _cvx, perm, flag = carry
+        px, py, _cvx, perm, flag = carry[:5]
         px, py = _do_unsort((px, py), perm)
     else:
-        px, py, flag = carry
+        px, py, flag = carry[:3]
     if debug_per_step and not return_traj:
         return px, py, traj  # (nsteps,) cumulative per-step flags
 

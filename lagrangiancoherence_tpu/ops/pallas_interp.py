@@ -1537,8 +1537,6 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
 
         px_sp = _sub_rows(px)
         py_sp = _sub_rows(py)
-        safe_idx = jnp.clip(jnp.arange(R, dtype=jnp.int32), order,
-                            ny - 1 - order)
     elif order > 0 and R > 2 * order:
         hrow = (jnp.arange(R, dtype=jnp.int32) if home_rows is None
                 else home_rows[:, 0].astype(jnp.int32))

@@ -49,6 +49,23 @@ __all__ = ["ftle_sharded", "ftle_batch", "parcel_propagation_sharded"]
 EARTH_DEG = np.pi / 180.0
 
 
+def _pole_seed(grid: Grid, interp_order: int, kernel: str):
+    """Replicated pole-block seed for the sharded pole hoist
+    (models/settls.py ``hoist_shard``): initial mesh positions and the
+    home-latitude conv factor of the 2*order pole-home rows — a shard's
+    px0 block cannot supply other shards' rows, but the pole mesh rows
+    are deterministic from the grid."""
+    ny = grid.shape[0]
+    if kernel != "pallas" or interp_order <= 0 or ny <= 2 * interp_order:
+        return None
+    pr = np.r_[0:interp_order, ny - interp_order:ny]
+    pxg, pyg = grid.mesh_xy
+    conv_y = 180.0 / (6371000.0 * np.pi)
+    cpole = (conv_y / np.abs(np.cos(grid.lats[pr] * EARTH_DEG)))[:, None]
+    return (pxg[pr], pyg[pr],
+            np.broadcast_to(cpole, pxg[pr].shape).copy())
+
+
 def ftle_sharded(u, v, timestep, grid: Grid, mesh, *, settls_order: int = 0,
                  interp_order: int = 3, sigma=None, compat: bool = True,
                  kernel: str = "xla", return_overflow: bool = False):
@@ -100,6 +117,7 @@ def ftle_sharded(u, v, timestep, grid: Grid, mesh, *, settls_order: int = 0,
     dlon = float(grid.lons[1] - grid.lons[0])
     assert rows >= 2, (
         f"{rows} rows/shard < stencil halo width 2; use fewer devices")
+    pole_seed = _pole_seed(grid, interp_order, kernel)
 
     def block_fn(u_f, v_f, cu_f, cv_f, px0_b, py0_b, convx_b, lats_b,
                  home_b):
@@ -108,7 +126,8 @@ def ftle_sharded(u, v, timestep, grid: Grid, mesh, *, settls_order: int = 0,
                                   convx_b, grid, settls_order=settls_order,
                                   interp_order=interp_order,
                                   return_traj=False,
-                                  home_rows=home_b, kernel=kernel)
+                                  home_rows=home_b, kernel=kernel,
+                                  pole_seed=pole_seed)
         # max-reduce the per-shard overflow flag over the whole mesh so the
         # returned scalar is replicated (convention: the pallas overflow
         # flag is never dropped — see ops/pallas_interp.py)
@@ -223,12 +242,14 @@ def parcel_propagation_sharded(u, v, timestep, grid: Grid, mesh, *,
     conv_x_np = (conv_y / np.abs(np.cos(lats_pad * EARTH_DEG)))[:, None]
     dt = jnp.asarray(timestep, dtype=dtype)
 
+    pole_seed = _pole_seed(grid, interp_order, kernel)
+
     def block_fn(u_f, v_f, cu_f, cv_f, px0_b, py0_b, convx_b, home_b):
         out = settls_scan(u_f, v_f, cu_f, cv_f, px0_b, py0_b, dt,
                           convx_b, grid, settls_order=settls_order,
                           interp_order=interp_order,
                           return_traj=return_traj, home_rows=home_b,
-                          kernel=kernel)
+                          kernel=kernel, pole_seed=pole_seed)
         # max-reduce the overflow flag over the mesh → replicated scalar
         # (convention: the pallas overflow flag is never dropped)
         ovf = jax.lax.pmax(out[-1], tuple(mesh.axis_names))
@@ -268,14 +289,23 @@ def parcel_propagation_sharded(u, v, timestep, grid: Grid, mesh, *,
 
 def ftle_batch(u_batch, v_batch, timestep, grid: Grid, mesh, *,
                settls_order: int = 0, interp_order: int = 3, sigma=None,
-               compat: bool = True):
+               compat: bool = True, kernel: str = "xla",
+               return_overflow: bool = False):
     """Batched FTLE over independent wind fields (B, T, ny, nx), sharded over
     the ``"t"`` mesh axis — the animation workload's trivial data
-    parallelism (SURVEY.md §5 'long integration windows')."""
+    parallelism (SURVEY.md §5 'long integration windows').
+
+    ``return_overflow=True`` appends the per-window pallas overflow flags
+    (int32, shape (B,); always 0 on the XLA kernel) — convention: the
+    pallas overflow flag is never dropped (CLAUDE.md)."""
     fn = jax.vmap(lambda uu, vv: ftle_pipeline(
         uu, vv, timestep, grid, settls_order=settls_order,
-        interp_order=interp_order, sigma=sigma, compat=compat))
+        interp_order=interp_order, sigma=sigma, compat=compat,
+        kernel=kernel, return_overflow=True))
     sharded = NamedSharding(mesh, P("t", None, None, None))
     u_j = jax.device_put(jnp.asarray(u_batch), sharded)
     v_j = jax.device_put(jnp.asarray(v_batch), sharded)
-    return jax.jit(fn)(u_j, v_j)
+    out, overflow = jax.jit(fn)(u_j, v_j)
+    if return_overflow:
+        return out, overflow
+    return out

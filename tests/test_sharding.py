@@ -92,6 +92,18 @@ class TestBatchParity:
         np.testing.assert_allclose(out, np.broadcast_to(ref, out.shape),
                                    atol=1e-12)
 
+    def test_batched_overflow_flags(self):
+        """``return_overflow=True`` yields per-window int flags, all zero on
+        the XLA kernel (never-drop-the-flag convention, CLAUDE.md)."""
+        u, v, grid = vortex_case()
+        ub = np.stack([u] * 4)
+        vb = np.stack([v] * 4)
+        out, flags = ftle_batch(ub, vb, -6 * 3600.0, grid, batch_mesh(4),
+                                settls_order=1, return_overflow=True)
+        flags = np.asarray(flags)
+        assert flags.shape == (4,)
+        assert np.all(flags == 0)
+
 
 class TestMeshConstruction:
     def test_parcel_mesh_axes(self):
@@ -171,6 +183,18 @@ class TestTwoDMesh:
         with pytest.raises(NotImplementedError):
             ftle_sharded(u, v, -6 * 3600.0, grid, mesh, settls_order=0,
                          sigma=1.0)
+
+    def test_pallas_with_x_sharding_rejected(self):
+        """Documented wontfix (docs/source/kernel.rst 'Mesh scaling'): the
+        pallas kernel needs full-width latitude blocks — its window
+        routing folds longitudes globally and the sort-binning key spans
+        the whole circle.  x-sharded meshes run the XLA kernel; scale-out
+        is 1-D latitude sharding (rows/TILE_R shards max)."""
+        u, v, grid = vortex_case()
+        mesh = parcel_mesh(8, x_parallel=2)
+        with pytest.raises(NotImplementedError, match="full-width"):
+            ftle_sharded(u, v, -6 * 3600.0, grid, mesh, settls_order=0,
+                         kernel="pallas")
 
 
 @needs_8_devices
