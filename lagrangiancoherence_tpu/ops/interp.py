@@ -117,6 +117,15 @@ def prefilter(field: jax.Array, order: int = 3) -> jax.Array:
     Equivalent to scipy's per-axis ``spline_filter1d(mode='wrap')`` but
     expressed as two dense matmuls so it runs on the MXU.  Leading axes (e.g.
     time) are batched.
+
+    (A banded fast path — the inverse's interior rows are Toeplitz with an
+    exponentially decaying band, so the product reduces to a (2K+1)-tap
+    convolution plus exact dense edge rows at ~1/15 the FLOPs — was built
+    round 5 and FALSIFIED on device: single-channel 1-D convs lower
+    catastrophically on TPU (418 ms vs the dense matmuls' true ~10.5 ms
+    once the ~55 ms probe-harness overhead is calibrated out;
+    tools/probe_outside.py prefcal leg, v5e 2026-08-21).  Git history has
+    the implementation; the dense MXU product IS the TPU-native answer.)
     """
     if order in (0, 1):
         return field

@@ -27,6 +27,17 @@ def test_prefilter_2d_matches_scipy():
     np.testing.assert_allclose(c, ref, atol=1e-10)
 
 
+def test_prefilter_f32_vs_f64():
+    """f32 prefilter (the TPU serving dtype) stays within f32-roundoff
+    class of the f64 product — pins the serving path's coefficient
+    accuracy regardless of the implementation behind `prefilter`."""
+    x = RNG.normal(size=(3, 128, 256))
+    ref64 = np.asarray(I.prefilter(jnp.asarray(x), order=3))
+    got = np.asarray(I.prefilter(jnp.asarray(x, np.float32), order=3))
+    scale = np.abs(ref64).max()
+    assert np.abs(got - ref64).max() / scale < 2e-6
+
+
 @pytest.mark.parametrize("order", [0, 1, 2, 3, 4, 5])
 def test_eval_wrap_matches_scipy(order):
     ny, nx = 23, 41

@@ -102,6 +102,25 @@ CONFIGS_R4 = [
      {"LCS_SORT_BX": "16"}),
 ]
 
+# round-5 legs (LCS_ROUND5_LEGS=1): re-cross around the recorded round-4
+# winner (bx8 x pole24-192 x u2) after the banded prefilter landed —
+# VERDICT round-4 task 1c: the top four round-4 legs sat within ~0.5%
+# (noise class), so the composition must be re-measured at the new HEAD.
+CONFIGS_R5 = [
+    ("r5head",      "dma-all", True, 32, "24,160,192", 2, None,
+     {"LCS_SORT_BX": "8"}),
+    ("sortk1",      "dma-all", True, 32, "24,160,192", 2, None,
+     {"LCS_SORT_BX": "8", "LCS_SORT_K": "1"}),
+    ("bx4",         "dma-all", True, 32, "24,160,192", 2, None,
+     {"LCS_SORT_BX": "4"}),
+    ("pole16-192",  "dma-all", True, 32, "16,160,192", 2, None,
+     {"LCS_SORT_BX": "8"}),
+    ("lat55",       "dma-all", True, 32, "24,160,192", 2, None,
+     {"LCS_SORT_BX": "8", "LCS_SORT_LAT": "55"}),
+    ("u3",          "dma-all", True, 32, "24,160,192", 3, None,
+     {"LCS_SORT_BX": "8"}),
+]
+
 # third round on top of u2-bx16: sort-band width + pole level-1 height
 CONFIGS_R3 = [
     ("u2bx16",         "dma-all", True,  32, "16,160,288", 2, None,
@@ -130,6 +149,8 @@ def main():
         legs = CONFIGS_R3
     if os.environ.get("LCS_ROUND4_LEGS"):
         legs = CONFIGS_R4
+    if os.environ.get("LCS_ROUND5_LEGS"):
+        legs = CONFIGS_R5
     for spec_row in legs:
         name, eng, half, wy, pole, unroll, fuse = spec_row[:7]
         extra_env = spec_row[7] if len(spec_row) > 7 else {}

@@ -78,6 +78,17 @@ def main():
         for (lname, base), (ms, n) in rows:
             print(f"   {ms:9.2f} ms  n={n:6d}  [{lname[:16]:16s}] "
                   f"{base[:90]}")
+        # outside-scan itemisation: ops executing <= 4 times run outside
+        # the 16-iteration (K-unrolled) while loop — the ~91 ms pool the
+        # round-4 notes never decomposed (VERDICT round-4 task 1)
+        print("== outside-scan candidates (n <= 4, >= 0.3 ms) ==")
+        out_rows = [(k, v) for k, v in agg.items()
+                    if v[1] <= 4 and v[0] >= 0.3]
+        out_tot = sum(v[0] for k, v in agg.items() if v[1] <= 4)
+        print(f"   total n<=4: {out_tot:.1f} ms")
+        for (lname, base), (ms, n) in sorted(out_rows,
+                                             key=lambda kv: -kv[1][0])[:40]:
+            print(f"   {ms:9.2f} ms  n={n:6d}  {base[:95]}")
 
 
 if __name__ == "__main__":
