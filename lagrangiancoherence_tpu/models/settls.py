@@ -133,6 +133,20 @@ def _to_tile_storage(flat, nrows, nx):
     return main.reshape(nrows, nx)
 
 
+def _anchored_cells(xi, nx):
+    """Seam-aware per-8-row-group cell index: ``xi`` (int32 cells in
+    [0, nx)) relative to the group's circular-mean longitude, shifted by
+    half a period so the anchor sits mid-key-range and a narrow parcel
+    arc never straddles the key wrap (rationale in _sort_bin_bands)."""
+    g = xi.shape[0] // 8
+    ang = xi.astype(jnp.float32) * jnp.float32(2.0 * np.pi / nx)
+    s = jnp.sin(ang).reshape(g, -1).mean(axis=1)
+    c = jnp.cos(ang).reshape(g, -1).mean(axis=1)
+    anc = jnp.floor(jnp.arctan2(s, c) * jnp.float32(nx / (2.0 * np.pi)))
+    anc = jnp.mod(anc.astype(jnp.int32), nx)                  # (g,)
+    return jnp.mod(xi - jnp.repeat(anc, 8)[:, None] + nx // 2, nx)
+
+
 def _sort_bin_bands(arrs, px, py, bands, grid: Grid):
     """Sort each band's parcels into spatial-tile storage order.
 
@@ -144,16 +158,30 @@ def _sort_bin_bands(arrs, px, py, bands, grid: Grid):
     sorted within the group by the _SORT_BX-cell longitude block of the
     CURRENT position — a storage tile (1024 consecutive ranks of one
     group) then holds one narrow longitude range regardless of how far
-    the whirl has smeared the group around the circle."""
+    the whirl has smeared the group around the circle.
+
+    The longitude key is SEAM-AWARE: block indices are taken relative to
+    a per-group circular-mean anchor (shifted half a period so the
+    anchor sits mid-key-range), not mod-nx absolute position.  An
+    absolute key splits a group whose parcel arc crosses the periodic
+    seam into the two ends of the sorted order, leaving one storage tile
+    holding both ends — a full-longitude unwrap span that forces the
+    kernel's full-x escalation tier (measured: ~33 such tiles per late
+    flagship step ~= one per polar group, tools/census_binned.py); the
+    kernel's own windows are anchored-unwrap and handle a narrow arc
+    wherever it sits, so keying in the same anchored space keeps every
+    pure-arc tile quarter-window-eligible."""
     ny, nx = grid.shape
     sx = nx / (grid.x_max - grid.x_min)
     nbx = -(-nx // _sort_bx())
     out = list(arrs)
     for r0, nr in bands:
         sl = slice(r0, r0 + nr)
-        xi = jnp.mod(jnp.floor(sx * (px[sl] - grid.x_min)), nx)
+        xi = jnp.mod(jnp.floor(sx * (px[sl] - grid.x_min)),
+                     nx).astype(jnp.int32)
         group = jax.lax.broadcasted_iota(jnp.int32, (nr, nx), 0) // 8
-        key = (group * nbx + xi.astype(jnp.int32) // _sort_bx()).ravel()
+        rel = _anchored_cells(xi, nx)
+        key = (group * nbx + rel // _sort_bx()).ravel()
         segs = [a[sl].ravel() for a in out]
         sorted_ = jax.lax.sort([key] + segs, num_keys=1, is_stable=True)
         for i, s in enumerate(sorted_[1:]):
@@ -197,11 +225,12 @@ def _sort_bin_shard(arrs, px, sortable, grid: Grid):
     nr = (px.shape[0] // 8) * 8
     out = list(arrs)
     sl = slice(0, nr)
-    xi = jnp.mod(jnp.floor(sx * (px[sl] - grid.x_min)), nx)
+    xi = jnp.nan_to_num(jnp.mod(jnp.floor(sx * (px[sl] - grid.x_min)),
+                                nx), nan=0.0, posinf=0.0,
+                        neginf=0.0).astype(jnp.int32)
     group = jax.lax.broadcasted_iota(jnp.int32, (nr, nx), 0) // 8
-    xkey = jnp.nan_to_num(xi, nan=0.0, posinf=0.0,
-                          neginf=0.0).astype(jnp.int32) // _sort_bx()
-    key = (group * nx + xkey).ravel()
+    xkey = _anchored_cells(xi, nx) // _sort_bx()    # seam-aware, see
+    key = (group * nx + xkey).ravel()               # _sort_bin_bands
     segs = [a[sl].ravel() for a in out]
     sorted_ = jax.lax.sort([key] + segs, num_keys=1, is_stable=True)
     keep = sortable[group]                 # (nr, nx) bool

@@ -164,6 +164,7 @@ def pad_coeffs_for_pallas(coeffs: jax.Array):
     """
     ny, nx = coeffs.shape[-2], coeffs.shape[-1]
     ypad, xpad = coeff_pad_dims(ny, nx)
+    ax_x = coeffs.ndim - 1
 
     def wrap_pad(a, axis, pad, n):
         # periodic pad as slice+concat (pure copies — a jnp.take here
@@ -178,18 +179,38 @@ def pad_coeffs_for_pallas(coeffs: jax.Array):
         return jax.lax.slice_in_dim(big, start, start + n + 2 * pad,
                                     axis=axis)
 
-    t = wrap_pad(coeffs, coeffs.ndim - 2, ypad, ny)
-    t = wrap_pad(t, coeffs.ndim - 1, xpad, nx)
+    # One intermediate only (the y-padded field, ~1/12 of the stack); each
+    # slab is then a single concat of contiguous lane slices of it.  The
+    # previous assembly materialised the x-padded intermediate AND built
+    # the mirror slab with a jnp.take — a TPU gather over a slab-sized
+    # array — costing two extra full-HBM passes per field on the ~6.5 GB
+    # flagship stack (the largest outside-scan pool, ROUND5_NOTES).
+    ty = wrap_pad(coeffs, coeffs.ndim - 2, ypad, ny)
     nxp_c = nx + 2 * xpad - 128
-    mir_idx = np.r_[1, 0:nx, nx - 2, nx - 3]          # baked mirrors
-    mir_idx = np.pad(mir_idx, (0, nxp_c - mir_idx.size), mode="edge")
-    mir = jnp.take(t[..., xpad:xpad + nx], jnp.asarray(mir_idx), axis=-1)
+
+    def xspan(start):
+        # slab[..., j] = ty[..., (start + j) mod nx] as cycling slices
+        pieces, j, s = [], 0, start % nx
+        while j < nxp_c:
+            w = min(nx - s, nxp_c - j)
+            pieces.append(jax.lax.slice_in_dim(ty, s, s + w, axis=ax_x))
+            j += w
+            s = 0
+        return pieces[0] if len(pieces) == 1 else \
+            jnp.concatenate(pieces, axis=ax_x)
+
     # (A "lean" 2-slab layout without the lane-shifted copies was designed
     # for the manual-DMA engine and FALSIFIED on device — Mosaic requires
     # HBM memref_slice lane starts provably divisible by 128, so every
     # engine shares this 5-slab layout; see kernel.rst.)
-    copies = [t[..., c * X_GRAN: c * X_GRAN + nxp_c]
-              for c in range(X_COPIES)]
+    copies = [xspan(c * X_GRAN - xpad) for c in range(X_COPIES)]
+    # mirror-baked slab: lane 0 = col 1, lanes 1..nx = cols 0..nx-1,
+    # then cols nx-2, nx-3, and edge-repeat of col nx-3 — all slices
+    col = partial(jax.lax.slice_in_dim, ty, axis=ax_x)
+    edge = jnp.broadcast_to(col(nx - 3, nx - 2),
+                            ty.shape[:-1] + (nxp_c - (nx + 3),))
+    mir = jnp.concatenate([col(1, 2), ty, col(nx - 2, nx - 1),
+                           col(nx - 3, nx - 2), edge], axis=ax_x)
     return jnp.stack(copies + [mir], axis=0)
 
 

@@ -538,3 +538,68 @@ class TestDmaEngine:
             assert flag == 0, (ny, nx, disp)
             np.testing.assert_allclose(out, ref, atol=1e-10,
                                        err_msg=f"{ny}x{nx} {disp}")
+
+
+class TestPadCoeffsLayout:
+    def test_slab_stack_matches_index_oracle(self):
+        """pad_coeffs_for_pallas builds the 5-slab stack purely from
+        slices (the jnp.take mirror slab and the x-padded intermediate
+        were removed — two full-HBM passes per field on the ~6.5 GB
+        flagship stack, ROUND5_NOTES).  Pin the layout contract against
+        a direct index-arithmetic oracle: copy c holds
+        ty[(j + c*X_GRAN - xpad) mod nx] and the mirror slab bakes
+        scipy's at-edge taps (lane 0 = col 1, 1..nx = 0..nx-1, then
+        nx-2, nx-3, edge-repeat)."""
+        from lagrangiancoherence_tpu.ops.pallas_interp import (
+            X_COPIES, X_GRAN, coeff_pad_dims)
+        rng = np.random.default_rng(7)
+        for shape in [(3, 2, 17, 32), (5, 21, 40), (9, 8)]:
+            a = rng.standard_normal(shape)
+            got = np.asarray(pad_coeffs_for_pallas(jnp.asarray(a)))
+            ny, nx = shape[-2:]
+            ypad, xpad = coeff_pad_dims(ny, nx)
+            nxp_c = nx + 2 * xpad - 128
+            ty = a[..., (np.arange(-ypad, ny + ypad) % ny), :]
+            for c in range(X_COPIES):
+                idx = (np.arange(nxp_c) + c * X_GRAN - xpad) % nx
+                np.testing.assert_array_equal(got[c], ty[..., idx],
+                                              err_msg=f"copy {c} {shape}")
+            mir_idx = np.r_[1, 0:nx, nx - 2, nx - 3]
+            mir_idx = np.pad(mir_idx, (0, nxp_c - mir_idx.size),
+                             mode="edge")
+            np.testing.assert_array_equal(got[X_COPIES], ty[..., mir_idx],
+                                          err_msg=f"mirror {shape}")
+
+
+class TestSeamAwareSortKey:
+    def test_seam_arc_tiles_stay_narrow(self):
+        """The per-group circular-anchor sort key (_anchored_cells): a
+        polar group whose parcels occupy a narrow arc CENTERED ON the
+        periodic seam must sort into storage tiles whose anchored-unwrap
+        x spans stay arc-sized.  The old absolute mod-nx key split the
+        arc to the two ends of the sorted order, leaving one tile per
+        group holding both ends (unwrap span ~nx - arc ⇒ the kernel's
+        full-longitude escalation tier; measured ~33 such tiles per late
+        flagship step, tools/census_binned.py)."""
+        from lagrangiancoherence_tpu.grid import Grid
+        from lagrangiancoherence_tpu.models import settls
+        ny, nx = 16, 1440
+        grid = Grid(lats=np.linspace(60.0, 63.75, ny),
+                    lons=np.linspace(-180.0, 179.75, nx), cyclic_x=True)
+        rng = np.random.default_rng(1)
+        px = np.mod(rng.uniform(150.0, 210.0, size=(ny, nx)) + 180.0,
+                    360.0) - 180.0   # 60-deg arc straddling x=+-180
+        py = np.broadcast_to(np.linspace(60, 63.7, ny)[:, None],
+                             (ny, nx)).copy()
+        out = settls._sort_bin_bands(
+            (jnp.asarray(px), jnp.asarray(py)), jnp.asarray(px),
+            jnp.asarray(py), [(0, 16)], grid)
+        spx = np.asarray(out[0])
+        xi = np.mod(np.floor((nx / 360.0) * (spx + 180.0)), nx)
+        full = xi[:, :1408].reshape(2, 8, 11, 128)  # full (8,128) tiles
+        anchor = full[:, :1, :, :1]
+        u = anchor + np.mod(full - anchor + 0.5 * nx, float(nx)) - 0.5 * nx
+        span = u.max(axis=(1, 3)) - u.min(axis=(1, 3))
+        # arc is 240 cells wide; every tile must hold a sub-arc, never
+        # the straddle union (old key: max span 239+... ~= 1200+)
+        assert span.max() <= 240, span.max()
