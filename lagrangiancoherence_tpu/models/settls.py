@@ -495,6 +495,24 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
             pole_scale = dict(order=interp_order, ny=ny, nx=nx,
                               y_min=grid.y_min, y_max=grid.y_max,
                               x_min=grid.x_min, x_max=grid.x_max)
+            # dma-all: the sorted pole lists ride the MAIN engine launch
+            # as three extra sections (ops/pallas_interp._engine_layout)
+            # — the standalone pole launch paid the per-launch floor
+            # 2+settls_order times per step.  Other engines keep the
+            # two-launch hoist.
+            pole_merged = pallas_engine == "dma-all"
+
+            def gather_with_pole(t, px_, py_, nf, pxp_, pyp_):
+                if pole_merged:
+                    return pallas_gather(t, px_, py_, nf,
+                                         pole_lists=(pxp_, pyp_))
+                arr_, fl_ = pallas_gather(t, px_, py_, nf,
+                                          skip_pole=True)
+                valsp_, flp_ = pallas_gather(t, pxp_, pyp_, nf,
+                                             home_rows=None,
+                                             pole_block=True,
+                                             pole_presorted=True)
+                return arr_, valsp_, fl_ | flp_
         if hoist_pole:
             pole_rows = np.r_[0:interp_order, ny - interp_order:ny]
         if hoist_shard:
@@ -572,10 +590,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
                 else jnp.broadcast_to(cx, px.shape)[pole_rows]
             cxp = pole_apply_perm(cx_rows.astype(dtype), perm_p,
                                   **pole_geom)
-            arr, fl = pallas_gather(t, px, py, 2, skip_pole=True)
-            valsp, flp = pallas_gather(t, pxp, pyp, 2, pole_block=True,
-                                       pole_presorted=True)
-            fl = fl | flp
+            arr, valsp, fl = gather_with_pole(t, px, py, 2, pxp, pyp)
         elif kernel == "pallas" and hoist_shard:
             # replicated pole block (home layout in the carry) → sorted
             # flat per-side lists, exactly the single-chip hoist
@@ -583,11 +598,7 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
             pxp = pole_apply_perm(pxp_h, perm_p, **pole_geom)
             pyp = pole_apply_perm(pyp_h, perm_p, **pole_geom)
             cxp = pole_apply_perm(cxp0_home, perm_p, **pole_geom)
-            arr, fl = pallas_gather(t, px, py, 2, skip_pole=True)
-            valsp, flp = pallas_gather(t, pxp, pyp, 2, home_rows=None,
-                                       pole_block=True,
-                                       pole_presorted=True)
-            fl = fl | flp
+            arr, valsp, fl = gather_with_pole(t, px, py, 2, pxp, pyp)
         elif kernel == "pallas":
             arr, fl = pallas_gather(t, px, py, 2)
         else:
@@ -611,11 +622,12 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
             A_tn = jnp.concatenate([A_t, A_n], axis=0)
             B_tn = jnp.concatenate([B_t, B_n], axis=0)
         for it_k in range(settls_order):
-            if kernel == "pallas":
+            if kernel == "pallas" and (hoist_pole or hoist_shard):
                 # the (u, v) pairs at t and t+1 are adjacent in the
                 # resident (T*2, ...) stacks: one 4-field window at 2*t
-                dep, fl = pallas_gather(t, px, py, 4,
-                                        skip_pole=hoist_pole or hoist_shard)
+                dep, depp, fl = gather_with_pole(t, px, py, 4, pxp, pyp)
+            elif kernel == "pallas":
+                dep, fl = pallas_gather(t, px, py, 4)
             else:
                 dep, fl = interp_multi(A_tn, B_tn, px, py)
             flag = flag | fl
@@ -624,10 +636,6 @@ def settls_scan(u, v, cu, cv, px0, py0, dt, conv_x, grid: Grid, *,
             px = px + 0.5 * dt * cx * (ua + 2.0 * u_t_d - u_n_d)
             px, py = _clamp_wrap(px, py, **bounds)
             if kernel == "pallas" and (hoist_pole or hoist_shard):
-                depp, flp = pallas_gather(t, pxp, pyp, 4, home_rows=None,
-                                          pole_block=True,
-                                          pole_presorted=True)
-                flag = flag | flp
                 pyp = pyp + 0.5 * dt * conv_y * (
                     vap + 2.0 * depp[1] - depp[3])
                 pxp = pxp + 0.5 * dt * cxp * (

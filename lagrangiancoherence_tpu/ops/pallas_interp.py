@@ -179,39 +179,53 @@ def pad_coeffs_for_pallas(coeffs: jax.Array):
         return jax.lax.slice_in_dim(big, start, start + n + 2 * pad,
                                     axis=axis)
 
-    # One intermediate only (the y-padded field, ~1/12 of the stack); each
-    # slab is then a single concat of contiguous lane slices of it.  The
-    # previous assembly materialised the x-padded intermediate AND built
-    # the mirror slab with a jnp.take — a TPU gather over a slab-sized
-    # array — costing two extra full-HBM passes per field on the ~6.5 GB
-    # flagship stack (the largest outside-scan pool, ROUND5_NOTES).
+    # Two passes, both measured near their TPU floor (tools/probe_asm.py
+    # barrier-probe, v5e 2026-08-21: this layout 37 ms/field marginal vs
+    # 43 for the round-4 take-based assembly, 41 for per-slab concats,
+    # 50 for a one-concat lane-major stack — lane-axis concat of
+    # misaligned pieces runs at ~2x roofline, so the "minimal-traffic"
+    # single concat LOSES to double-write with aligned pieces):
+    #   1. ONE wide precursor per field: [x-wrap-padded row | mirror
+    #      row] in a single lane concat of slices of the y-padded field
+    #      (~2.7 GB at flagship — the only misaligned-piece concat);
+    #   2. the 5-slab stack as a concat of 5 SINGLE slices of it
+    #      (aligned slab-major copies at copy bandwidth).
+    # The round-4 assembly built the mirror slab with a jnp.take (a
+    # slab-sized TPU gather) and materialised the x-padded intermediate
+    # separately; both passes are gone.
     ty = wrap_pad(coeffs, coeffs.ndim - 2, ypad, ny)
     nxp_c = nx + 2 * xpad - 128
+    col = partial(jax.lax.slice_in_dim, ty, axis=ax_x)
 
-    def xspan(start):
-        # slab[..., j] = ty[..., (start + j) mod nx] as cycling slices
-        pieces, j, s = [], 0, start % nx
-        while j < nxp_c:
-            w = min(nx - s, nxp_c - j)
-            pieces.append(jax.lax.slice_in_dim(ty, s, s + w, axis=ax_x))
-            j += w
-            s = 0
-        return pieces[0] if len(pieces) == 1 else \
-            jnp.concatenate(pieces, axis=ax_x)
+    # x-pad span [-xpad, nx+xpad) as cycling slices of ty
+    pieces, j, s = [], 0, (-xpad) % nx
+    total = nx + 2 * xpad
+    while j < total:
+        w = min(nx - s, total - j)
+        pieces.append(col(s, s + w))
+        j += w
+        s = 0
+    # mirror-baked span appended on the same lane axis: lane 0 = col 1,
+    # lanes 1..nx = cols 0..nx-1, then cols nx-2, nx-3, and edge-repeat
+    # of col nx-3 — all slices
+    edge = jnp.broadcast_to(col(nx - 3, nx - 2),
+                            ty.shape[:-1] + (nxp_c - (nx + 3),))
+    pieces += [col(1, 2), ty, col(nx - 2, nx - 1), col(nx - 3, nx - 2),
+               edge]
+    t_ext = jnp.concatenate(pieces, axis=ax_x)
 
     # (A "lean" 2-slab layout without the lane-shifted copies was designed
     # for the manual-DMA engine and FALSIFIED on device — Mosaic requires
     # HBM memref_slice lane starts provably divisible by 128, so every
-    # engine shares this 5-slab layout; see kernel.rst.)
-    copies = [xspan(c * X_GRAN - xpad) for c in range(X_COPIES)]
-    # mirror-baked slab: lane 0 = col 1, lanes 1..nx = cols 0..nx-1,
-    # then cols nx-2, nx-3, and edge-repeat of col nx-3 — all slices
-    col = partial(jax.lax.slice_in_dim, ty, axis=ax_x)
-    edge = jnp.broadcast_to(col(nx - 3, nx - 2),
-                            ty.shape[:-1] + (nxp_c - (nx + 3),))
-    mir = jnp.concatenate([col(1, 2), ty, col(nx - 2, nx - 1),
-                           col(nx - 3, nx - 2), edge], axis=ax_x)
-    return jnp.stack(copies + [mir], axis=0)
+    # engine shares this 5-slab layout; see kernel.rst.  Dropping the
+    # copies in favour of 128-aligned window starts was re-costed round 5
+    # and stays falsified: tier-A windows would widen 256→384 lanes,
+    # +50% on the MXU contraction pool ≫ the assembly saving.)
+    ecol = partial(jax.lax.slice_in_dim, t_ext, axis=ax_x)
+    slabs = [ecol(c * X_GRAN, c * X_GRAN + nxp_c)
+             for c in range(X_COPIES)]
+    slabs.append(ecol(total, total + nxp_c))
+    return jnp.stack(slabs, axis=0)
 
 
 def _fold(x, n):
@@ -777,9 +791,8 @@ def _list_kernel(n_live, iy, jx, iy_out, y0s, x0s, edges, f0s, pos_ref,
 
 
 def _engine_kernel(counts, sel_s, pack_s, x0q2_s, f0_s,
-                   folds_ref, cw_hbm, outA_ref, out_ref, flags_ref,
-                   win_buf, win_sems, *, body, F, tiers, seg_off, ypad,
-                   xpad, wx_full, common, gx, nb=2, unroll=1):
+                   folds_ref, cw_hbm, *refs, body, F, tiers, seg_off,
+                   ypad, xpad, wx_full, common, gx, nb=2, unroll=1):
     """Manual-DMA escalation engine: ONE grid step services every
     escalation tier's LIVE slots — VMEM-resident edition.
 
@@ -815,7 +828,22 @@ def _engine_kernel(counts, sel_s, pack_s, x0q2_s, f0_s,
     shapes per tier are static, so every DMA shape is static.  ``out_ref`` starts as a copy
     of ``outA_ref`` (tier A's output for engine='dma'; zeros for
     'dma-all', where the engine's own sections write every tile), so
-    un-escalated tiles pass through unchanged."""
+    un-escalated tiles pass through unchanged.
+
+    When the layout carries "pole" sections (models/settls.py merged
+    hoisted pole loop), ``refs`` additionally holds the pole-padded raw
+    field stack (HBM — the pole path interpolates order-1/'constant'
+    RAW values, not spline coefficients), the packed per-point operand
+    [yc, xc, vmask, flagmask] in sorted-slot layout, and a second
+    output for the sorted pole values; pole slots DMA a full-longitude
+    (F, WY, nx_t) raw window and run :func:`_pole_block_body`."""
+    has_pole = any(t[0] == "pole" for t in tiers)
+    if has_pole:
+        (raw_hbm, pack_p_ref, outA_ref, out_ref, out_pole_ref,
+         flags_ref, win_buf, win_sems) = refs
+    else:
+        outA_ref, out_ref, flags_ref, win_buf, win_sems = refs
+    nx_t2 = _cdiv(common["nx"], TILE_C) * TILE_C
     f0 = f0_s[0]
     # pass-through base: one whole-array VMEM copy replaces the v1
     # aliased-HBM in-place writes
@@ -851,6 +879,8 @@ def _engine_kernel(counts, sel_s, pack_s, x0q2_s, f0_s,
         x_full = wx_t is None and kind == "spline"
         if kind == "sub":
             wxe = N_SUB * 128
+        elif kind == "pole":
+            wxe = nx_t2
         else:
             wxe = wx_full if x_full else wx_t
         n = counts[t_i]
@@ -859,6 +889,16 @@ def _engine_kernel(counts, sel_s, pack_s, x0q2_s, f0_s,
         def win_dma(slot, k, q, wy_t=wy_t, wxe=wxe, x_full=x_full,
                     off=off, kind=kind):
             sl = off + k
+            if kind == "pole":
+                # full-longitude raw window at the slot's sorted-y0
+                # start (8-aligned by construction: (kymn//8)*8 clipped
+                # to the 8-aligned ny_p - WY)
+                y0 = pl.multiple_of(pack_s[sl] >> 16, 8)
+                return pltpu.make_async_copy(
+                    raw_hbm.at[pl.ds(f0, F), pl.ds(y0, wy_t),
+                               pl.ds(0, wxe)],
+                    win_buf.at[slot, 0, :, :wy_t, :wxe],
+                    win_sems.at[slot, 0])
             # Mosaic must PROVE HBM slice starts divisible by the (8,128)
             # memref tiling; scalar-prefetched values carry no such fact
             # (device compile fails "Failed to prove that a tile index in
@@ -901,6 +941,22 @@ def _engine_kernel(counts, sel_s, pack_s, x0q2_s, f0_s,
 
             def write_flag(v, t_i=t_i):
                 flags_ref[t_i, 0] = jnp.maximum(flags_ref[t_i, 0], v)
+
+            if kind == "pole":
+                # sorted pole point slot: pack rows sl_p*8..+8 of the
+                # (4, S*8, 128) operand; values land in the matching
+                # rows of the sorted pole output
+                sl_p = sel_s[sl]
+                base = pl.multiple_of(sl_p * TILE_R, TILE_R)
+                y0 = pack_s[sl] >> 16
+                pk = pack_p_ref[:, pl.ds(base, TILE_R), :]
+                _pole_block_body(
+                    pk[0], pk[1], pk[2], pk[3],
+                    win_buf.at[slot, 0, :, :wy_t, :wxe],
+                    out_pole_ref.at[:, pl.ds(base, TILE_R), :],
+                    write_flag, y0, F=F, WY=wy_t, WXS=wxe,
+                    ny=common["ny"], nx=common["nx"])
+                return
 
             _iy, _jx, y0p, x0u, ed = unpack(sl)
             y0 = y0p - ypad
@@ -1285,12 +1341,25 @@ def _pole_eval_block(px_b, py_b, mask_b, raw_p, f0_arr, *, F, order,
     return blk_rows, pole_flag
 
 
-def _engine_layout(ladder, n_tiles, half_tile, wy, wx):
+def _engine_layout(ladder, n_tiles, half_tile, wy, wx, pole=None):
     """STATIC engine section layout for the edge-class-split manual-DMA
     engine: [(kind, wy, wx, path), ...], per-section capacities, segment
     offsets and flag bits — in exactly the order the fresh assembly
     builds them (A-int, A-edge, [sub-int, sub-edge,] then per ladder
-    tier an interior and an edge half)."""
+    tier an interior and an edge half, then — when the hoisted pole loop
+    rides the same launch — one section per pole-ladder level).
+
+    ``pole``: (S, (wy1, wy2, wy3)) appends three "pole" sections of S
+    point slots each (models/settls.py merged-launch hoist: the separate
+    pole pallas launch paid the ~0.3 ms/launch floor 5x per step —
+    2 + settls_order gather groups — on top of the main launch).  Unlike
+    the standalone pole ladder (level 1 runs EVERY slot as a blanket),
+    each engine pole section runs only the slots ASSIGNED to its level
+    (live-only slot lists make compaction free), so escalated slots pay
+    exactly one evaluation and proven-fit sections can never flag; the
+    final level takes clamped values and raises bit 4, exactly the
+    standalone ladder's contract (bit 3 could never fire there: the
+    final level runs every leftover slot)."""
     tiers, caps, bits = [], [], []
     tiers += [("spline", wy, wx, "interior"), ("spline", wy, wx, "onehot")]
     caps += [n_tiles, n_tiles]
@@ -1306,6 +1375,12 @@ def _engine_layout(ladder, n_tiles, half_tile, wy, wx):
                   ("spline", wy_, wx_, "onehot")]
         caps += [cap, cap]
         bits += [5 + t_i, 5 + t_i]
+    if pole is not None:
+        S_p, wys_p = pole
+        for wy_p in wys_p:
+            tiers.append(("pole", wy_p, None, "pole"))
+            caps.append(S_p)
+            bits.append(4)
     seg = []
     off = 0
     for c in caps:
@@ -1317,50 +1392,71 @@ def _engine_layout(ladder, n_tiles, half_tile, wy, wx):
 def _launch_engine(counts_arr, sel_cat, pack_cat, x0q2_cat, f0_arr,
                    folds, cw_pad, out_base, *, body, F, tiers_static,
                    seg_off, ypad, xpad, wx_full, common, gx, dtype,
-                   ny_t, nx_t, interpret):
-    """One manual-DMA engine launch from prebuilt packed operands."""
+                   ny_t, nx_t, interpret, pole=None):
+    """One manual-DMA engine launch from prebuilt packed operands.
+
+    ``pole``: optional dict(raw_p, pack_p, S) adding the merged pole
+    sections' operands (see _engine_layout / _engine_kernel) and a
+    second output — returns (out, flags, pole_vals) in that case."""
     unroll_e = max(1, int(os.environ.get("LCS_ENGINE_UNROLL", "1")))
     nb_e = (2 * unroll_e if unroll_e > 1
             else int(os.environ.get("LCS_ENGINE_NB", "3")))
     T_n = len(tiers_static)
     wymax = max(t[1] for t in tiers_static)
     wxmax = max((N_SUB * 128 if t[0] == "sub"
-                 else (wx_full if t[2] is None else t[2]))
+                 else (nx_t if t[0] == "pole"
+                       else (wx_full if t[2] is None else t[2])))
                 for t in tiers_static)
     kern_e = partial(_engine_kernel, body=body, F=F,
                      tiers=tuple(tiers_static), seg_off=tuple(seg_off),
                      ypad=ypad, xpad=xpad, wx_full=wx_full,
                      common=common, gx=gx, nb=nb_e, unroll=unroll_e)
+    in_specs = [pl.BlockSpec((2, ny_t, nx_t), lambda *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY)]
+    operands = [folds, cw_pad]
+    out_specs = [pl.BlockSpec((F, ny_t, nx_t), lambda *_: (0, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((F, ny_t, nx_t), dtype)]
+    if pole is not None:
+        S_p = pole["S"]
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec((4, S_p * TILE_R, TILE_C),
+                                  lambda *_: (0, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        operands += [pole["raw_p"], pole["pack_p"]]
+        out_specs.append(pl.BlockSpec((F, S_p * TILE_R, TILE_C),
+                                      lambda *_: (0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (F, S_p * TILE_R, TILE_C), dtype))
+    in_specs.append(pl.BlockSpec((F, ny_t, nx_t), lambda *_: (0, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(out_base)
+    out_specs.append(pl.BlockSpec((T_n, 1), memory_space=pltpu.SMEM))
+    out_shapes.append(jax.ShapeDtypeStruct((T_n, 1), jnp.int32))
     # folds and the output stay resident in VMEM for the whole
     # launch (~9 + 2*18 MB at flagship scale) — see _engine_kernel.
-    return pl.pallas_call(
+    res = pl.pallas_call(
         kern_e,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=(1,),
-            in_specs=[pl.BlockSpec((2, ny_t, nx_t),
-                                   lambda *_: (0, 0, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec(memory_space=pl.ANY),
-                      pl.BlockSpec((F, ny_t, nx_t),
-                                   lambda *_: (0, 0, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=[pl.BlockSpec((F, ny_t, nx_t),
-                                    lambda *_: (0, 0, 0),
-                                    memory_space=pltpu.VMEM),
-                       pl.BlockSpec((T_n, 1),
-                                    memory_space=pltpu.SMEM)],
+            in_specs=in_specs,
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((nb_e, 1, F, wymax, wxmax), dtype),
                 pltpu.SemaphoreType.DMA((nb_e, N_SUB)),
             ]),
-        out_shape=[jax.ShapeDtypeStruct((F, ny_t, nx_t), dtype),
-                   jax.ShapeDtypeStruct((T_n, 1), jnp.int32)],
+        out_shape=out_shapes,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
-    )(counts_arr, sel_cat, pack_cat, x0q2_cat, f0_arr,
-      folds, cw_pad, out_base)
+    )(counts_arr, sel_cat, pack_cat, x0q2_cat, f0_arr, *operands)
+    if pole is not None:
+        out, pole_vals, eflags = res
+        return out, eflags, pole_vals
+    return res
 
 
 def pole_flat_dims(order: int, nx: int):
@@ -1432,7 +1528,8 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
                         debug_flags: bool = False,
                         pole_block: bool = False,
                         pole_presorted: bool = False,
-                        skip_pole: bool = False):
+                        skip_pole: bool = False,
+                        pole_lists=None):
     """Evaluate F stacked fields at parcel positions — the TPU fast path.
 
     ``raw``: (F, ny, nx) raw fields (pole-home path); ``cw_pad``:
@@ -1528,6 +1625,65 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         if presorted:
             return blk_rows, pole_flag          # (F, 2, Mpad) sorted
         return blk_rows[:, :, :nx], pole_flag
+
+    # ---- merged hoisted-pole launch: the per-step sorted pole lists
+    # (models/settls.py hoist) ride the SAME engine launch as the main
+    # gather instead of a separate pole_block pallas call — the
+    # standalone call paid the per-launch floor (~0.3 ms, probe_slotbody
+    # empty-nokern) 2+settls_order times per scan step.  Routing mirrors
+    # _pole_eval_block's presorted branch; each slot is assigned to
+    # exactly ONE pole-ladder level (fit1 / ~fit1&fit2 / rest), so
+    # proven-fit sections never flag and the final level takes clamped
+    # values raising bit 4 — the standalone ladder's exact contract. ----
+    pole_merge = None
+    if pole_lists is not None:
+        if engine != "dma-all" or debug_flags:
+            raise NotImplementedError(
+                "pole_lists (merged pole launch) requires the 'dma-all' "
+                "engine without debug_flags; call pole_block=True "
+                "separately for other engines")
+        assert order > 0 and not pole_block
+        skip_pole = True
+        pxp_l, pyp_l = pole_lists
+        ny_tf_p = _cdiv(ny, TILE_R) * TILE_R
+        pad_rows_p = ny_tf_p + POLE_PAD - ny
+        ny_p_m = ny + pad_rows_p
+        nx_t_p = _cdiv(nx, TILE_C) * TILE_C
+        if raw_prepadded:
+            assert raw.shape[-2:] == (ny_p_m, nx_t_p), (raw.shape,)
+            raw_pm = raw
+        else:
+            wrapm = jnp.take(raw, jnp.arange(pad_rows_p) % ny, axis=1)
+            raw_pm = jnp.pad(jnp.concatenate([raw, wrapm], axis=1),
+                             ((0, 0), (0, 0), (0, nx_t_p - nx)))
+        ycap_m = (ny_p_m // 8) * 8
+        wy123 = tuple(min(w_, ycap_m) for w_ in _pole_ladder())
+        from .interp import scale_positions as _sp_m
+        xi_p, yi_p = _sp_m(pxp_l, pyp_l, x_min=x_min, x_max=x_max,
+                           y_min=y_min, y_max=y_max, nx=nx, ny=ny)
+        yc_p = jnp.clip(yi_p, 0.0, float(ny - 1))
+        xc_p = jnp.clip(xi_p, 0.0, float(nx - 1))
+        vm_p = ((yi_p >= 0) & (yi_p <= ny - 1) & (xi_p >= 0)
+                & (xi_p <= nx - 1)).astype(pxp_l.dtype)
+        Mpad_p = pxp_l.shape[-1]
+        S_p = 2 * (Mpad_p // (TILE_R * TILE_C))
+        y0_p = jnp.clip(jnp.floor(yc_p), 0, ny - 2).astype(
+            jnp.int32).reshape(S_p, TILE_R * TILE_C)
+        pack_p = jnp.stack([yc_p, xc_p, vm_p, jnp.ones_like(vm_p)]
+                           ).reshape(4, S_p * TILE_R, TILE_C)
+        kymn_p = jnp.clip(jnp.min(y0_p, axis=1) - 1, 0, ny - 2)
+        kymx_p = jnp.clip(jnp.max(y0_p, axis=1) + 1, 0, ny - 2)
+        kymn_p = jnp.minimum(kymn_p, kymx_p)
+        fits_p, ys_p = [], []
+        for w_ in wy123:
+            ys_ = jnp.clip((kymn_p // 8) * 8, 0, max(ny_p_m - w_, 0))
+            fits_p.append((kymn_p >= ys_) & (kymx_p + 1 <= ys_ + w_ - 1))
+            ys_p.append(ys_.astype(jnp.int32))
+        assigns_p = (fits_p[0], (~fits_p[0]) & fits_p[1],
+                     (~fits_p[0]) & (~fits_p[1]))
+        pole_merge = dict(raw_p=raw_pm, pack_p=pack_p, S=S_p,
+                          wys=wy123, assigns=assigns_p, ys=ys_p,
+                          Mpad=Mpad_p)
 
     def pad_pos(p):
         return jnp.pad(p, ((0, ny_t - R), (0, nx_t - nx)), mode="edge")
@@ -2036,6 +2192,10 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             # cumsum rank + one scatter build every slot list — this
             # replaced ~16 per-section nonzero compactions of XLA glue.
             # pack/x0q2 then GATHER from per-tile window maps. ----
+            # the tile scatter below spans the TILE sections only; the
+            # merged pole sections are appended to the layout and the
+            # packed operands afterwards (their slot ids live in their
+            # own 0..S space, not the tile-index space)
             tiers_static, caps_list, seg_off, flag_bits, off = \
                 _engine_layout([(t[0], t[1], t[2]) for t in ladder],
                                n_tiles, half_tile, wy, wx)
@@ -2131,12 +2291,44 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
             pack_cat = jnp.concatenate(pack_l)
             x0q2_cat = jnp.concatenate(x0q2_l, axis=0).reshape(-1)
         assert all(len(t) == 4 for t in tiers_static)
-        out_arr, eflags = _launch_engine(
-            counts_arr, sel_cat, pack_cat, x0q2_cat, f0_arr,
-            folds, cw_pad, out_arr, body=body, F=F,
-            tiers_static=tiers_static, seg_off=seg_off, ypad=ypad,
-            xpad=xpad, wx_full=wx_full, common=common, gx=gx,
-            dtype=dtype, ny_t=ny_t, nx_t=nx_t, interpret=interpret)
+        pole_vals_m = None
+        if pole_merge is not None:
+            assert absorb_A     # guaranteed by the dma-all gate above
+            S_p = pole_merge["S"]
+            sel_p, pack_p_l, cnt_p = [], [], []
+            for a_, ys_ in zip(pole_merge["assigns"], pole_merge["ys"]):
+                s_ = jnp.nonzero(a_, size=S_p, fill_value=0)[0].astype(
+                    jnp.int32)
+                sel_p.append(s_)
+                pack_p_l.append(jnp.take(ys_, s_) << 16)
+                cnt_p.append(jnp.sum(a_.astype(jnp.int32)))
+            sel_cat = jnp.concatenate([sel_cat] + sel_p)
+            pack_cat = jnp.concatenate([pack_cat] + pack_p_l)
+            x0q2_cat = jnp.concatenate(
+                [x0q2_cat, jnp.zeros((S_p * 6,), jnp.int32)])
+            counts_arr = jnp.concatenate(
+                [counts_arr, jnp.stack(cnt_p).astype(jnp.int32)])
+            for wy_p in pole_merge["wys"]:
+                tiers_static.append(("pole", wy_p, None, "pole"))
+                flag_bits.append(4)
+                seg_off.append(off)
+                off += S_p
+            res_e = _launch_engine(
+                counts_arr, sel_cat, pack_cat, x0q2_cat, f0_arr,
+                folds, cw_pad, out_arr, body=body, F=F,
+                tiers_static=tiers_static, seg_off=seg_off, ypad=ypad,
+                xpad=xpad, wx_full=wx_full, common=common, gx=gx,
+                dtype=dtype, ny_t=ny_t, nx_t=nx_t, interpret=interpret,
+                pole=dict(raw_p=pole_merge["raw_p"],
+                          pack_p=pole_merge["pack_p"], S=S_p))
+            out_arr, eflags, pole_vals_m = res_e
+        else:
+            out_arr, eflags = _launch_engine(
+                counts_arr, sel_cat, pack_cat, x0q2_cat, f0_arr,
+                folds, cw_pad, out_arr, body=body, F=F,
+                tiers_static=tiers_static, seg_off=seg_off, ypad=ypad,
+                xpad=xpad, wx_full=wx_full, common=common, gx=gx,
+                dtype=dtype, ny_t=ny_t, nx_t=nx_t, interpret=interpret)
         for t_i in range(len(tiers_static)):
             overflow = overflow | (eflags[t_i, 0] << flag_bits[t_i])
         tier_plan = []
@@ -2242,6 +2434,12 @@ def pallas_interp_multi(raw: jax.Array, cw_pad: jax.Array,
         overflow = overflow | pole_flag
 
     out = out_arr[:, :R, :nx]
+    if pole_merge is not None:
+        # sorted-rank pole values ride back beside the main block; the
+        # caller (models/settls.py) owns the un-sort, exactly as for the
+        # standalone presorted pole_block call
+        return out, pole_vals_m.reshape(F, 2, pole_merge["Mpad"]), \
+            overflow
     if debug_flags:
         return out, dict(
             overflow=overflow,

@@ -603,3 +603,76 @@ class TestSeamAwareSortKey:
         # arc is 240 cells wide; every tile must hold a sub-arc, never
         # the straddle union (old key: max span 239+... ~= 1200+)
         assert span.max() <= 240, span.max()
+
+
+class TestMergedPoleLaunch:
+    def test_merged_sections_match_two_launches(self):
+        """pole_lists= (the merged hoisted-pole launch: three "pole"
+        sections ride the main dma-all engine launch, _engine_layout)
+        must reproduce the two-launch hoist — skip_pole main gather +
+        standalone pole_block/pole_presorted call — bit-exactly: same
+        slot windows, same _pole_block_body, only the launch machinery
+        differs."""
+        from lagrangiancoherence_tpu.ops.interp import prefilter
+        from lagrangiancoherence_tpu.ops.pallas_interp import (
+            pallas_interp_multi, pole_apply_perm, pole_sort_state)
+        rng = np.random.default_rng(3)
+        ny, nx, F, order = 73, 144, 4, 3
+        lats = np.linspace(-90, 90, ny)
+        lons = np.linspace(-180, 180, nx)
+        fields = rng.standard_normal((F, ny, nx))
+        coeffs = prefilter(jnp.asarray(fields), order=order)
+        cwp = pad_coeffs_for_pallas(coeffs)
+        px0, py0 = np.meshgrid(lons, lats)
+        px = px0 + 120 * np.sin(py0 / 10) * np.cos(px0 / 15)
+        py = np.clip(py0 + 60 * np.sin(px0 / 20), -90, 90)
+        px = np.where(px > 180, -180 + (px % 180), px)
+        px = jnp.asarray(np.where(px < -180, px % 180, px))
+        py = jnp.asarray(py)
+        bounds = dict(y_min=lats.min(), y_max=lats.max(),
+                      x_min=lons.min(), x_max=lons.max())
+        pole_rows = np.r_[0:order, ny - order:ny]
+        perm, _ = pole_sort_state(px[pole_rows], py[pole_rows],
+                                  order=order, ny=ny, nx=nx, **bounds)
+        pxp = pole_apply_perm(px[pole_rows], perm, order=order, nx=nx)
+        pyp = pole_apply_perm(py[pole_rows], perm, order=order, nx=nx)
+        kw = dict(ny=ny, nx=nx, order=order, engine="dma-all",
+                  interpret=True, **bounds)
+        raw = jnp.asarray(fields)
+        out_ref, fl_ref = pallas_interp_multi(raw, cwp, px, py,
+                                              skip_pole=True, **kw)
+        vals_ref, flp_ref = pallas_interp_multi(
+            raw, cwp, pxp, pyp, pole_block=True, pole_presorted=True,
+            **kw)
+        out_m, vals_m, fl_m = pallas_interp_multi(
+            raw, cwp, px, py, pole_lists=(pxp, pyp), **kw)
+        np.testing.assert_array_equal(np.asarray(out_m),
+                                      np.asarray(out_ref))
+        np.testing.assert_array_equal(np.asarray(vals_m),
+                                      np.asarray(vals_ref))
+        assert int(fl_m) == int(fl_ref) | int(flp_ref)
+
+    def test_merged_rejected_off_dma_all(self):
+        """Other engines keep the two-launch hoist; pole_lists must
+        refuse loudly rather than silently diverge."""
+        from lagrangiancoherence_tpu.ops.interp import prefilter
+        from lagrangiancoherence_tpu.ops.pallas_interp import (
+            pallas_interp_multi, pole_flat_dims)
+        ny, nx, F, order = 17, 32, 2, 3
+        rng = np.random.default_rng(0)
+        fields = rng.standard_normal((F, ny, nx))
+        coeffs = prefilter(jnp.asarray(fields), order=order)
+        cwp = pad_coeffs_for_pallas(coeffs)
+        lats = np.linspace(-90, 90, ny)
+        lons = np.linspace(-180, 180, nx)
+        px0, py0 = np.meshgrid(lons, lats)
+        _, Mpad = pole_flat_dims(order, nx)
+        zeros = jnp.zeros((2, Mpad))
+        with pytest.raises(NotImplementedError):
+            pallas_interp_multi(
+                jnp.asarray(fields), cwp, jnp.asarray(px0),
+                jnp.asarray(py0), ny=ny, nx=nx, order=order,
+                engine="blockspec", interpret=True,
+                y_min=lats.min(), y_max=lats.max(),
+                x_min=lons.min(), x_max=lons.max(),
+                pole_lists=(zeros, zeros))

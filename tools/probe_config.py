@@ -103,9 +103,12 @@ CONFIGS_R4 = [
 ]
 
 # round-5 legs (LCS_ROUND5_LEGS=1): re-cross around the recorded round-4
-# winner (bx8 x pole24-192 x u2) after the banded prefilter landed —
-# VERDICT round-4 task 1c: the top four round-4 legs sat within ~0.5%
-# (noise class), so the composition must be re-measured at the new HEAD.
+# winner (bx8 x pole24-192 x u2) at the round-5 HEAD (slice-only stack
+# assembly + seam-aware circular-anchor sort key) — VERDICT round-4
+# task 1c: the top four round-4 legs sat within ~0.5% (noise class), so
+# the composition must be re-measured.  The seam key removes the
+# per-group straddle tile, shifting the sort-geometry trade-offs: bx16
+# and wider sort bands (lat55/50) are re-crossed too.
 CONFIGS_R5 = [
     ("r5head",      "dma-all", True, 32, "24,160,192", 2, None,
      {"LCS_SORT_BX": "8"}),
@@ -113,12 +116,36 @@ CONFIGS_R5 = [
      {"LCS_SORT_BX": "8", "LCS_SORT_K": "1"}),
     ("bx4",         "dma-all", True, 32, "24,160,192", 2, None,
      {"LCS_SORT_BX": "4"}),
+    ("bx16",        "dma-all", True, 32, "24,160,192", 2, None,
+     {"LCS_SORT_BX": "16"}),
     ("pole16-192",  "dma-all", True, 32, "16,160,192", 2, None,
      {"LCS_SORT_BX": "8"}),
     ("lat55",       "dma-all", True, 32, "24,160,192", 2, None,
      {"LCS_SORT_BX": "8", "LCS_SORT_LAT": "55"}),
+    ("lat50",       "dma-all", True, 32, "24,160,192", 2, None,
+     {"LCS_SORT_BX": "8", "LCS_SORT_LAT": "50"}),
     ("u3",          "dma-all", True, 32, "24,160,192", 3, None,
      {"LCS_SORT_BX": "8"}),
+]
+
+# round-5B legs (LCS_ROUND5B_LEGS=1): post-merged-pole-launch re-cross —
+# the pole sections now ride the engine (each slot evaluated once at its
+# assigned level; no standalone launch), so the pole-ladder and engine
+# unroll/prefetch trade-offs changed shape; sort cadence K=4 halves the
+# lax.sort copies the trace attributes ~12 ms/field to.
+CONFIGS_R5B = [
+    ("r5bhead",     "dma-all", True, 32, "24,160,192", 2, None,
+     {"LCS_SORT_BX": "8"}),
+    ("u3",          "dma-all", True, 32, "24,160,192", 3, None,
+     {"LCS_SORT_BX": "8"}),
+    ("u4",          "dma-all", True, 32, "24,160,192", 4, None,
+     {"LCS_SORT_BX": "8"}),
+    ("pole16-192",  "dma-all", True, 32, "16,160,192", 2, None,
+     {"LCS_SORT_BX": "8"}),
+    ("k4",          "dma-all", True, 32, "24,160,192", 2, None,
+     {"LCS_SORT_BX": "8", "LCS_SORT_K": "4"}),
+    ("nb4",         "dma-all", True, 32, "24,160,192", 1, None,
+     {"LCS_SORT_BX": "8", "LCS_ENGINE_NB": "4"}),
 ]
 
 # third round on top of u2-bx16: sort-band width + pole level-1 height
@@ -151,6 +178,8 @@ def main():
         legs = CONFIGS_R4
     if os.environ.get("LCS_ROUND5_LEGS"):
         legs = CONFIGS_R5
+    if os.environ.get("LCS_ROUND5B_LEGS"):
+        legs = CONFIGS_R5B
     for spec_row in legs:
         name, eng, half, wy, pole, unroll, fuse = spec_row[:7]
         extra_env = spec_row[7] if len(spec_row) > 7 else {}
