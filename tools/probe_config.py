@@ -148,6 +148,20 @@ CONFIGS_R5B = [
      {"LCS_SORT_BX": "8", "LCS_ENGINE_NB": "4"}),
 ]
 
+# round-5C legs (LCS_ROUND5C_LEGS=1): the 5B surprise — unroll=1 with a
+# 4-deep prefetch ring beat the 2-way unrolled body by 32 ms at the
+# merged-pole HEAD (1041.8 vs 1073.4; the unroll's per-slot pl.when
+# gates cost more than the ILP buys once the pole launches are gone) —
+# so cross the ring depth itself.
+CONFIGS_R5C = [
+    ("nb5",  "dma-all", True, 32, "24,160,192", 1, None,
+     {"LCS_SORT_BX": "8", "LCS_ENGINE_NB": "5"}),
+    ("nb6",  "dma-all", True, 32, "24,160,192", 1, None,
+     {"LCS_SORT_BX": "8", "LCS_ENGINE_NB": "6"}),
+    ("nb8",  "dma-all", True, 32, "24,160,192", 1, None,
+     {"LCS_SORT_BX": "8", "LCS_ENGINE_NB": "8"}),
+]
+
 # third round on top of u2-bx16: sort-band width + pole level-1 height
 CONFIGS_R3 = [
     ("u2bx16",         "dma-all", True,  32, "16,160,288", 2, None,
@@ -180,6 +194,8 @@ def main():
         legs = CONFIGS_R5
     if os.environ.get("LCS_ROUND5B_LEGS"):
         legs = CONFIGS_R5B
+    if os.environ.get("LCS_ROUND5C_LEGS"):
+        legs = CONFIGS_R5C
     for spec_row in legs:
         name, eng, half, wy, pole, unroll, fuse = spec_row[:7]
         extra_env = spec_row[7] if len(spec_row) > 7 else {}
