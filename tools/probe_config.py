@@ -162,6 +162,18 @@ CONFIGS_R5C = [
      {"LCS_SORT_BX": "8", "LCS_ENGINE_NB": "8"}),
 ]
 
+# round-5D legs (LCS_ROUND5D_LEGS=1): sort-knob re-cross under the new
+# u1-nb6 regime (bx/sortk1 were tuned under u2; the engine slot order
+# interacts with storage locality differently without the unroll).
+CONFIGS_R5D = [
+    ("bx4-nb6",    "dma-all", True, 32, "24,160,192", 1, None,
+     {"LCS_SORT_BX": "4", "LCS_ENGINE_NB": "6"}),
+    ("sortk1-nb6", "dma-all", True, 32, "24,160,192", 1, None,
+     {"LCS_SORT_BX": "8", "LCS_SORT_K": "1", "LCS_ENGINE_NB": "6"}),
+    ("bx16-nb6",   "dma-all", True, 32, "24,160,192", 1, None,
+     {"LCS_SORT_BX": "16", "LCS_ENGINE_NB": "6"}),
+]
+
 # third round on top of u2-bx16: sort-band width + pole level-1 height
 CONFIGS_R3 = [
     ("u2bx16",         "dma-all", True,  32, "16,160,288", 2, None,
@@ -196,6 +208,8 @@ def main():
         legs = CONFIGS_R5B
     if os.environ.get("LCS_ROUND5C_LEGS"):
         legs = CONFIGS_R5C
+    if os.environ.get("LCS_ROUND5D_LEGS"):
+        legs = CONFIGS_R5D
     for spec_row in legs:
         name, eng, half, wy, pole, unroll, fuse = spec_row[:7]
         extra_env = spec_row[7] if len(spec_row) > 7 else {}
