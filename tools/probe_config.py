@@ -174,6 +174,17 @@ CONFIGS_R5D = [
      {"LCS_SORT_BX": "16", "LCS_ENGINE_NB": "6"}),
 ]
 
+# round-5E legs (LCS_ROUND5E_LEGS=1): pole ladder x sort band under the
+# final bx4-nb6 regime (both were last crossed under u2).
+CONFIGS_R5E = [
+    ("pole16-bx4nb6", "dma-all", True, 32, "16,160,192", 1, None,
+     {"LCS_SORT_BX": "4", "LCS_ENGINE_NB": "6"}),
+    ("pole32-bx4nb6", "dma-all", True, 32, "32,160,192", 1, None,
+     {"LCS_SORT_BX": "4", "LCS_ENGINE_NB": "6"}),
+    ("lat55-bx4nb6",  "dma-all", True, 32, "24,160,192", 1, None,
+     {"LCS_SORT_BX": "4", "LCS_ENGINE_NB": "6", "LCS_SORT_LAT": "55"}),
+]
+
 # third round on top of u2-bx16: sort-band width + pole level-1 height
 CONFIGS_R3 = [
     ("u2bx16",         "dma-all", True,  32, "16,160,288", 2, None,
@@ -210,6 +221,8 @@ def main():
         legs = CONFIGS_R5C
     if os.environ.get("LCS_ROUND5D_LEGS"):
         legs = CONFIGS_R5D
+    if os.environ.get("LCS_ROUND5E_LEGS"):
+        legs = CONFIGS_R5E
     for spec_row in legs:
         name, eng, half, wy, pole, unroll, fuse = spec_row[:7]
         extra_env = spec_row[7] if len(spec_row) > 7 else {}
