@@ -676,3 +676,47 @@ class TestMergedPoleLaunch:
                 y_min=lats.min(), y_max=lats.max(),
                 x_min=lons.min(), x_max=lons.max(),
                 pole_lists=(zeros, zeros))
+
+    def test_merged_clamp_flag_matches(self, monkeypatch):
+        """Level-3 clamped slots must raise the pole flag (bit 4)
+        identically through the merged sections and the standalone
+        pole_block call: shrink the pole ladder so slots spanning many
+        rows cannot fit any level."""
+        monkeypatch.setenv("LCS_POLE_LADDER", "8,8,8")
+        from lagrangiancoherence_tpu.ops.interp import prefilter
+        from lagrangiancoherence_tpu.ops.pallas_interp import (
+            pallas_interp_multi, pole_flat_dims)
+        rng = np.random.default_rng(5)
+        ny, nx, F, order = 49, 128, 2, 3
+        lats = np.linspace(-90, 90, ny)
+        lons = np.linspace(-180, 180, nx)
+        fields = rng.standard_normal((F, ny, nx))
+        coeffs = prefilter(jnp.asarray(fields), order=order)
+        cwp = pad_coeffs_for_pallas(coeffs)
+        px0, py0 = np.meshgrid(lons, lats)
+        px, py = jnp.asarray(px0), jnp.asarray(py0)
+        _, Mpad = pole_flat_dims(order, nx)
+        # pole list y positions smeared over the whole domain and NOT
+        # sorted — one (8,128) slot then spans ~ny rows >> the 8-row
+        # ladder, forcing the final-level clamp
+        pxp = jnp.asarray(rng.uniform(-180, 180, (2, Mpad)))
+        pyp = jnp.asarray(rng.uniform(-90, 90, (2, Mpad)))
+        kw = dict(ny=ny, nx=nx, order=order, engine="dma-all",
+                  interpret=True, y_min=lats.min(), y_max=lats.max(),
+                  x_min=lons.min(), x_max=lons.max())
+        vals_ref, flp_ref = pallas_interp_multi(
+            jnp.asarray(fields), cwp, pxp, pyp, pole_block=True,
+            pole_presorted=True, **kw)
+        out_m, vals_m, fl_m = pallas_interp_multi(
+            jnp.asarray(fields), cwp, px, py, pole_lists=(pxp, pyp),
+            **kw)
+        assert int(flp_ref) & (1 << 4), hex(int(flp_ref))
+        assert int(fl_m) & (1 << 4), hex(int(fl_m))
+        # ulp-class tolerance: interpret mode lowers the body through
+        # XLA:CPU, whose fusion/reassociation of the chunked dot can
+        # differ between the two surrounding programs (measured 4.4e-16
+        # max on the clamped slots; the flag-0 parity test above is
+        # bit-exact)
+        np.testing.assert_allclose(np.asarray(vals_m),
+                                   np.asarray(vals_ref), atol=1e-12,
+                                   rtol=0)
